@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Value binning (reference P17: dashboard.py:447-450,185-192 uses
+  * `pd.cut`). Implemented as a `when` chain — a pure Catalyst expression
+  * that stays inside whole-stage codegen (vs ml.feature.Bucketizer which
+  * needs a Double input column and leaves the expression world).
+  */
+object Binning {
+
+  /** Left-open/right-closed buckets like pd.cut: (b0,b1], (b1,b2], ...
+    * Values <= b0 or null fall into the `null` label like pd.cut.
+    * Labels are "lo-hi" with "+" for the open top bucket.
+    */
+  def cut(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+    require(bounds.size == labels.size + 1 || bounds.size == labels.size,
+      "bounds must be labels+1 (closed) or labels (open top)")
+    val pairs = labels.zipWithIndex.map { case (lbl, i) =>
+      val lo = bounds(i)
+      val hiOpt = if (i + 1 < bounds.size) Some(bounds(i + 1)) else None
+      (lo, hiOpt, lbl)
+    }
+    pairs.foldLeft(Option.empty[Column]) { case (acc, (lo, hiOpt, lbl)) =>
+      val cond = hiOpt.fold(c > lit(lo))(hi => c > lit(lo) && c <= lit(hi))
+      Some(acc.fold(when(cond, lbl))(_.when(cond, lbl)))
+    }.get
+  }
+
+  /** Integer bucket index, SQL `width_bucket`-style: equal-width buckets
+    * over [lo, hi) → 1..n, below → 0, at/above hi → n+1. Matches DuckDB /
+    * ANSI width_bucket so the oracle can express the same thing.
+    */
+  def widthBucket(c: Column, lo: Double, hi: Double, n: Int): Column =
+    when(c < lit(lo), 0)
+      .when(c >= lit(hi), n + 1)
+      .otherwise((floor((c - lit(lo)) / lit((hi - lo) / n)) + 1).cast("int"))
+}
