@@ -14,13 +14,7 @@ import graft.etl.{ScoringPipeline, TestdataAdapter}
   */
 object SparkEntry {
 
-  /** Modality→limit dispatch for the events-shaped stream: the testdata
-    * `event_type` values play the banking modalities; `signup`/`view`
-    * fall to the otherwise arm (as DOC does in the reference).
-    */
-  private val eventLimitArms = Seq(
-    "click" -> "limite_PIX", "purchase" -> "limite_TED",
-    "error" -> "limite_Boleto", "signup" -> "limite_DOC")
+  private val eventLimitArms = TestdataAdapter.eventLimitArms
 
   /** Flagship: the full fraud-scoring pipeline (decode→enrich→score),
     * deterministic projection, on sf0.001.
@@ -47,7 +41,10 @@ object SparkEntry {
       col("transacao_aprovada"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.analytics.DashboardQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the reference's core dataflow, end-to-end (P1-P15, J1/J2) ----
     "pipeline_score" -> ((s, dir) => pipelineScore(s, dir)),
 
@@ -93,35 +90,12 @@ object SparkEntry {
         .orderBy(col("ts_s").desc, col("event_id").desc)
         .limit(100)))
 
-  def oracleSql: Map[String, String] = {
-    val ctes = TestdataAdapter.oracleCtes
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ graft.analytics.DashboardQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = {
     val scoredSql =
-      s"""WITH $ctes,
-         |enriched AS (
-         |  SELECT t.*, u.saldo, u.limite_PIX, u.limite_TED, u.limite_DOC,
-         |         u.limite_Boleto,
-         |         rt.latitude AS lat_t, rt.longitude AS lon_t,
-         |         ru.latitude AS lat_u, ru.longitude AS lon_u
-         |  FROM tx t
-         |  LEFT JOIN users u ON t.id_usuario_pagador = u.id_usuario
-         |  LEFT JOIN regions rt ON t.id_regiao = rt.id_regiao
-         |  LEFT JOIN regions ru ON u.id_regiao = ru.id_regiao),
-         |scored AS (
-         |  SELECT *,
-         |    sqrt((lat_t - lat_u)*(lat_t - lat_u) + (lon_t - lon_u)*(lon_t - lon_u)) AS t5_score,
-         |    CASE WHEN valor_transacao > 2000 THEN 1.0 ELSE 0.0 END AS t6_score,
-         |    (EXTRACT(hour FROM data_horario) - 12) / 12.0 AS t7_score
-         |  FROM enriched),
-         |gated AS (
-         |  SELECT *,
-         |    (t5_score * t6_score * t7_score) / 3.0 AS score_medio,
-         |    NOT ((t5_score * t6_score * t7_score) / 3.0 > 6.0) AS score_aprovado,
-         |    saldo > valor_transacao AS saldo_aprovado,
-         |    CASE WHEN modalidade_pagamento = 'click' THEN valor_transacao < limite_PIX
-         |         WHEN modalidade_pagamento = 'purchase' THEN valor_transacao < limite_TED
-         |         WHEN modalidade_pagamento = 'error' THEN valor_transacao < limite_Boleto
-         |         ELSE valor_transacao < limite_DOC END AS limite_aprovado
-         |  FROM scored)
+      s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
          |SELECT id_transacao, id_usuario_pagador, id_regiao,
          |       modalidade_pagamento,
          |       date_trunc('second', data_horario) AS data_horario,
@@ -130,13 +104,12 @@ object SparkEntry {
          |       round(t7_score, 6) AS t7_score,
          |       round(score_medio, 6) AS score_medio,
          |       score_aprovado, saldo_aprovado, limite_aprovado,
-         |       (score_aprovado AND saldo_aprovado AND limite_aprovado)
-         |         AS transacao_aprovada
-         |FROM gated""".stripMargin
+         |       transacao_aprovada
+         |FROM base""".stripMargin
     Map(
       "pipeline_score" -> scoredSql,
       "a1_count_by_flag" ->
-        s"""WITH base AS ($scoredSql)
+        s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
            |SELECT transacao_aprovada, count(*) AS n
            |FROM base GROUP BY 1""".stripMargin,
       "j2_star_join_agg" ->

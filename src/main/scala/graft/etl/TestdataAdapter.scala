@@ -15,6 +15,14 @@ import graft.Tables
   */
 object TestdataAdapter {
 
+  /** Modality→limit dispatch for the events-shaped stream: the testdata
+    * `event_type` values play the banking modalities; `signup`/`view`
+    * fall to the otherwise arm (as DOC does in the reference).
+    */
+  val eventLimitArms: Seq[(String, String)] = Seq(
+    "click" -> "limite_PIX", "purchase" -> "limite_TED",
+    "error" -> "limite_Boleto", "signup" -> "limite_DOC")
+
   def transactions(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id").cast("string").as("id_transacao"),
@@ -41,8 +49,48 @@ object TestdataAdapter {
       ((col("n_nationkey") * 37) % 180 - 90).cast("double").as("latitude"),
       ((col("n_nationkey") * 91) % 360 - 180).cast("double").as("longitude"))
 
+  /** Full-precision scored-output SQL (DuckDB) matching
+    * [[ScoringPipeline.runDeterministic]] column-for-column. Shared base
+    * for every dashboard-analytics oracle; rounding/truncation happens
+    * only in each query's final projection, mirroring the Spark side.
+    */
+  val scoredBaseSql: String =
+    s"""WITH $oracleCtes,
+       |enriched AS (
+       |  SELECT t.*, u.saldo, u.limite_PIX, u.limite_TED, u.limite_DOC,
+       |         u.limite_Boleto,
+       |         rt.latitude AS lat_t, rt.longitude AS lon_t,
+       |         ru.latitude AS lat_u, ru.longitude AS lon_u
+       |  FROM tx t
+       |  LEFT JOIN users u ON t.id_usuario_pagador = u.id_usuario
+       |  LEFT JOIN regions rt ON t.id_regiao = rt.id_regiao
+       |  LEFT JOIN regions ru ON u.id_regiao = ru.id_regiao),
+       |sc AS (
+       |  SELECT *,
+       |    sqrt((lat_t - lat_u)*(lat_t - lat_u) + (lon_t - lon_u)*(lon_t - lon_u)) AS t5_score,
+       |    CASE WHEN valor_transacao > 2000 THEN 1.0 ELSE 0.0 END AS t6_score,
+       |    (EXTRACT(hour FROM data_horario) - 12) / 12.0 AS t7_score
+       |  FROM enriched),
+       |gated AS (
+       |  SELECT *,
+       |    (t5_score * t6_score * t7_score) / 3.0 AS score_medio,
+       |    NOT ((t5_score * t6_score * t7_score) / 3.0 > 6.0) AS score_aprovado,
+       |    saldo > valor_transacao AS saldo_aprovado,
+       |    CASE WHEN modalidade_pagamento = 'click' THEN valor_transacao < limite_PIX
+       |         WHEN modalidade_pagamento = 'purchase' THEN valor_transacao < limite_TED
+       |         WHEN modalidade_pagamento = 'error' THEN valor_transacao < limite_Boleto
+       |         ELSE valor_transacao < limite_DOC END AS limite_aprovado
+       |  FROM sc)
+       |SELECT id_transacao, id_usuario_pagador, id_regiao,
+       |       modalidade_pagamento, data_horario, valor_transacao,
+       |       t5_score, t6_score, t7_score, score_medio,
+       |       score_aprovado, saldo_aprovado, limite_aprovado,
+       |       (score_aprovado AND saldo_aprovado AND limite_aprovado)
+       |         AS transacao_aprovada
+       |FROM gated""".stripMargin
+
   /** Matching DuckDB CTEs for the three adapted inputs. */
-  val oracleCtes: String =
+  lazy val oracleCtes: String =
     """tx AS (
       |  SELECT CAST(event_id AS VARCHAR) AS id_transacao,
       |         CAST(user_id AS VARCHAR) AS id_usuario_pagador,
