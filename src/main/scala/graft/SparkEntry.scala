@@ -42,7 +42,11 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.analytics.DashboardQueries.queries
+    coreQueries ++
+      graft.analytics.DashboardQueries.queries ++
+      graft.text.TextQueries.queries ++
+      graft.dedup.DedupQueries.queries ++
+      graft.similarity.AnnQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the reference's core dataflow, end-to-end (P1-P15, J1/J2) ----
@@ -91,7 +95,11 @@ object SparkEntry {
         .limit(100)))
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ graft.analytics.DashboardQueries.oracleSql
+    coreOracleSql ++
+      graft.analytics.DashboardQueries.oracleSql ++
+      graft.text.TextQueries.oracleSql ++
+      graft.dedup.DedupQueries.oracleSql ++
+      graft.similarity.AnnQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = {
     val scoredSql =

@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora, four ways:
+  *
+  *  - [[jaccardPairs]] — exact n-gram Jaccard via an inverted-index
+  *    shingle join (the correctness baseline; oracle-checkable).
+  *  - [[minhashLshPairs]] — MinHash signatures + banded LSH candidate
+  *    generation, then exact verification of the (tiny) candidate set.
+  *    This is the 100 TB path: cost is O(docs × shingles) for
+  *    signatures plus a bucket join on (band, bandHash) keys, never an
+  *    all-pairs product.
+  *  - [[simhashPairs]] — 64-bit SimHash + banded Hamming search
+  *    (pigeonhole: distance ≤ 3 ⇒ one of 4 16-bit blocks equal).
+  *  - [[graft.similarity.Ann.cosinePairs]] — embedding-space near-dups.
+  *
+  * Everything is expression-only (no UDFs): shingling via
+  * `transform`/`sequence`, hashing via `xxhash64`, signatures via 128
+  * map-side-combined `min` aggregates. Shuffles are keyed on doc id or
+  * (band, hash) — both salt-free and uniformly distributed because the
+  * key is itself a hash.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via
+    * explode + inverted-index self-join on the shingle string. At scale
+    * the join key would be `xxhash64(shingle)` (narrower shuffle, same
+    * result modulo 2^-64 collisions); the string key keeps the oracle
+    * bit-exact.
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = sh.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns: for permutation i, min over the doc's
+    * shingles of xxhash64(shingle, i). One explode + one groupBy with
+    * `numHashes` partial-aggregated mins — a single shuffle keyed by
+    * doc id.
+    */
+  private def signatures(df: DataFrame, id: String, text: String, n: Int,
+                         numHashes: Int): DataFrame = {
+    val ex = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+      .select(col("doc"), col("sh"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    ex.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-dup pairs, exact-verified.
+    *
+    * `numHashes` minhashes in `bands` bands of r = numHashes/bands rows:
+    * docs sharing any band bucket become candidates; candidates are then
+    * verified with exact Jaccard over their (distinct) shingle sets, so
+    * the output equals [[jaccardPairs]] except for pairs the LSH missed —
+    * with 128/32 and j ≥ 0.8 the miss probability per pair is
+    * (1 − j⁴)³² < 5·10⁻⁸.
+    */
+  def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
+                      threshold: Double, numHashes: Int = 128,
+                      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = signatures(df, id, text, n, numHashes)
+    // band value = hash of its r signature entries
+    val banded = sig.select(col("doc") +: (0 until bands).map { bnd =>
+      xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"m$i")): _*)
+        .as(s"b$bnd")
+    }: _*)
+    val ex = banded.select(col("doc"), explode(map(
+      (0 until bands).flatMap(bnd => Seq(lit(bnd), col(s"b$bnd"))): _*))
+      .as(Seq("band", "bh")))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    // exact verification over the candidates only
+    val sh = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc: sign of the per-bit ±1 vote sum over token
+    * hashes. Pure aggregate — one shuffle keyed by doc.
+    */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val ex = df.select(col(id).as("doc"),
+      explode(split(trim(col(text)), "\\s+")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val agg = ex.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** SimHash pairs within `maxHamming` (≤ 15), via banded search: split
+    * the 64-bit signature into 4 16-bit blocks; by pigeonhole any pair
+    * within Hamming distance ≤ 3 shares at least one exact block, so the
+    * join is on (block index, block value) — never all-pairs. Verified
+    * with exact `bit_count(xor)`.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, id, text)
+    val blocks = sig.select(col("doc"), col("simhash"), explode(map(
+      (0 until 4).flatMap(i => Seq(lit(i),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL))): _*))
+      .as(Seq("blk", "bv")))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

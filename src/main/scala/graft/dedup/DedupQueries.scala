@@ -1,0 +1,53 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-contract registrations for near-dup detection over
+  * `documents`. The exact n-gram Jaccard query and the MinHash-LSH
+  * query share one oracle: LSH candidates are exact-verified, and at
+  * 128 hashes / 32 bands the per-pair miss probability at j ≥ 0.8 is
+  * < 5·10⁻⁸, so both produce the identical pair set on this data.
+  * SimHash has no cross-engine hash parity → rows-only check (no
+  * oracle entry), with semantics pinned by ScalaTest instead.
+  */
+object DedupQueries {
+
+  private val N = 3
+  private val Threshold = 0.8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")))
+
+  private val jaccardOracle =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+       |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
+       |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash_lsh" -> jaccardOracle)
+}

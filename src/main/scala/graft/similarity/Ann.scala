@@ -1,0 +1,115 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k (the correctness
+  *    baseline; oracle-checkable). O(|queries|·|corpus|): fine when the
+  *    query set is small or as a per-bucket kernel.
+  *  - [[lshTopK]] — random-hyperplane (sign) LSH: banded signature
+  *    buckets generate candidates, exact cosine reranks them. This is
+  *    the scale path: the corpus is hashed once (map-only), and each
+  *    query joins only its bucket collisions instead of the full corpus.
+  *  - [[cosinePairs]] — all-pairs near-duplicate detection by cosine.
+  *
+  * Dot products are expression-level (`zip_with` + `aggregate` fold) —
+  * codegen-friendly, no UDF, identical left-to-right summation order to
+  * the DuckDB oracle.
+  */
+object Ann {
+
+  /** Left-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Corpus with embeddings cast to double and the L2 norm precomputed
+    * once (avoids recomputing norms inside the pairwise kernel).
+    */
+  private def prepared(corpus: DataFrame, id: String, vec: String): DataFrame =
+    corpus.select(col(id).as("vid"),
+      col(vec).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact cosine top-k neighbors for each row of `queries` against
+    * `corpus` (self-matches excluded). Ranking orders by cosine rounded
+    * to 6 decimals (then neighbor id) so ranks are reproducible across
+    * engines/ULP noise. The query side is broadcast — at scale the
+    * corpus streams through executors once, no corpus shuffle.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = prepared(queries, id, vec)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = prepared(corpus, id, vec)
+    val sims = c.join(broadcast(q), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vid").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplanes: `planes(p)(d)` from a fixed seed. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-LSH top-k: `bands` bands of `bitsPerBand` hyperplane sign
+    * bits; candidate = corpus row sharing any band value with the
+    * query; exact cosine rerank of candidates; top-k per query. Recall
+    * is approximate (documented): rows-only driver check.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+              k: Int, bands: Int = 4, bitsPerBand: Int = 8, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    def bandCols(prefix: String): Seq[Column] = (0 until bands).map { bnd =>
+      val bits = (0 until bitsPerBand).map { j =>
+        val plane = array(planes(bnd * bitsPerBand + j).map(lit): _*)
+        when(dot(col("v"), plane) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }
+      bits.reduce(_.bitwiseOR(_)).as(s"${prefix}b$bnd")
+    }
+    val c = prepared(corpus, id, vec)
+    val cSig = c.select(Seq(col("vid"), col("v"), col("nrm")) ++ bandCols("c"): _*)
+    val q = prepared(queries, id, vec)
+    val qSig = q.select(Seq(col("vid").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn")) ++ bandCols("q"): _*)
+    val bandMatch = (0 until bands)
+      .map(bnd => col(s"qb$bnd") === col(s"cb$bnd"))
+      .reduce(_ || _)
+    val cand = cSig.join(broadcast(qSig), bandMatch && col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All-pairs cosine near-duplicates (ids a < b, cosine ≥ threshold).
+    * Exact O(n²) baseline — the LSH bucketing above is the scale path.
+    */
+  def cosinePairs(corpus: DataFrame, id: String, vec: String,
+                  threshold: Double): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    val a = c.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+}

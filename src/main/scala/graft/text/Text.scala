@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID (stopword-marker heuristic), quality
+  * scoring, and document fingerprinting. All pure Catalyst expression
+  * composition — no UDFs — so every function stays inside whole-stage
+  * codegen and scales as a map-only pass over the corpus (no shuffle,
+  * no state, no driver involvement at any corpus size).
+  *
+  * The reference system (pedrotokar/banking-streaming-ETL) has no text
+  * surface; these extend the engine per the training-data-pipeline
+  * charter (SURVEY.md §7.4 north-star extensions).
+  */
+object Text {
+
+  /** Marker stopwords per language for the voting heuristic. */
+  val enStop: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  val ptStop: Seq[String] = Seq("de", "que", "e", "o", "os", "um", "uma", "para")
+  val esStop: Seq[String] = Seq("el", "la", "los", "las", "y", "un", "una", "por")
+
+  private def litArr(s: Seq[String]): Column = array(s.map(lit): _*)
+
+  /** Whitespace tokenization (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens present in `stop` (duplicates counted — NOT set
+    * intersection, so frequency information survives).
+    */
+  def stopwordHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => array_contains(litArr(stop), t)))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      length(text)
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    stopwordHits(toks, enStop ++ ptStop ++ esStop).cast("double") / size(toks)
+  }
+
+  /** Language-ID by stopword votes; ties resolve en > pt > es. */
+  def langVotes(text: Column): (Column, Column, Column) = {
+    val toks = tokens(text)
+    (stopwordHits(toks, enStop), stopwordHits(toks, ptStop),
+      stopwordHits(toks, esStop))
+  }
+
+  def langGuess(text: Column): Column = {
+    val (en, pt, es) = langVotes(text)
+    when(en >= pt && en >= es, "en").when(pt >= es, "pt").otherwise("es")
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low
+    * punctuation density + stopword presence (fluency proxy).
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), tokenCount(text) / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * stopwordRatio(text)
+
+  /** Whitespace-normalized lowercase form used for exact-dup keys. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (hex string). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Polynomial rolling hash over characters (base 31, mod 1e9+7) —
+    * a native Catalyst fold via `aggregate`, no UDF. Unit-tested;
+    * fingerprint() is the oracle-checkable variant.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-contract registrations for the text-analysis operators over
+  * the `documents` table, each with a DuckDB oracle that re-derives the
+  * identical computation (token split, stopword filter, punctuation
+  * regex) so values hash-match bit-for-bit after rounding.
+  */
+object TextQueries {
+
+  private val allStop = Text.enStop ++ Text.ptStop ++ Text.esStop
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+    }),
+    "tx_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (en, pt, es) = Text.langVotes(col("text"))
+      d.select(
+        col("doc_id"), en.as("en_votes"), pt.as("pt_votes"),
+        es.as("es_votes"), Text.langGuess(col("text")).as("lang_guess"))
+    }),
+    "tx_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(Text.qualityScore(col("text")), 6).as("quality"))),
+    "tx_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))))
+
+  private def sqlList(s: Seq[String]): String =
+    s.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val toks = """regexp_split_to_array(trim(text), '\s+')"""
+  private def hits(list: Seq[String]) =
+    s"len(list_filter($toks, t -> list_contains(${sqlList(list)}, t)))"
+  private val punct =
+    """length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE / length(text)"""
+  private val normFp =
+    """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_token_stats" ->
+      s"""SELECT doc_id, len($toks)::INT AS n_tokens,
+         |       round($punct, 6) AS punct_ratio,
+         |       round(${hits(allStop)}::DOUBLE / len($toks), 6) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "tx_lang_id" ->
+      s"""SELECT doc_id,
+         |       ${hits(Text.enStop)}::INT AS en_votes,
+         |       ${hits(Text.ptStop)}::INT AS pt_votes,
+         |       ${hits(Text.esStop)}::INT AS es_votes,
+         |       CASE WHEN ${hits(Text.enStop)} >= ${hits(Text.ptStop)}
+         |             AND ${hits(Text.enStop)} >= ${hits(Text.esStop)} THEN 'en'
+         |            WHEN ${hits(Text.ptStop)} >= ${hits(Text.esStop)} THEN 'pt'
+         |            ELSE 'es' END AS lang_guess
+         |FROM documents""".stripMargin,
+    "tx_quality" ->
+      s"""SELECT doc_id,
+         |       round(0.4 * least(1.0, len($toks) / 100.0)
+         |           + 0.3 * (1.0 - $punct)
+         |           + 0.3 * (${hits(allStop)}::DOUBLE / len($toks)), 6) AS quality
+         |FROM documents""".stripMargin,
+    "tx_fingerprint" ->
+      s"SELECT doc_id, $normFp AS fp FROM documents",
+    "dedup_exact" ->
+      s"""SELECT $normFp AS fp, count(*) AS n, min(doc_id) AS keeper
+         |FROM documents GROUP BY 1""".stripMargin)
+}
