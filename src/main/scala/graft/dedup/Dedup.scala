@@ -39,33 +39,68 @@ object Dedup {
     * result modulo 2^-64 collisions); the string key keeps the oracle
     * bit-exact.
     */
+  /** (doc, sorted distinct shingle-hash array) via the single-pass
+    * native kernel ([[graft.functions.TextHashing]]).
+    */
+  private def hashedShingles(df: DataFrame, id: String, text: String,
+                             n: Int): DataFrame = {
+    graft.functions.TextHashing.register(df.sparkSession)
+    df.select(col(id).as("doc"),
+      graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
+  }
+
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double): DataFrame = {
-    val sh = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val ex = sh.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
-    val a = ex.as("a")
-    val b = ex.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+    val sh = hashedShingles(df, id, text, n)
+    // The shuffle carries two longs per row; shingle strings never
+    // materialize. (Cross-shingle hash collisions would inflate `inter`
+    // with probability ~|shingles|²/2⁶⁴ — negligible at any realistic
+    // corpus size.)
+    val ex = sh.select(col("doc"), explode(col("hs")).as("h"))
+    val sizes = sh.select(col("doc"), size(col("hs")).as("sz"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc").as("doc_a"), col("sz").as("sza"))),
+        Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc").as("doc_b"), col("sz").as("szb"))),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns: for permutation i, min over the doc's
-    * shingles of xxhash64(shingle, i). One explode + one groupBy with
-    * `numHashes` partial-aggregated mins — a single shuffle keyed by
-    * doc id.
+  /** MinHash signature columns via the standard universal-hash family
+    * gᵢ(x) = (aᵢ·x + bᵢ) mod p over the base shingle hash x =
+    * xxhash64(shingle) mod p, p = 2³¹−1 (the same family Spark ML's
+    * MinHashLSH uses). The shingle string is hashed ONCE; each of the
+    * `numHashes` permutations is two long ops — all inside one
+    * map-side-combined groupBy(doc) with `numHashes` min aggregates: a
+    * single shuffle keyed by doc id. Products stay < 2⁶² so ANSI-mode
+    * arithmetic never overflows.
     */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def hashFamily(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
+                        numHashes: Int): DataFrame =
+    signatures(df, id, text, n, numHashes)
+
   private def signatures(df: DataFrame, id: String, text: String, n: Int,
                          numHashes: Int): DataFrame = {
-    val ex = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
-      .select(col("doc"), col("sh"), explode(col("sh")).as("s"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val ex = hashedShingles(df, id, text, n)
+      .select(col("doc"), explode(col("hs")).as("h"))
+      .select(col("doc"), pmod(col("h"), lit(MinhashPrime)).as("x"))
+    val mins = hashFamily(numHashes, seed = 7L).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((lit(a) * col("x") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
     ex.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
@@ -98,10 +133,10 @@ object Dedup {
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
     // exact verification over the candidates only
-    val sh = df.select(col(id).as("doc"), shingles(col(text), n).as("sh"))
+    val sh = hashedShingles(df, id, text, n)
     cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(sh.select(col("doc").as("doc_a"), col("hs").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("hs").as("shb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
@@ -109,20 +144,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: sign of the per-bit ±1 vote sum over token
-    * hashes. Pure aggregate — one shuffle keyed by doc.
+    * hashes. A per-document scalar via the native single-pass kernel
+    * ([[graft.functions.TextHashing.simhash64]]) — map-only, no
+    * explode, no shuffle.
     */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val ex = df.select(col(id).as("doc"),
-      explode(split(trim(col(text)), "\\s+")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val agg = ex.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("doc"), sig.as("simhash"))
+    graft.functions.TextHashing.register(df.sparkSession)
+    df.select(col(id).as("doc"),
+      graft.functions.TextHashing.simhash64(col(text)).as("simhash"))
   }
 
   /** SimHash pairs within `maxHamming` (≤ 15), via banded search: split

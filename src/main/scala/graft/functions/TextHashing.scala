@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass word n-gram shingle hashing.
+  *
+  * The composable formulation — `transform(sequence(...), i ->
+  * concat_ws(' ', toks[i..i+n]))` + `array_distinct` + `xxhash64` —
+  * is semantically identical but pays interpreted higher-order-function
+  * overhead per shingle and materializes every shingle string; on a
+  * 5k-doc / 2M-shingle corpus that alone was ~22 s (measured,
+  * graft.tools.Profile). This kernel emits the sorted distinct 64-bit
+  * shingle hashes straight from the document in one JVM pass (~1 s).
+  *
+  * Jaccard similarity over hashed shingles equals Jaccard over string
+  * shingles except for hash collisions (≈|shingles|²/2⁶⁴ — negligible),
+  * because only equality of shingles matters. Tokenization matches
+  * `split(trim(text), "\\s+")` exactly.
+  */
+object TextHashing {
+
+  /** Murmur3 64-bit finalizer (avalanche). */
+  @inline private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
+  private def wordHash(s: String, from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until) { h = 31 * h + s.charAt(i); i += 1 }
+    fmix64(h)
+  }
+
+  /** Sorted distinct 64-bit hashes of the word n-grams of `text`. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    // whitespace-run token boundaries (same tokens as regex \s+ split)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (!Character.isWhitespace(s.charAt(i))) {
+        val start = i
+        while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
+        bounds += ((start, i))
+      } else i += 1
+    }
+    val m = bounds.length
+    if (m < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val wh = new Array[Long](m)
+    i = 0
+    while (i < m) { wh(i) = wordHash(s, bounds(i)._1, bounds(i)._2); i += 1 }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = -7046029254386353131L
+      var j = 0
+      while (j < n) { h = fmix64(h ^ wh(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
+  /** 64-bit SimHash of the whitespace tokens (duplicates contribute
+    * repeatedly, preserving frequency information): per bit b, the sign
+    * of Σ_tokens (±1 by bit b of the token hash) sets bit b. A
+    * per-document scalar — the whole dedup signature pass is map-only,
+    * no explode, no shuffle.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val s = text.toString.trim
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < s.length) {
+      if (!Character.isWhitespace(s.charAt(i))) {
+        val start = i
+        while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
+        val h = wordHash(s, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      } else i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  val FuncName = "graft_ngram_hashes"
+  val SimhashName = "graft_simhash64"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FuncName,
+      exprs => NgramHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimhashName, exprs => SimHash64Expr(exprs(0)), "built-in")
+  }
+
+  /** Column API; requires [[register]] on the session. */
+  def ngramHashes(text: Column, n: Int): Column =
+    call_function(FuncName, text, lit(n))
+
+  def simhash64(text: Column): Column = call_function(SimhashName, text)
+}
+
+/** Expression wrapper for [[TextHashing.simhash64]]. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = TextHashing.SimhashName
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashing.simhash64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Expression wrapper: codegen emits a single static call per row (the
+  * heavy lifting is an ordinary JVM loop, JIT-compiled).
+  */
+case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = TextHashing.FuncName
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashing.ngramHashes(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.ngramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

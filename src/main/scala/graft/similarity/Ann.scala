@@ -22,9 +22,15 @@ import scala.util.Random
   */
 object Ann {
 
-  /** Left-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product via built-in higher-order functions — the
+    * reference semantics for [[graft.functions.DotProductDouble]]
+    * (identical summation order); kept for differential tests.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product (native Catalyst expression). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -33,10 +39,12 @@ object Ann {
   /** Corpus with embeddings cast to double and the L2 norm precomputed
     * once (avoids recomputing norms inside the pairwise kernel).
     */
-  private def prepared(corpus: DataFrame, id: String, vec: String): DataFrame =
+  private def prepared(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
     corpus.select(col(id).as("vid"),
       col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Exact cosine top-k neighbors for each row of `queries` against
     * `corpus` (self-matches excluded). Ranking orders by cosine rounded
