@@ -46,7 +46,8 @@ object SparkEntry {
       graft.analytics.DashboardQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
-      graft.similarity.AnnQueries.queries
+      graft.similarity.AnnQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the reference's core dataflow, end-to-end (P1-P15, J1/J2) ----
@@ -99,7 +100,8 @@ object SparkEntry {
       graft.analytics.DashboardQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
-      graft.similarity.AnnQueries.oracleSql
+      graft.similarity.AnnQueries.oracleSql ++
+      graft.streaming.StreamingQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = {
     val scoredSql =

@@ -24,7 +24,16 @@ object TestdataAdapter {
     "error" -> "limite_Boleto", "signup" -> "limite_DOC")
 
   def transactions(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    transactionsFromEvents(Tables.events(spark, dir))
+
+  /** Streaming variant: same column mapping over the file-stream
+    * source, so stream/batch lineages are provably identical.
+    */
+  def transactionsStream(spark: SparkSession, dir: String): DataFrame =
+    transactionsFromEvents(Tables.eventsStream(spark, dir))
+
+  def transactionsFromEvents(events: DataFrame): DataFrame =
+    events.select(
       col("event_id").cast("string").as("id_transacao"),
       col("user_id").cast("string").as("id_usuario_pagador"),
       col("user_id").cast("string").as("id_usuario_recebedor"),

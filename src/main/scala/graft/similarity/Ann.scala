@@ -75,10 +75,14 @@ object Ann {
   /** Sign-LSH top-k: `bands` bands of `bitsPerBand` hyperplane sign
     * bits; candidate = corpus row sharing any band value with the
     * query; exact cosine rerank of candidates; top-k per query. Recall
-    * is approximate (documented): rows-only driver check.
+    * is approximate (rows-only driver check). Band geometry trades
+    * recall vs candidate volume: a pair at angle θ agrees on one band
+    * with p = (1−θ/π)^bitsPerBand — short/many bands for
+    * moderate-similarity top-k (default), long/few bands (e.g. 4×16)
+    * for high-threshold near-dup where candidates must stay sparse.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-              k: Int, bands: Int = 4, bitsPerBand: Int = 8, dim: Int = 64,
+              k: Int, bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     def bandCols(prefix: String): Seq[Column] = (0 until bands).map { bnd =>

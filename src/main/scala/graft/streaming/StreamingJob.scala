@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface of the engine (SURVEY.md §2.8–§2.9).
+  *
+  * The scoring stages ([[graft.etl.ScoringPipeline]]) are pure
+  * `DataFrame => DataFrame` and run unchanged on a streaming input —
+  * this module adds the streaming-specific pieces: source wiring,
+  * trigger/output-mode/watermark configuration (T1–T5), the
+  * `foreachBatch` multi-sink fan-out (O1–O5), and the stateful
+  * late-event dedup the reference designed but abandoned for
+  * performance in Python (T7, report p.8) — native JVM state via
+  * `flatMapGroupsWithState` has none of that overhead.
+  *
+  * Scale: stream–static broadcast joins keep the stream shuffle-free;
+  * the only stateful operator (late-drop) partitions by user id —
+  * state is O(distinct users), uniformly hash-distributed.
+  */
+object StreamingJob {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion into a uniquely-named
+    * memory sink (T3 append / complete), returning the result table.
+    * Used to prove stream/batch result parity on finite sources.
+    */
+  def runToMemory(stream: DataFrame, mode: String = "append"): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_mem_${sinkCounter.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** T1/T3/T6-style console metrics stream (O6): second concurrent
+    * query over the same lineage, 30 s processing-time trigger.
+    */
+  def startConsoleMetrics(scored: DataFrame,
+                          intervalMs: Long = 30000L): StreamingQuery =
+    scored.writeStream.format("console")
+      .option("truncate", "false").option("numRows", "5")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
+  // ---------------------------------------------------------------------
+  // O1–O5: foreachBatch fan-out.
+  // ---------------------------------------------------------------------
+
+  /** Hermetic stand-ins for the reference's Redis sinks (O4/O5): a
+    * keyed snapshot (hash per id) and a recency index (score = epoch
+    * millis). In local mode executors share the JVM so tests can
+    * assert; a production deployment swaps in a connector-backed
+    * implementation with the same per-partition client pattern.
+    */
+  object KeyedStore {
+    val hashes: TrieMap[String, Map[String, String]] = TrieMap.empty
+    val recency: TrieMap[String, Long] = TrieMap.empty
+    def clear(): Unit = { hashes.clear(); recency.clear() }
+    def topN(n: Int): Seq[String] =
+      recency.toSeq.sortBy { case (id, ts) => (-ts, id) }.take(n).map(_._1)
+  }
+
+  /** O1 fan-out: per micro-batch, persist once and write all sinks —
+    * facts append (O2), scores append (O3), keyed snapshot (O4),
+    * recency index via per-partition iteration (O5).
+    * streaming_etl.py:179-263 re-expressed.
+    */
+  def startFanout(scored: DataFrame, factsDir: String, scoresDir: String,
+                  checkpointDir: String, keyCol: String = "id_transacao",
+                  tsCol: String = "data_horario"): StreamingQuery =
+    scored.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.persist()
+        try {
+          df.write.mode("append").parquet(factsDir)
+          df.select(col(keyCol), col("t5_score"), col("t6_score"),
+            col("t7_score")).write.mode("append").parquet(scoresDir)
+          val key = keyCol
+          val ts = tsCol
+          val fields = df.columns
+          df.foreachPartition { (rows: Iterator[Row]) =>
+            // connection-per-partition pattern (the reference's comment
+            // on client non-serializability applies identically here)
+            rows.foreach { r =>
+              val id = String.valueOf(r.getAs[Any](key))
+              KeyedStore.hashes.put(id,
+                fields.map(f => f -> String.valueOf(r.getAs[Any](f))).toMap)
+              val t = r.getAs[java.sql.Timestamp](ts)
+              if (t != null) KeyedStore.recency.put(id, t.getTime)
+            }
+          }
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
+  // ---------------------------------------------------------------------
+  // T7: stateful late-event drop (the reference's abandoned feature).
+  // ---------------------------------------------------------------------
+
+  case class TxKeyed(id_transacao: String, id_usuario_pagador: String,
+                     data_horario: java.sql.Timestamp,
+                     valor_transacao: Double, transacao_aprovada: Boolean)
+
+  /** Drop events that arrive with an event time older than the user's
+    * last APPROVED transaction (report p.8 business rule). State per
+    * user = max approved event-time millis. Works identically on batch
+    * and streaming Datasets (single "batch" per group in batch mode).
+    */
+  def dropLatePerUser(ds: Dataset[TxKeyed]): Dataset[TxKeyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id_usuario_pagador)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, events: Iterator[TxKeyed], state: GroupState[Long]) => {
+          var watermark = state.getOption.getOrElse(Long.MinValue)
+          val kept = events.toSeq.sortBy(_.data_horario.getTime).filter { e =>
+            val t = e.data_horario.getTime
+            if (t >= watermark) {
+              if (e.transacao_aprovada) watermark = math.max(watermark, t)
+              true
+            } else false
+          }
+          if (watermark != Long.MinValue) state.update(watermark)
+          kept.iterator
+        })
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.Tables
+import graft.etl.{ScoringPipeline, TestdataAdapter}
+
+/** Driver-contract registrations exercising the streaming engine
+  * (S4, T1–T3, W3) and the JSON decode path (P2) — each checked
+  * against the SAME DuckDB oracles as their batch twins, proving
+  * stream/batch result parity on finite sources.
+  */
+object StreamingQueries {
+
+  /** S4+J1/J2+P6–P13: the full scoring pipeline on a schema-declared
+    * streaming file source, run to completion in append mode. Result
+    * must equal the batch pipeline (same oracle as pipeline_score).
+    */
+  private def streamScore(s: SparkSession, dir: String): DataFrame = {
+    val tx = TestdataAdapter.transactionsStream(s, dir)
+      .withWatermark("data_horario", "10 minutes") // T2 parity (inert)
+    val scored = ScoringPipeline.score(
+      ScoringPipeline.enrich(tx,
+        TestdataAdapter.users(s, dir), TestdataAdapter.regions(s, dir)),
+      TestdataAdapter.eventLimitArms)
+    val shaped = scored.select(
+      col("id_transacao"), col("id_usuario_pagador"),
+      col("id_regiao_transacao").as("id_regiao"),
+      col("modalidade_pagamento"),
+      date_trunc("second", col("data_horario")).as("data_horario"),
+      col("valor_transacao"),
+      round(col("t5_score"), 6).as("t5_score"), col("t6_score"),
+      round(col("t7_score"), 6).as("t7_score"),
+      round(col("score_medio"), 6).as("score_medio"),
+      col("score_aprovado"), col("saldo_aprovado"), col("limite_aprovado"),
+      col("transacao_aprovada"))
+    StreamingJob.runToMemory(shaped, mode = "append")
+  }
+
+  /** W3/T1: event-time tumbling-window aggregation on the stream,
+    * complete output mode — must equal the batch hourly rollup (same
+    * oracle as a12_hourly_rollup).
+    */
+  private def streamRollup(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+    StreamingJob.runToMemory(agg, mode = "complete")
+      .select(col("window.start").as("hora"), col("n"), col("avg_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
+    "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
+    // P2: from_json decode of the events.props payload + rollup
+    "p2_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "s4_stream_pipeline" ->
+      s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
+         |SELECT id_transacao, id_usuario_pagador, id_regiao,
+         |       modalidade_pagamento,
+         |       date_trunc('second', data_horario) AS data_horario,
+         |       valor_transacao,
+         |       round(t5_score, 6) AS t5_score, t6_score,
+         |       round(t7_score, 6) AS t7_score,
+         |       round(score_medio, 6) AS score_medio,
+         |       score_aprovado, saldo_aprovado, limite_aprovado,
+         |       transacao_aprovada
+         |FROM base""".stripMargin,
+    "w3_stream_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hora, count(*) AS n,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "p2_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin)
+}

@@ -40,4 +40,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Streaming file-source variant of [[events]] (S4 semantics:
+    * schema-declared streaming read of a drop location). Same nanos →
+    * micros conversion as the batch reader, so stream and batch
+    * lineages produce identical rows.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // glob (not a bare file path) so the stream source's basePath
+    // resolves to the directory
+    s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.{TextHashing, VectorExprs}
+import graft.similarity.Ann
+
+/** Near-dup and similarity-search semantics on crafted corpora, plus
+  * differential tests pinning the native kernels to their composable
+  * reference formulations.
+  */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "a b c d e f g h"),          // identical to 1
+    (3L, "a b c d e f g x"),          // near-dup of 1
+    (4L, "q w e r t y u i o p")       // unrelated
+  ).toDF("doc_id", "text")
+
+  test("jaccardPairs finds identical and near-dup pairs with exact j") {
+    val got = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    // doc1: 6 shingles, doc3: 6 shingles, shared 5 -> 5/7
+    assert(math.abs(got((1L, 3L)) - 5.0 / 7.0) < 1e-12)
+    assert(math.abs(got((2L, 3L)) - 5.0 / 7.0) < 1e-12)
+    assert(got.size == 3)
+  }
+
+  test("minhashLshPairs equals exact jaccardPairs on this corpus") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("ngramHashes matches string-shingle formulation (set sizes + overlap)") {
+    TextHashing.register(spark)
+    val viaKernel = corpus.select(col("doc_id"),
+      size(TextHashing.ngramHashes(col("text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val viaStrings = corpus.select(col("doc_id"),
+      size(Dedup.shingles(col("text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaKernel == viaStrings)
+    // short doc: fewer tokens than n -> empty
+    val empty = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(size(TextHashing.ngramHashes(col("text"), 3))).as[Int].head()
+    assert(empty == 0)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("native dot product equals fold formulation bit-for-bit") {
+    VectorExprs.register(spark)
+    val r = new scala.util.Random(7)
+    val data = Seq.fill(50)(
+      (Array.fill(64)(r.nextDouble() - 0.5), Array.fill(64)(r.nextDouble() - 0.5)))
+      .toDF("a", "b")
+    val diffs = data.select(
+      (Ann.dot(col("a"), col("b")) - Ann.dotFold(col("a"), col("b"))).as("d"))
+      .as[Double].collect()
+    assert(diffs.forall(_ == 0.0))
+  }
+
+  test("bruteForceTopK ranks by cosine with self excluded") {
+    val top = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 1),
+      vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").select("vid", "rank")
+      .as[(Long, Int)].collect()
+    assert(top.map(_._1).toSeq == Seq(2L, 3L, 4L)) // cos: .994, 0, -1
+  }
+
+  test("cosinePairs finds only the near-identical pair at 0.9") {
+    val pairs = Ann.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshTopK achieves full recall on sf0.001 embeddings (k=3)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 4)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    // recall over 12 truth pairs; sign-LSH on near-random vectors is
+    // approximate - require a sane floor rather than exactness
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.etl.ScoringPipeline
+import graft.streaming.StreamingJob
+import graft.streaming.StreamingJob.TxKeyed
+
+/** Structured-Streaming semantics: micro-batch scoring parity with
+  * batch, foreachBatch fan-out (O1–O5), stateful late-drop (T7), and
+  * watermark-driven append-mode window eviction (T2 made non-inert).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("memory-stream scoring equals batch scoring on same rows") {
+    implicit val ctx = spark.sqlContext
+    val users = Seq(("u1", "R1", 500.0, 100.0, 200.0, 50.0, 150.0))
+      .toDF("id_usuario", "id_regiao", "saldo", "limite_PIX", "limite_TED",
+        "limite_DOC", "limite_Boleto")
+    val regions = Seq(("R1", 1.0, 2.0), ("R2", 4.0, 6.0))
+      .toDF("id_regiao", "latitude", "longitude")
+    val rows = Seq(
+      ("a", "u1", "u1", "R2", "PIX", ts("2024-05-05 13:00:00"), 60.0),
+      ("b", "u1", "u1", "R1", "TED", ts("2024-05-05 02:00:00"), 2500.0))
+    val cols = Seq("id_transacao", "id_usuario_pagador",
+      "id_usuario_recebedor", "id_regiao", "modalidade_pagamento",
+      "data_horario", "valor_transacao")
+
+    val ms = MemoryStream[(String, String, String, String, String, Timestamp, Double)]
+    ms.addData(rows: _*)
+    val streamed = StreamingJob.runToMemory(
+      ScoringPipeline.score(ScoringPipeline.enrich(
+        ms.toDF().toDF(cols: _*), users, regions)))
+    val batch = ScoringPipeline.score(ScoringPipeline.enrich(
+      rows.toDF(cols: _*), users, regions))
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("foreachBatch fan-out writes facts, scores, keyed store, recency") {
+    StreamingJob.KeyedStore.clear()
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_fanout").toString
+    val ms = MemoryStream[(String, Timestamp, Double, Double, Double)]
+    ms.addData(("x1", ts("2024-01-01 10:00:00"), 1.0, 0.0, 0.5),
+      ("x2", ts("2024-01-01 11:00:00"), 2.0, 1.0, 0.5))
+    val df = ms.toDF().toDF("id_transacao", "data_horario", "t5_score",
+      "t6_score", "t7_score")
+    val q = StreamingJob.startFanout(df, s"$tmp/facts", s"$tmp/scores",
+      s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.read.parquet(s"$tmp/facts").count() == 2)
+    val scores = spark.read.parquet(s"$tmp/scores")
+    assert(scores.columns.toSeq ==
+      Seq("id_transacao", "t5_score", "t6_score", "t7_score"))
+    assert(StreamingJob.KeyedStore.hashes.get("x1").exists(
+      _("t5_score") == "1.0"))
+    assert(StreamingJob.KeyedStore.topN(1) == Seq("x2")) // most recent first
+  }
+
+  test("stateful late-drop keeps events at/after last approved per user") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[TxKeyed]
+    // batch 1: u1 approved at 10:00 sets the bar; 09:00 later is late
+    val sink = StreamingJob.dropLatePerUser(ms.toDS())
+    val query = sink.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    ms.addData(
+      TxKeyed("t1", "u1", ts("2024-01-01 10:00:00"), 10.0, true),
+      TxKeyed("t2", "u1", ts("2024-01-01 11:00:00"), 10.0, false))
+    query.processAllAvailable()
+    ms.addData(
+      TxKeyed("t3", "u1", ts("2024-01-01 09:00:00"), 10.0, true), // late
+      TxKeyed("t4", "u1", ts("2024-01-01 10:30:00"), 10.0, false),
+      TxKeyed("t5", "u2", ts("2024-01-01 01:00:00"), 10.0, false)) // new user
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("late_drop").select("id_transacao")
+      .as[String].collect().toSet
+    assert(kept == Set("t1", "t2", "t4", "t5"))
+  }
+
+  test("append-mode windowed agg emits only watermark-closed windows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory").queryName("wm_windows")
+      .outputMode("append").start()
+    ms.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:20:00"), 2.0))
+    query.processAllAvailable()
+    // advance event time far past 10:00-11:00 + watermark -> closes it
+    ms.addData((ts("2024-01-01 12:30:00"), 3.0))
+    query.processAllAvailable()
+    // one more batch so the closed window is emitted
+    ms.addData((ts("2024-01-01 12:31:00"), 4.0))
+    query.processAllAvailable()
+    query.stop()
+    val wins = spark.table("wm_windows")
+      .select(col("window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(wins.get("2024-01-01 10:00:00").contains(2L)) // closed + emitted
+    assert(!wins.contains("2024-01-01 12:00:00")) // still open
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, leading/trailing trimmed") {
+    val got = Seq("  a  b\tc \n d  ", "single", "x y")
+      .toDF("t").select(Text.tokenCount(col("t"))).as[Int].collect()
+    assert(got.toSeq == Seq(4, 1, 2))
+  }
+
+  test("stopword hits count duplicates") {
+    val got = Seq("the cat the dog the end")
+      .toDF("t")
+      .select(Text.stopwordHits(Text.tokens(col("t")), Seq("the")))
+      .as[Int].head()
+    assert(got == 3)
+  }
+
+  test("langGuess votes: en text -> en, pt text -> pt, tie -> en") {
+    val got = Seq(
+      "the cat and the dog of it",
+      "o gato de casa que um dia para",
+      "zzz yyy xxx")
+      .toDF("t").select(Text.langGuess(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "pt", "en"))
+  }
+
+  test("punctRatio and qualityScore bounded in [0,1]") {
+    val q = Seq("Hello, world. This is a test!", "no punct here")
+      .toDF("t")
+      .select(Text.punctRatio(col("t")).as("p"),
+        Text.qualityScore(col("t")).as("q"))
+      .as[(Double, Double)].collect()
+    q.foreach { case (p, s) =>
+      assert(p >= 0.0 && p <= 1.0 && s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("fingerprint is whitespace/case insensitive; rollingHash stable") {
+    val fps = Seq("A  B\tC", "a b c", "a b d")
+      .toDF("t").select(Text.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) != fps(2))
+
+    // rollingHash: differential vs a plain Scala fold
+    val s = "hello"
+    val want = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = Seq(s).toDF("t").select(Text.rollingHash(col("t")))
+      .as[Long].head()
+    assert(got == want)
+  }
+
+  test("normalized dedup key groups exact dups") {
+    val df = Seq((1L, "Foo  Bar"), (2L, "foo bar"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = df.groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .select("n", "keeper").as[(Long, Long)].collect().toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)))
+  }
+}
