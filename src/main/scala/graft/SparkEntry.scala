@@ -47,7 +47,8 @@ object SparkEntry {
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
-      graft.streaming.StreamingQueries.queries
+      graft.streaming.StreamingQueries.queries ++
+      graft.multimodal.MultimodalQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the reference's core dataflow, end-to-end (P1-P15, J1/J2) ----
@@ -101,7 +102,8 @@ object SparkEntry {
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++
-      graft.streaming.StreamingQueries.oracleSql
+      graft.streaming.StreamingQueries.oracleSql ++
+      graft.multimodal.MultimodalQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = {
     val scoredSql =

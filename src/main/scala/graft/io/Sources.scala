@@ -1,0 +1,110 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Pluggable source/sink layer (SURVEY.md §7.1 step 4): every external
+  * system the reference touches (S1–S6, O1–O7) behind a trait, with
+  * hermetic file/memory implementations as first-class citizens and
+  * connector-backed implementations as configuration.
+  *
+  * Kafka (S1) and JDBC (S2) bind by format name at runtime — the code
+  * is complete and mirrors the reference's options
+  * (streaming_etl.py:36-46, 66-85), but executing them requires the
+  * spark-sql-kafka / JDBC-driver jars on the deployment classpath
+  * (not shipped in this hermetic environment).
+  */
+sealed trait BatchSource { def load(spark: SparkSession): DataFrame }
+sealed trait StreamSource { def loadStream(spark: SparkSession): DataFrame }
+
+/** S3: CSV batch scan, header + optional schema/inference. */
+final case class CsvSource(path: String, schema: Option[StructType] = None,
+                           inferSchema: Boolean = true) extends BatchSource {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", inferSchema.toString))(r.schema)
+      .csv(path)
+  }
+}
+
+/** Parquet batch scan (the engine's native at-rest format). */
+final case class ParquetSource(path: String) extends BatchSource {
+  def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** S2: JDBC full-table scan of a dimension, cached after load
+  * (streaming_etl.py:73-85). Requires the driver jar at deploy time.
+  */
+final case class JdbcSource(url: String, table: String,
+                            props: Map[String, String]) extends BatchSource {
+  def load(spark: SparkSession): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, p).cache()
+  }
+}
+
+/** S4: schema-declared streaming file source (drop folder). */
+final case class FileStreamSource(path: String, schema: StructType,
+                                  format: String = "csv") extends StreamSource {
+  def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+}
+
+/** S1: Kafka streaming source with the reference's exact options
+  * (subscribe, earliest, failOnDataLoss=false, maxOffsetsPerTrigger).
+  * Requires spark-sql-kafka on the deployment classpath.
+  */
+final case class KafkaSource(bootstrap: String, topic: String,
+                             maxOffsetsPerTrigger: Long = 1000L)
+    extends StreamSource {
+  def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+}
+
+/** Rate source for load testing (rows/sec generator). */
+final case class RateSource(rowsPerSecond: Long) extends StreamSource {
+  def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}
+
+sealed trait BatchSink { def write(df: DataFrame): Unit }
+
+/** O7: CSV sink (batch overwrite, as src/teste.py:175). */
+final case class CsvSink(path: String, mode: String = "overwrite")
+    extends BatchSink {
+  def write(df: DataFrame): Unit =
+    df.write.option("header", "true").mode(mode).csv(path)
+}
+
+/** O2/O3-style append sink in the engine's native format. */
+final case class ParquetSink(path: String, mode: String = "append")
+    extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+}
+
+/** O2/O3: JDBC append (at-least-once; duplicate risk documented in
+  * SURVEY.md T5 — offer PK dedup upstream via dropDuplicates).
+  */
+final case class JdbcSink(url: String, table: String,
+                          props: Map[String, String]) extends BatchSink {
+  def write(df: DataFrame): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode("append").jdbc(url, table, p)
+  }
+}
+
+object Sinks {
+  /** O6: console debug sink on a stream (truncate off, 5 rows). */
+  def console(stream: DataFrame, intervalMs: Long = 30000L): StreamingQuery =
+    graft.streaming.StreamingJob.startConsoleMetrics(stream, intervalMs)
+}

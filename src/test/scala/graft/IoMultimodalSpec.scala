@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io._
+import graft.multimodal.Multimodal
+
+class IoMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV sink/source round-trip preserves rows (S3/O7)") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
+    CsvSink(s"$tmp/out").write(df)
+    val back = CsvSource(s"$tmp/out").load(spark)
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType == IntegerType) // inference: narrowest int
+    assert(back.schema("v").dataType == DoubleType)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val typed = CsvSource(s"$tmp/out", schema = Some(schema)).load(spark)
+    assert(typed.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", -2.0)))
+  }
+
+  test("file-stream source reads a drop folder with declared schema (S4)") {
+    val tmp = Files.createTempDirectory("graft_drop").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.option("header", "true").csv(s"$tmp/in")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val stream = FileStreamSource(s"$tmp/in", schema).loadStream(spark)
+    assert(stream.isStreaming)
+    val got = graft.streaming.StreamingJob.runToMemory(
+      stream.groupBy().agg(sum(col("v")).as("total")), mode = "complete")
+    assert(got.as[Double].head() == 30.0)
+  }
+
+  test("rate source produces streaming rows") {
+    val s = RateSource(10).loadStream(spark)
+    assert(s.isStreaming && s.columns.toSeq == Seq("timestamp", "value"))
+  }
+
+  test("media rows: payload bytes + typed meta survive the round trip") {
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val row = media.as[Multimodal.MediaRow].head()
+    assert(row.media_id == 7L && row.modality == "image")
+    assert(new String(row.payload, "UTF-8") == "hello world")
+    assert(row.meta.format == "fake/raw" && row.meta.channels == 3)
+  }
+
+  test("feature extraction: partition-batched, deterministic stub codec") {
+    val docs = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz"))
+      .toDF("doc_id", "text").repartition(2)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow], dim = 4)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats(1L) == feats(2L) && feats(1L) != feats(3L))
+    // exact stub semantics: byte folds into feature[i % dim]
+    val want = Multimodal.Codec.decodeStub("abc".getBytes("UTF-8"), 4).toSeq
+    assert(feats(1L) == want)
+    assert(feats.values.forall(_.length == 4))
+  }
+
+  test("frame sampling stub batches payload ranges") {
+    val frames = Multimodal.Codec.sampleFrames(Array[Byte](1, 2, 3, 4, 5), 2)
+    assert(frames.map(_.toSeq) == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
+  }
+}
