@@ -54,6 +54,31 @@ object SparkEntry {
     // ---- the reference's core dataflow, end-to-end (P1-P15, J1/J2) ----
     "pipeline_score" -> ((s, dir) => pipelineScore(s, dir)),
 
+    // ---- P9/P12 dev formulation (src/teste.py): mean combine, <= gate ----
+    "pipeline_score_dev" -> ((s, dir) => {
+      import graft.functions.Scoring
+      val enriched = ScoringPipeline.enrich(
+        TestdataAdapter.transactions(s, dir),
+        TestdataAdapter.users(s, dir),
+        TestdataAdapter.regions(s, dir))
+      val t5 = Scoring.euclideanDegrees(
+        col("latitude_transacao"), col("longitude_transacao"),
+        col("latitude_usuario"), col("longitude_usuario"))
+      val sm = Scoring.scoreCombineMean(t5,
+        Scoring.thresholdScore(col("valor_transacao")),
+        Scoring.hourScore(col("data_horario")))
+      val v = col("valor_transacao")
+      val devLimit = when(col("modalidade_pagamento") === "click", !(v > col("limite_PIX")))
+        .when(col("modalidade_pagamento") === "purchase", !(v > col("limite_TED")))
+        .when(col("modalidade_pagamento") === "error", !(v > col("limite_Boleto")))
+        .otherwise(!(v > col("limite_DOC")))
+      enriched.select(col("id_transacao"),
+        round(sm, 6).as("score_medio_dev"),
+        Scoring.scoreGate(sm).as("score_aprovado"),
+        Scoring.balanceGate(col("saldo"), v).as("saldo_aprovado"),
+        devLimit.as("limite_aprovado_dev"))
+    }),
+
     // ---- A1: count by boolean flag ----
     "a1_count_by_flag" -> ((s, dir) => {
       val out = ScoringPipeline.runDeterministic(
@@ -120,6 +145,7 @@ object SparkEntry {
          |FROM base""".stripMargin
     Map(
       "pipeline_score" -> scoredSql,
+      "pipeline_score_dev" -> TestdataAdapter.devScoredSql,
       "a1_count_by_flag" ->
         s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
            |SELECT transacao_aprovada, count(*) AS n

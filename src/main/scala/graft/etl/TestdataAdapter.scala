@@ -63,8 +63,9 @@ object TestdataAdapter {
     * for every dashboard-analytics oracle; rounding/truncation happens
     * only in each query's final projection, mirroring the Spark side.
     */
-  val scoredBaseSql: String =
-    s"""WITH $oracleCtes,
+  /** Shared CTE prefix: adapted inputs → enriched → per-row scores. */
+  private lazy val enrichedScSql: String =
+    s"""$oracleCtes,
        |enriched AS (
        |  SELECT t.*, u.saldo, u.limite_PIX, u.limite_TED, u.limite_DOC,
        |         u.limite_Boleto,
@@ -79,7 +80,10 @@ object TestdataAdapter {
        |    sqrt((lat_t - lat_u)*(lat_t - lat_u) + (lon_t - lon_u)*(lon_t - lon_u)) AS t5_score,
        |    CASE WHEN valor_transacao > 2000 THEN 1.0 ELSE 0.0 END AS t6_score,
        |    (EXTRACT(hour FROM data_horario) - 12) / 12.0 AS t7_score
-       |  FROM enriched),
+       |  FROM enriched)""".stripMargin
+
+  val scoredBaseSql: String =
+    s"""WITH $enrichedScSql,
        |gated AS (
        |  SELECT *,
        |    (t5_score * t6_score * t7_score) / 3.0 AS score_medio,
@@ -97,6 +101,25 @@ object TestdataAdapter {
        |       (score_aprovado AND saldo_aprovado AND limite_aprovado)
        |         AS transacao_aprovada
        |FROM gated""".stripMargin
+
+  /** Dev-formulation scored output (src/teste.py semantics, SURVEY.md
+    * §7.4 discrepancies): MEAN score combine (P9 dev) and `<=`-passes
+    * limit gate expressed as NOT(valor > limite) (P12 dev).
+    */
+  val devScoredSql: String =
+    s"""WITH $enrichedScSql,
+       |dev AS (
+       |  SELECT *, (t5_score + t6_score + t7_score) / 3.0 AS sm
+       |  FROM sc)
+       |SELECT id_transacao,
+       |       round(sm, 6) AS score_medio_dev,
+       |       NOT (sm > 6.0) AS score_aprovado,
+       |       saldo > valor_transacao AS saldo_aprovado,
+       |       CASE WHEN modalidade_pagamento = 'click' THEN NOT (valor_transacao > limite_PIX)
+       |            WHEN modalidade_pagamento = 'purchase' THEN NOT (valor_transacao > limite_TED)
+       |            WHEN modalidade_pagamento = 'error' THEN NOT (valor_transacao > limite_Boleto)
+       |            ELSE NOT (valor_transacao > limite_DOC) END AS limite_aprovado_dev
+       |FROM dev""".stripMargin
 
   /** Matching DuckDB CTEs for the three adapted inputs. */
   lazy val oracleCtes: String =

@@ -1,0 +1,34 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.etl.ScoringPipeline
+
+/** Top-level wiring (SURVEY.md §7.1 step 6): the production-shaped
+  * streaming job and its batch twin, assembled from the pure pipeline
+  * stages + the io/streaming layers. Everything here is hermetic by
+  * default (file/memory endpoints); deploy swaps sources/sinks via
+  * `graft.io` without touching the dataflow.
+  */
+object Jobs {
+
+  /** Streaming scoring job: decoded transaction stream → enrich →
+    * score → shape → foreachBatch fan-out (facts + scores + keyed
+    * snapshot + recency). Mirrors streaming_etl.py end-to-end.
+    */
+  def startStreamingScoring(tx: DataFrame, users: DataFrame,
+                            regions: DataFrame, outDir: String,
+                            limitArms: Seq[(String, String)] =
+                              ScoringPipeline.bankingLimitArms): StreamingQuery = {
+    val scored = ScoringPipeline.score(
+      ScoringPipeline.enrich(tx, users, regions), limitArms)
+    graft.streaming.StreamingJob.startFanout(
+      scored, s"$outDir/facts", s"$outDir/scores", s"$outDir/ckpt")
+  }
+
+  /** Batch twin over the same stages (src/teste.py shape). */
+  def runBatchScoring(tx: DataFrame, users: DataFrame, regions: DataFrame,
+                      limitArms: Seq[(String, String)] =
+                        ScoringPipeline.bankingLimitArms): DataFrame =
+    ScoringPipeline.score(ScoringPipeline.enrich(tx, users, regions), limitArms)
+}
