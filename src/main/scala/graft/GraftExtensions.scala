@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductDouble, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
+
+/** Catalyst extension point: installs the engine's native expressions
+  * into every session built with
+  * `spark.sql.extensions=graft.GraftExtensions`, making them available
+  * to pure-SQL users (`SELECT graft_dot_d(a, b) ...`) without any
+  * per-session registration call. The library also self-registers
+  * lazily at call sites, so programmatic use works either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(VectorExprs.DotName),
+      info(VectorExprs.DotName,
+        "_FUNC_(a, b) - codegen'd dot product of two double arrays"),
+      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier(TextHashing.FuncName),
+      info(TextHashing.FuncName,
+        "_FUNC_(text, n) - sorted distinct 64-bit word n-gram hashes"),
+      (exprs: Seq[Expression]) => NgramHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier(TextHashing.SimhashName),
+      info(TextHashing.SimhashName,
+        "_FUNC_(text) - 64-bit SimHash of whitespace tokens"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+  }
+}

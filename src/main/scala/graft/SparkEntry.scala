@@ -44,6 +44,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++
       graft.analytics.DashboardQueries.queries ++
+      graft.analytics.ExtendedQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
@@ -124,6 +125,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracleSql ++
       graft.analytics.DashboardQueries.oracleSql ++
+      graft.analytics.ExtendedQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++

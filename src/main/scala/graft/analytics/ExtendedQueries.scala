@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Skew
+
+/** Windowing/aggregation capabilities beyond the reference's own
+  * surface, still oracle-checked: session windows (gaps-and-islands in
+  * the oracle), distinct aggregates, and the skew-salted two-phase
+  * aggregation proven equal to the plain groupBy.
+  */
+object ExtendedQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W5: event-time session windows (30-min gap) per user
+    "w5_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_trunc("second", col("session_window.start"))
+            .as("session_start"),
+          col("n"))),
+    // A17: distinct aggregate (count distinct users per event type)
+    "a17_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))),
+    // Skew: salted two-phase count == plain groupBy count
+    "skew_salted_count" -> ((s, dir) =>
+      Skew.saltedCount(Tables.events(s, dir), col("event_type"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "w5_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       date_trunc('second', min(ts)) AS session_start,
+        |       count(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "a17_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "skew_salted_count" ->
+      "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1")
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Skew
+
+/** SparkSessionExtensions-based SQL registration of the native
+  * expressions, skew-salting equality, and bucketed co-located joins
+  * (the shuffle-free join strategy for repeated big-big joins).
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftExtensions exposes native expressions to pure SQL") {
+    // TestSession is built with spark.sql.extensions=graft.GraftExtensions;
+    // no programmatic register() call happens here.
+    val dot = spark.sql(
+      "SELECT graft_dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val nShingles = spark.sql("SELECT size(graft_ngram_hashes('a b c d', 2))")
+      .collect()(0).getInt(0)
+    assert(nShingles == 3)
+    val sim = spark.sql(
+      "SELECT graft_simhash64('a b c') = graft_simhash64('a  b   c')")
+      .collect()(0).getBoolean(0)
+    assert(sim) // whitespace-run tokenization
+  }
+
+  test("salted count/avg equal plain groupBy results") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+    val salted = Skew.saltedAvg(df, col("k"), col("v"), 8)
+      .select("key", "avg", "n").as[(String, Double, Long)].collect().toSet
+    assert(salted == Set(("a", 2.0, 2L), ("b", 10.0, 1L)))
+    val counts = Skew.saltedCount(df, col("k"), 8)
+      .as[(String, Long)].collect().toSet
+    assert(counts == Set(("a", 2L), ("b", 1L)))
+  }
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_extendedprice")
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_custkey")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_b")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_b")
+      val joined = spark.table("li_b").join(spark.table("o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
