@@ -22,7 +22,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // end-to-end scoring throughput (reference baseline: ~1000 tx/s peak)
+    val t0 = System.nanoTime()
+    val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
+      catch { case _: Throwable => 0L }
+    val tput = rows / ((System.nanoTime() - t0) / 1e9)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":${tput.round}}""")
     spark.stop()
   }
 }

@@ -36,6 +36,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(counts == Set(("a", 2L), ("b", 1L)))
   }
 
+  test("approx aggregates: approx_count_distinct and percentile_approx sane") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val (exact, approx) = df.select(
+      countDistinct(col("user_id")).as("e"),
+      approx_count_distinct(col("user_id")).as("a"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    val (p50a, p50e) = df.select(
+      percentile_approx(col("value"), lit(0.5), lit(10000)),
+      expr("percentile(value, 0.5)")).as[(Double, Double)].head()
+    assert(math.abs(p50a - p50e) / p50e < 0.01)
+  }
+
+  test("na.drop removes rows with nulls in the named subset (F5)") {
+    val df = Seq((Some(1.0), Some("x")), (None, Some("y")),
+      (Some(3.0), None)).toDF("v", "s")
+    assert(df.na.drop(Seq("v")).count() == 2)
+    assert(df.na.drop(Seq("v", "s")).count() == 1)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Binning, Scoring, TextHashing}
+
+/** Property-based tests (SURVEY.md §5) using raw ScalaCheck
+  * generators: each property draws N deterministic samples (fixed
+  * seed), evaluates them through Catalyst in ONE DataFrame, and
+  * compares row-by-row against a plain-Scala model of the semantics.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val finiteD = Gen.chooseNum(-1e6, 1e6)
+
+  test("limit gate == (value < limit) across modalities incl. otherwise arm") {
+    val cases = samples(for {
+      v <- finiteD; lim <- finiteD
+      m <- Gen.oneOf("PIX", "TED", "Boleto", "DOC", "??")
+    } yield (m, v, lim))
+    val got = cases.toDF("m", "v", "lim")
+      .select(col("v"), col("lim"), Scoring.limitGate(col("m"), col("v"),
+        Seq("PIX" -> col("lim"), "TED" -> col("lim"),
+          "Boleto" -> col("lim"), "DOC" -> col("lim"))).as("g"))
+      .as[(Double, Double, Boolean)].collect()
+    got.foreach { case (v, lim, g) => assert(g == v < lim, s"($v, $lim)") }
+  }
+
+  test("score gate == !(s > 6) for generated s") {
+    val xs = samples(finiteD)
+    val got = xs.toDF("s")
+      .select(col("s"), Scoring.scoreGate(col("s")).as("g"))
+      .as[(Double, Boolean)].collect()
+    got.foreach { case (s, g) => assert(g == !(s > 6.0)) }
+  }
+
+  test("cut matches a plain-Scala model over and outside the range") {
+    val bounds = Seq(0.0, 10.0, 100.0, 1000.0)
+    val labels = Seq("a", "b", "c")
+    def model(v: Double): Option[String] =
+      if (v <= 0.0) None
+      else if (v <= 10.0) Some("a") else if (v <= 100.0) Some("b")
+      else if (v <= 1000.0) Some("c") else None
+    val xs = samples(Gen.chooseNum(-50.0, 2000.0)) ++
+      bounds ++ bounds.map(_ + 1e-9) // hit the boundaries exactly
+    val got = xs.toDF("v")
+      .select(col("v"), Binning.cut(col("v"), bounds, labels).as("b"))
+      .collect().map(r => r.getDouble(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1))))
+    got.foreach { case (v, b) => assert(b == model(v), s"v=$v") }
+  }
+
+  test("widthBucket matches the floor model with clamping") {
+    val xs = samples(Gen.chooseNum(-100.0, 1100.0)) ++
+      Seq(0.0, 999.9999, 1000.0, -0.0001)
+    val got = xs.toDF("v")
+      .select(col("v"), Binning.widthBucket(col("v"), 0, 1000, 10).as("b"))
+      .as[(Double, Int)].collect()
+    got.foreach { case (v, b) =>
+      val want = if (v < 0) 0 else if (v >= 1000) 11
+        else math.floor(v / 100).toInt + 1
+      assert(b == want, s"v=$v")
+    }
+  }
+
+  test("ngramHashes cardinality == distinct sliding n-grams") {
+    TextHashing.register(spark)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val cases = samples(for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, word)
+      n <- Gen.choose(1, 4)
+    } yield (ws.mkString(" "), n), n = 100)
+    cases.groupBy(_._2).foreach { case (n, group) =>
+      val got = group.map(_._1).toDF("t")
+        .select(col("t"), size(TextHashing.ngramHashes(col("t"), n)).as("c"))
+        .as[(String, Int)].collect()
+      got.foreach { case (text, c) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val want = if (toks.size < n) 0
+          else toks.sliding(n).map(_.mkString(" ")).toSet.size
+        assert(c == want, s"n=$n text='$text'")
+      }
+    }
+  }
+
+  test("simhash64 invariant under extra whitespace") {
+    val cases = samples(Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty))
+      .map(ws => (ws.mkString(" "), ws.mkString("   "))), n = 50)
+    TextHashing.register(spark)
+    val got = cases.toDF("a", "b")
+      .select(TextHashing.simhash64(col("a")) ===
+        TextHashing.simhash64(col("b"))).as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("native dot product: symmetric, non-negative on self, exact model") {
+    graft.functions.VectorExprs.register(spark)
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    val cases = samples(Gen.zip(vec, vec), n = 100)
+    val got = cases.toDF("a", "b").select(
+      col("a"), col("b"),
+      graft.similarity.Ann.dot(col("a"), col("b")).as("ab"),
+      graft.similarity.Ann.dot(col("b"), col("a")).as("ba"),
+      graft.similarity.Ann.dot(col("a"), col("a")).as("aa"))
+      .as[(Array[Double], Array[Double], Double, Double, Double)].collect()
+    got.foreach { case (a, b, ab, ba, aa) =>
+      assert(ab == ba && aa >= 0.0)
+      val model = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      assert(ab == model) // identical left-to-right summation
+    }
+  }
+}
