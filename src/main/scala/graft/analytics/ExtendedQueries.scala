@@ -30,7 +30,19 @@ object ExtendedQueries {
           count(lit(1)).as("n"))),
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
-      Skew.saltedCount(Tables.events(s, dir), col("event_type"))))
+      Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // P6 geodesic upgrade: haversine km between all region pairs
+    "p6_haversine_pairs" -> ((s, dir) => {
+      val r = graft.etl.TestdataAdapter.regions(s, dir)
+      val a = r.select(col("id_regiao").as("id_a"), col("latitude").as("lat_a"),
+        col("longitude").as("lon_a"))
+      val b = r.select(col("id_regiao").as("id_b"), col("latitude").as("lat_b"),
+        col("longitude").as("lon_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.Scoring.haversineKm(col("lat_a"), col("lon_a"),
+            col("lat_b"), col("lon_b")), 4).as("km"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "w5_session_window" ->
@@ -53,5 +65,21 @@ object ExtendedQueries {
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
-      "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1")
+      "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "p6_haversine_pairs" ->
+      s"""WITH ${graft.etl.TestdataAdapter.oracleCtes},
+         |pairs AS (
+         |  SELECT a.id_regiao AS id_a, b.id_regiao AS id_b,
+         |         radians(b.latitude - a.latitude) AS dlat,
+         |         radians(b.longitude - a.longitude) AS dlon,
+         |         radians(a.latitude) AS la, radians(b.latitude) AS lb
+         |  FROM regions a JOIN regions b ON a.id_regiao < b.id_regiao),
+         |h AS (
+         |  SELECT id_a, id_b,
+         |         pow(sin(dlat / 2), 2)
+         |           + cos(la) * cos(lb) * pow(sin(dlon / 2), 2) AS a
+         |  FROM pairs)
+         |SELECT id_a, id_b,
+         |       round(6371.0 * 2.0 * atan2(sqrt(a), sqrt(1.0 - a)), 4) AS km
+         |FROM h""".stripMargin)
 }

@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set("t1", "t2", "t4", "t5"))
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val deduped = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val query = deduped.writeStream.format("memory").queryName("dd_wm")
+      .outputMode("append").start()
+    ms.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:01:00")))
+    query.processAllAvailable()
+    // replay of "a" within the watermark window is dropped
+    ms.addData(("a", ts("2024-01-01 10:05:00")), ("c", ts("2024-01-01 10:06:00")))
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("dd_wm").select("id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("a", "b", "c"))
+  }
+
   test("append-mode windowed agg emits only watermark-closed windows") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Double)]
