@@ -15,12 +15,22 @@ import graft.etl.{ScoringPipeline, TestdataAdapter}
   */
 object DashboardQueries {
 
-  private def scored(s: SparkSession, dir: String): DataFrame =
-    ScoringPipeline.runDeterministic(
-      TestdataAdapter.transactions(s, dir),
-      TestdataAdapter.users(s, dir),
-      TestdataAdapter.regions(s, dir),
-      TestdataAdapter.eventLimitArms)
+  /** The scored fact table, persisted once per (session, sfDir): the
+    * reference's dashboard reads a materialized output table
+    * (Postgres `transacoes`), not a recomputed pipeline — caching is
+    * the in-engine equivalent, and every analytics query below runs
+    * against the same cached lineage.
+    */
+  private val scoredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[analytics] def scored(s: SparkSession, dir: String): DataFrame =
+    scoredCache.getOrElseUpdate((s, dir),
+      ScoringPipeline.runDeterministic(
+        TestdataAdapter.transactions(s, dir),
+        TestdataAdapter.users(s, dir),
+        TestdataAdapter.regions(s, dir),
+        TestdataAdapter.eventLimitArms).persist())
 
   // Value bins for A2 (pd.cut-style right-closed) and distance bins for A10.
   private val valueBounds = Seq(0.0, 100.0, 200.0, 500.0, 1000.0)
