@@ -31,6 +31,13 @@ object ExtendedQueries {
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // K2': per-key top-k via the two-phase bounded-heap operator
+    "k2_topk_per_key" -> ((s, dir) =>
+      graft.operators.TopK.topKPerKey(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        keys = Seq("event_type"),
+        orderCols = Seq("value" -> false, "event_id" -> true), k = 3)),
     // P6 geodesic upgrade: haversine km between all region pairs
     "p6_haversine_pairs" -> ((s, dir) => {
       val r = graft.etl.TestdataAdapter.regions(s, dir)
@@ -66,6 +73,14 @@ object ExtendedQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "k2_topk_per_key" ->
+      """SELECT * FROM (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC)::INT
+        |           AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin,
     "p6_haversine_pairs" ->
       s"""WITH ${graft.etl.TestdataAdapter.oracleCtes},
          |pairs AS (
