@@ -103,6 +103,18 @@ final case class JdbcSink(url: String, table: String,
   }
 }
 
+/** Replay-safe batch sink for at-least-once streaming delivery (T5):
+  * each micro-batch lands in its own `batch=<id>` partition directory
+  * with overwrite, so a redelivered batch replaces itself instead of
+  * appending duplicates. Readers scan the root path. This closes the
+  * duplicate-risk gap the reference leaves open on its JDBC append
+  * path (SURVEY.md T5).
+  */
+final case class IdempotentBatchSink(root: String) {
+  def write(df: DataFrame, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+}
+
 object Sinks {
   /** O6: console debug sink on a stream (truncate off, 5 rows). */
   def console(stream: DataFrame, intervalMs: Long = 30000L): StreamingQuery =

@@ -110,6 +110,49 @@ object Ann {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) top-k: the corpus is partitioned into
+    * `nCentroids` Voronoi cells (centroids = the first `nCentroids`
+    * corpus vectors by id — deterministic seeding; a k-means refinement
+    * pass would reuse the same assignment expression), each query
+    * probes its `nProbe` nearest cells, and only those cells' vectors
+    * are reranked exactly. Corpus assignment is one map-only pass; the
+    * probe join is keyed by cell id — at scale each query touches
+    * nProbe/nCentroids of the corpus instead of all of it. Approximate
+    * (cell-boundary misses) → rows-only driver check + recall tests.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    val cents = c.orderBy(col("vid")).limit(nCentroids)
+      .select(col("vid"), col("v")).collect()
+      .map(r => r.getSeq[Double](1))
+    // array<struct<sim,idx>> of query-to-centroid similarities; struct
+    // ordering (sim first) makes array_max/sort_array rank by sim
+    def centSims(v: Column): Column = array(cents.zipWithIndex.map {
+      case (cv, i) =>
+        val cl = typedlit(cv)
+        struct((dot(v, cl) / (norm(v) * norm(cl))).as("sim"),
+          lit(i).as("idx"))
+    }: _*)
+    val assigned = c.withColumn("cell",
+      array_max(centSims(col("v"))).getField("idx"))
+    val q = prepared(queries, id, vec)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        slice(sort_array(centSims(col("v")), asc = false), 1, nProbe)
+          .as("probes"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(col("probes").getField("idx")).as("cell"))
+    val cand = assigned.join(broadcast(q),
+        Seq("cell")).filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All-pairs cosine near-duplicates (ids a < b, cosine ≥ threshold).
     * Exact O(n²) baseline — the LSH bucketing above is the scale path.
     */

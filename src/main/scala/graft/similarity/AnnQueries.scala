@@ -28,6 +28,11 @@ object AnnQueries {
       Ann.lshTopK(emb.filter(col("vec_id") < NQueries), emb,
         "vec_id", "embedding", K)
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding", K)
+    }),
     "emb_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         PairThreshold)))

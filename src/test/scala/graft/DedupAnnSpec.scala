@@ -97,6 +97,23 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 4)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    // nProbe == nCentroids -> candidate set is the whole corpus -> exact
+    val full = Ann.ivfTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 8)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    val probed = Ann.ivfTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 4)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("lshTopK achieves full recall on sf0.001 embeddings (k=3)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)

@@ -42,6 +42,18 @@ class IoMultimodalSpec extends SparkSpec {
     assert(s.isStreaming && s.columns.toSeq == Seq("timestamp", "value"))
   }
 
+  test("idempotent batch sink: redelivered batch replaces, not appends") {
+    val tmp = Files.createTempDirectory("graft_idem").toString
+    val sink = IdempotentBatchSink(s"$tmp/t")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    sink.write(b0, batchId = 0)
+    sink.write(Seq((3L, "c")).toDF("id", "s"), batchId = 1)
+    sink.write(b0, batchId = 0) // at-least-once redelivery
+    val all = spark.read.parquet(s"$tmp/t")
+    assert(all.count() == 3) // no duplicates from the replay
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("media rows: payload bytes + typed meta survive the round trip") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs)
