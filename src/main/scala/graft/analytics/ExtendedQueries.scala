@@ -31,6 +31,19 @@ object ExtendedQueries {
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // W6: lag-based inter-event gap statistics per user
+    "w6_event_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(col("gap_us")).as("n_gaps"),
+          round(avg(col("gap_us")), 4).as("avg_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+    }),
     // K2': per-key top-k via the two-phase bounded-heap operator
     "k2_topk_per_key" -> ((s, dir) =>
       graft.operators.TopK.topKPerKey(
@@ -73,6 +86,17 @@ object ExtendedQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "w6_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+        |                                                   ORDER BY ts, event_id))
+        |           AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |       round(avg(gap_us), 4) AS avg_gap_us,
+        |       max(gap_us) AS max_gap_us
+        |FROM g GROUP BY 1""".stripMargin,
     "k2_topk_per_key" ->
       """SELECT * FROM (
         |  SELECT event_id, event_type, value,

@@ -38,7 +38,18 @@ object ScaleCheck {
     val n = ScoringPipeline.runDeterministic(tx, users, regions,
       TestdataAdapter.eventLimitArms).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[scale] rows=$n%,d secs=$secs%.2f rate=${n / secs}%,.0f rows/s")
+    println(f"[scale] batch  rows=$n%,d secs=$secs%.2f rate=${n / secs}%,.0f rows/s")
+
+    // streaming micro-batch throughput (directly comparable to the
+    // reference's ~1,000 tx/s steady / peak catch-up baseline)
+    val t1 = System.nanoTime()
+    val streamed = graft.streaming.StreamingJob.runToMemory(
+      ScoringPipeline.score(ScoringPipeline.enrich(
+        TestdataAdapter.transactionsStream(spark, dir), users, regions),
+        TestdataAdapter.eventLimitArms))
+    val sn = streamed.count()
+    val ssecs = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] stream rows=$sn%,d secs=$ssecs%.2f rate=${sn / ssecs}%,.0f rows/s")
     spark.stop()
   }
 }
