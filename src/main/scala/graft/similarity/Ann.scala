@@ -128,7 +128,7 @@ object Ann {
       .map(r => r.getSeq[Double](1))
     // array<struct<sim,idx>> of query-to-centroid similarities; struct
     // ordering (sim first) makes array_max/sort_array rank by sim
-    def centSims(v: Column): Column = array(cents.zipWithIndex.map {
+    def centSims(v: Column): Column = array(cents.zipWithIndex.toSeq.map {
       case (cv, i) =>
         val cl = typedlit(cv)
         struct((dot(v, cl) / (norm(v) * norm(cl))).as("sim"),

@@ -1,0 +1,30 @@
+package graft
+
+/** The driver contract itself: entry() returns rows, every query name
+  * has either an oracle or is a documented rows-only approximate, and
+  * query/oracle name sets stay consistent.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() flagship returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() == 1000)
+    assert(df.columns.contains("transacao_aprovada"))
+  }
+
+  test("every oracle key has a matching query; rows-only set is exactly the approximates") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly == Set("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+      "mm_features"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("all queries are runnable on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
