@@ -79,4 +79,31 @@ object Text {
   def rollingHash(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** TF-IDF top-k terms per document over a corpus.
+    *
+    * tf = term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    * sklearn-style); ranking by score rounded to 6 decimals (term
+    * tiebreak) so ordering is reproducible across engines. Three
+    * shuffles total — (doc,term) counts, per-term document frequency,
+    * and the final per-doc top-k via the map-side-pruned
+    * [[graft.operators.TopK]] operator; the corpus size joins in as a
+    * broadcast scalar, never a driver-side constant.
+    */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, "term")
+      .join(org.apache.spark.sql.functions.broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df_t") + 1.0))
+          + 1.0), 6).as("tfidf"))
+    graft.operators.TopK.topKPerKey(scored, Seq("doc_id"),
+      Seq("tfidf" -> false, "term" -> true), k)
+  }
 }

@@ -39,7 +39,9 @@ object TextQueries {
     "dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(Text.fingerprint(col("text")).as("fp"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))),
+    "tx_tfidf_topterms" -> ((s, dir) =>
+      Text.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -78,5 +80,22 @@ object TextQueries {
       s"SELECT doc_id, $normFp AS fp FROM documents",
     "dedup_exact" ->
       s"""SELECT $normFp AS fp, count(*) AS n, min(doc_id) AS keeper
-         |FROM documents GROUP BY 1""".stripMargin)
+         |FROM documents GROUP BY 1""".stripMargin,
+    "tx_tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |         round(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0), 6)
+         |           AS tfidf
+         |  FROM tf JOIN dft USING (term), n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, term ASC)::INT AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 3""".stripMargin)
 }
