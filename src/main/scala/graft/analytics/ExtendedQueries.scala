@@ -31,6 +31,25 @@ object ExtendedQueries {
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // A18: multidimensional cube rollup (subtotals + grand total)
+    "a18_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .cube(col("event_type"), hour(col("ts")).as("hora"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+    // Set ops: event types in the first half of the stream but not the
+    // second (except-distinct), plus union of the two halves
+    "set_except_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.filter(col("event_id") % 2 === 0)
+      val second = ev.filter(col("event_id") % 2 === 1)
+      val except = first.select(col("event_type"))
+        .except(second.select(col("event_type")))
+        .select(col("event_type"), lit("except").as("op"))
+      val union = first.select(col("event_type"))
+        .union(second.select(col("event_type")))
+        .distinct().select(col("event_type"), lit("union").as("op"))
+      except.union(union)
+    }),
     // W6: lag-based inter-event gap statistics per user
     "w6_event_gaps" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -86,6 +105,24 @@ object ExtendedQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "a18_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts)::INT AS hora, value
+        |  FROM events)
+        |SELECT event_type, hora, count(*) AS n,
+        |       round(sum(value), 2) AS total
+        |FROM e GROUP BY CUBE(event_type, hora)""".stripMargin,
+    "set_except_union" ->
+      """WITH e AS (SELECT event_type, event_id FROM events)
+        |SELECT event_type, 'except' AS op FROM (
+        |  SELECT event_type FROM e WHERE event_id % 2 = 0
+        |  EXCEPT
+        |  SELECT event_type FROM e WHERE event_id % 2 = 1)
+        |UNION ALL
+        |SELECT event_type, 'union' AS op FROM (
+        |  SELECT event_type FROM e WHERE event_id % 2 = 0
+        |  UNION
+        |  SELECT event_type FROM e WHERE event_id % 2 = 1)""".stripMargin,
     "w6_event_gaps" ->
       """WITH g AS (
         |  SELECT user_id,
