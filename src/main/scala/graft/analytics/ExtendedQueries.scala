@@ -31,6 +31,21 @@ object ExtendedQueries {
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // As-of join: last click value at-or-before each purchase, per user
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // dedup right side per (user, ts) so the as-of pick is unique
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("value"),
+          col("asof_click_value"))
+    }),
     // A18: multidimensional cube rollup (subtotals + grand total)
     "a18_cube" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -105,6 +120,18 @@ object ExtendedQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       date_trunc('second', p.ts) AS ts_s, p.value,
+        |       c.click_value AS asof_click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "a18_cube" ->
       """WITH e AS (
         |  SELECT event_type, EXTRACT(hour FROM ts)::INT AS hora, value
