@@ -24,6 +24,16 @@ object DashboardQueries {
   private val scoredCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersist and drop all cached scored tables (e.g. between scale
+    * factors in a long-lived process — entries are otherwise retained
+    * for the session's lifetime).
+    */
+  def clearCache(): Unit = {
+    scoredCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    scoredCache.clear()
+  }
+
   private[analytics] def scored(s: SparkSession, dir: String): DataFrame =
     scoredCache.getOrElseUpdate((s, dir),
       ScoringPipeline.runDeterministic(

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column (whitespace-run
+    * tokens, empty tokens excluded — matching [[graft.text.Text.tokens]]
+    * and the native kernel).
+    */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
@@ -154,7 +157,7 @@ object Dedup {
       graft.functions.TextHashing.simhash64(col(text)).as("simhash"))
   }
 
-  /** SimHash pairs within `maxHamming` (≤ 15), via banded search: split
+  /** SimHash pairs within `maxHamming` (≤ 3), via banded search: split
     * the 64-bit signature into 4 16-bit blocks; by pigeonhole any pair
     * within Hamming distance ≤ 3 shares at least one exact block, so the
     * join is on (block index, block value) — never all-pairs. Verified
@@ -162,6 +165,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
+    // 4 blocks guarantee recall only for distance <= 3 (pigeonhole);
+    // larger thresholds would silently drop qualifying pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-block banding, got $maxHamming")
     val sig = simhash(df, id, text)
     val blocks = sig.select(col("doc"), col("simhash"), explode(map(
       (0 until 4).flatMap(i => Seq(lit(i),

@@ -33,7 +33,8 @@ object DedupQueries {
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+       |                                   '\\s+'), t -> t != '') AS w
        |        FROM documents)),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
        |pairs AS (

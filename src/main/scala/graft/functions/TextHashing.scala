@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Jaccard similarity over hashed shingles equals Jaccard over string
   * shingles except for hash collisions (≈|shingles|²/2⁶⁴ — negligible),
-  * because only equality of shingles matters. Tokenization matches
-  * `split(trim(text), "\\s+")` exactly.
+  * because only equality of shingles matters. Tokenization is the
+  * engine's canonical whitespace-run split with empty tokens excluded
+  * (same as [[graft.text.Text.tokens]] and the oracle SQL); Java
+  * `isWhitespace` vs regex `\s` differ only on exotic Unicode spaces.
   */
 object TextHashing {
 

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * same partial-aggregation idea Catalyst applies to algebraic aggs,
   * applied to a holistic operator it doesn't cover.
   *
-  * Results are identical to the window formulation (tested
-  * differentially) provided the ordering is total — pass tiebreak
-  * columns, as you would for a deterministic window.
+  * Results are identical to the window formulation with explicit
+  * nulls-LAST ordering (`desc` / `asc_nulls_last`) — tested
+  * differentially; note Spark's bare `asc` defaults to nulls FIRST,
+  * which this operator deliberately does not reproduce. Pass tiebreak
+  * columns for a total order, as you would for a deterministic window.
   */
 object TopK {
 

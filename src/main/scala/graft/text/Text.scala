@@ -23,8 +23,14 @@ object Text {
 
   private def litArr(s: Seq[String]): Column = array(s.map(lit): _*)
 
-  /** Whitespace tokenization (the BPE-ish regex split). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace-run tokenization, empty tokens excluded — the engine's
+    * canonical definition, shared with the native kernels
+    * ([[graft.functions.TextHashing]]). The empty-token filter matters
+    * when text has leading non-space whitespace (`trim` strips only
+    * spaces; the regex split then emits a leading "" artifact).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -46,7 +46,8 @@ object TextQueries {
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val toks = """regexp_split_to_array(trim(text), '\s+')"""
+  private val toks =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')"""
   private def hits(list: Seq[String]) =
     s"len(list_filter($toks, t -> list_contains(${sqlList(list)}, t)))"
   private val punct =

@@ -22,6 +22,18 @@ class AsofJoinSpec extends SparkSpec {
       (2L, "c", None)))     // right row is in the future -> null
   }
 
+  test("a NULL right payload wins over older rows; multi-cols stay row-consistent") {
+    val left = Seq((1L, ts(30), "L")).toDF("k", "t", "v")
+    val right = Seq(
+      (1L, ts(10), Some(5), Some("old")),
+      (1L, ts(20), None: Option[Int], Some("new"))) // a is null in newest row
+      .toDF("k", "t", "a", "b")
+    val r = AsofJoin.asofJoin(left, right, "k", "t", Seq("a", "b")).collect()(0)
+    // DuckDB ASOF semantics: the t=20 row is the match — a=null, b="new";
+    // never a=5 (older row) stitched with b="new"
+    assert(r.isNullAt(3) && r.getString(4) == "new")
+  }
+
   test("left rows with no key on the right side get null") {
     val left = Seq((7L, ts(1), "z")).toDF("k", "t", "v")
     val right = Seq((8L, ts(0), 5)).toDF("k", "t", "x")
