@@ -31,6 +31,13 @@ object ExtendedQueries {
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
+    // Systematic (every k-th by key) sampling - exact, oracle-checkable;
+    // the seeded-random variants (sample / stat.sampleBy) are test-pinned
+    "sample_systematic" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))),
     // As-of join: last click value at-or-before each purchase, per user
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -120,6 +127,9 @@ object ExtendedQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
+    "sample_systematic" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE doc_id % 10 = 0 GROUP BY 1""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(value) AS click_value

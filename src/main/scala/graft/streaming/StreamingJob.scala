@@ -114,6 +114,30 @@ object StreamingJob {
                      data_horario: java.sql.Timestamp,
                      valor_transacao: Double, transacao_aprovada: Boolean)
 
+  case class UserRunning(id_usuario: String, n_aprovadas: Long,
+                         total_aprovado: Double)
+
+  /** Running per-user approved-transaction totals via
+    * `mapGroupsWithState` (update output mode): each micro-batch emits
+    * the user's refreshed running state. The companion to
+    * [[dropLatePerUser]]'s flatMap variant — together they cover both
+    * arbitrary-state APIs. State is O(distinct users), hash-partitioned.
+    */
+  def runningUserTotals(ds: Dataset[TxKeyed]): Dataset[UserRunning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id_usuario_pagador)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: String, events: Iterator[TxKeyed],
+         state: GroupState[(Long, Double)]) => {
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          events.filter(_.transacao_aprovada).foreach { e =>
+            n += 1; total += e.valor_transacao
+          }
+          state.update((n, total))
+          UserRunning(user, n, total)
+        })
+  }
+
   /** Drop events that arrive with an event time older than the user's
     * last APPROVED transaction (report p.8 business rule). State per
     * user = max approved event-time millis. Works identically on batch

@@ -36,6 +36,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(counts == Set(("a", 2L), ("b", 1L)))
   }
 
+  test("stratified sampling: sampleBy respects per-stratum fractions, seeded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val fractions = Map("en" -> 0.5, "es" -> 0.1)
+    val s1 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    val s2 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    // deterministic under a fixed seed
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // only requested strata appear; fractions roughly respected
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet.subsetOf(fractions.keySet))
+    val enTotal = docs.filter(col("lang") === "en").count()
+    val ratio = byLang.getOrElse("en", 0L).toDouble / enTotal
+    assert(ratio > 0.25 && ratio < 0.75, s"en ratio $ratio")
+  }
+
   test("approx aggregates: approx_count_distinct and percentile_approx sane") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val (exact, approx) = df.select(

@@ -88,6 +88,26 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set("t1", "t2", "t4", "t5"))
   }
 
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[TxKeyed]
+    val query = StreamingJob.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+    ms.addData(
+      TxKeyed("t1", "u1", ts("2024-01-01 10:00:00"), 100.0, true),
+      TxKeyed("t2", "u1", ts("2024-01-01 10:01:00"), 50.0, false)) // rejected
+    query.processAllAvailable()
+    ms.addData(TxKeyed("t3", "u1", ts("2024-01-01 10:02:00"), 25.0, true))
+    query.processAllAvailable()
+    query.stop()
+    // update mode: one row per batch; the latest reflects the running state
+    val rows = spark.table("running_totals")
+      .select("id_usuario", "n_aprovadas", "total_aprovado")
+      .as[(String, Long, Double)].collect()
+    assert(rows.contains(("u1", 1L, 100.0)) && rows.contains(("u1", 2L, 125.0)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
