@@ -47,6 +47,31 @@ object Multimodal {
     /** Frame-sampling stub: byte-ranges standing in for video frames. */
     def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, every)).toSeq
+
+    /** Resize stub: deterministic nearest-neighbor subsample of the
+      * payload to `outLen` bytes (stands in for image rescale; the
+      * real codec swaps in here without touching the plan).
+      */
+    def resizeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+      if (payload.isEmpty || outLen <= 0) return Array.emptyByteArray
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        out(i) = payload((i.toLong * payload.length / outLen).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Payload resize as a partition-batched transform (same plumbing as
+    * [[extractFeatures]]): map-only, metadata width/height refreshed.
+    */
+  def resize(media: Dataset[MediaRow], outLen: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => r.copy(
+      payload = Codec.resizeStub(r.payload, outLen),
+      meta = r.meta.copy(width = outLen, height = 1))))
   }
 
   /** Wrap a text corpus as fake media rows (fixture builder: payload =

@@ -80,4 +80,15 @@ class IoMultimodalSpec extends SparkSpec {
     val frames = Multimodal.Codec.sampleFrames(Array[Byte](1, 2, 3, 4, 5), 2)
     assert(frames.map(_.toSeq) == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
   }
+
+  test("resize transform subsamples payloads and refreshes metadata") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val resized = Multimodal.resize(
+      Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow], outLen = 5)
+      .collect()(0)
+    assert(resized.payload.length == 5 && resized.meta.width == 5)
+    // deterministic nearest-neighbor picks
+    assert(new String(resized.payload, "UTF-8") == "acegi")
+    assert(Multimodal.Codec.resizeStub(Array.emptyByteArray, 5).isEmpty)
+  }
 }
