@@ -45,6 +45,7 @@ object SparkEntry {
     coreQueries ++
       graft.analytics.DashboardQueries.queries ++
       graft.analytics.ExtendedQueries.queries ++
+      graft.analytics.StarQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
@@ -104,8 +105,11 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          // exact decimal money math: reassociation-proof vs the oracle
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"))
     }),
 
     // ---- A12/W3: hourly tumbling rollup on the event stream ----
@@ -126,6 +130,7 @@ object SparkEntry {
     coreOracleSql ++
       graft.analytics.DashboardQueries.oracleSql ++
       graft.analytics.ExtendedQueries.oracleSql ++
+      graft.analytics.StarQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++
@@ -154,7 +159,9 @@ object SparkEntry {
            |FROM base GROUP BY 1""".stripMargin,
       "j2_star_join_agg" ->
         """SELECT r_name, n_name, count(*) AS n_rows,
-          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |       round(sum(l_extendedprice::DECIMAL(18,2)
+          |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+          |         AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey

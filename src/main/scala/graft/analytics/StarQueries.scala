@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Heavy star-schema analytics in the shape of the classic warehouse
+  * queries (pricing summary, shipping priority, returned items) —
+  * the scan+join+agg shapes that dominate at 100 TB. Date filters
+  * push down to the parquet scan (µs TIMESTAMP_NTZ columns — no NANOS
+  * workaround needed here); small dims broadcast; top-n uses rounded
+  * sort keys + id tiebreaks so ordering matches the oracle across
+  * engines.
+  */
+object StarQueries {
+
+  // money math in exact DECIMAL so sums are reassociation-proof and
+  // bit-identical to the DuckDB oracle; cast back to double at the end
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private val one = lit(1).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 shape: cumulative pricing summary with date filter
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double")
+            .as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))), 2).cast("double").as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    // Q3 shape: unshipped-revenue top-10 for one market segment
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.ordersTs(s, dir)
+        .filter(col("o_orderdate") < lit("1998-06-30"))
+      val l = Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") > lit("1998-06-30"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_trunc("second", col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // Q10 shape: returned-item revenue by customer, top 20
+    "q10_returned_items" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.ordersTs(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1999-01-01"))
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_base_price,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS sum_disc_price,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |                 * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       date_trunc('second', o_orderdate) AS o_orderdate,
+        |       o_orderpriority,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin)
+}

@@ -41,6 +41,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Unlike `events.ts` (TIMESTAMP NANOS), the star-schema date
+    * columns are plain microsecond TIMESTAMP_NTZ — the ordinary
+    * loaders are timestamp-safe, and date predicates push down to the
+    * parquet scan. These aliases exist so query code documents that
+    * the timestamp column is deliberately touched.
+    */
+  def ordersTs(s: SparkSession, d: String): DataFrame = orders(s, d)
+  def lineitemTs(s: SparkSession, d: String): DataFrame = lineitem(s, d)
+
   /** Streaming file-source variant of [[events]] (S4 semantics:
     * schema-declared streaming read of a drop location). Same nanos →
     * micros conversion as the batch reader, so stream and batch
