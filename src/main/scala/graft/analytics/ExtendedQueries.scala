@@ -53,6 +53,13 @@ object ExtendedQueries {
           date_trunc("second", col("ts")).as("ts_s"), col("value"),
           col("asof_click_value"))
     }),
+    // A19: argmax via struct-max (deterministic ties by event_id)
+    "a19_max_by" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"), col("m.value").as("max_value"),
+          col("m.event_id").as("argmax_event"))),
     // A18: multidimensional cube rollup (subtotals + grand total)
     "a18_cube" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -142,6 +149,12 @@ object ExtendedQueries {
         |       c.click_value AS asof_click_value
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "a19_max_by" ->
+      """SELECT event_type,
+        |       (max({'value': value, 'event_id': event_id})).value AS max_value,
+        |       (max({'value': value, 'event_id': event_id})).event_id
+        |         AS argmax_event
+        |FROM events GROUP BY 1""".stripMargin,
     "a18_cube" ->
       """WITH e AS (
         |  SELECT event_type, EXTRACT(hour FROM ts)::INT AS hora, value

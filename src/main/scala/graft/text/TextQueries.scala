@@ -41,7 +41,14 @@ object TextQueries {
         .groupBy(Text.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))),
     "tx_tfidf_topterms" -> ((s, dir) =>
-      Text.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)))
+      Text.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // Generator surface: posexplode over the token array
+    "tx_word_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text")))
+          .as(Seq("pos", "w")))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), round(avg(col("pos")), 4).as("avg_pos"))))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -98,5 +105,14 @@ object TextQueries {
          |         row_number() OVER (PARTITION BY doc_id
          |                            ORDER BY tfidf DESC, term ASC)::INT AS rank
          |  FROM scored)
-         |SELECT * FROM ranked WHERE rank <= 3""".stripMargin)
+         |SELECT * FROM ranked WHERE rank <= 3""".stripMargin,
+    "tx_word_freq" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(0, len($toks)),
+         |                i -> {'pos': i, 'w': ($toks)[i + 1]})) AS st
+         |  FROM documents)
+         |SELECT st.w AS w, count(*) AS n,
+         |       round(avg(st.pos), 4) AS avg_pos
+         |FROM ex GROUP BY 1""".stripMargin)
 }
