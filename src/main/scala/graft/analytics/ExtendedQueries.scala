@@ -38,6 +38,17 @@ object ExtendedQueries {
         .filter(col("doc_id") % 10 === 0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))),
+    // Deterministic k-per-stratum sample: rank by a content hash so the
+    // "random" pick is reproducible and oracle-checkable; TopK prunes
+    // map-side, so at corpus scale the shuffle carries k rows per
+    // stratum per partition, not the corpus
+    "sample_k_per_stratum" -> ((s, dir) =>
+      graft.operators.TopK.topKPerKey(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h")),
+        keys = Seq("lang"), orderCols = Seq("h" -> true), k = 5)
+        .select(col("lang"), col("doc_id"), col("rank"))),
     // As-of join: last click value at-or-before each purchase, per user
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -65,8 +76,9 @@ object ExtendedQueries {
       Tables.events(s, dir)
         .cube(col("event_type"), hour(col("ts")).as("hora"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
-    // Set ops: event types in the first half of the stream but not the
-    // second (except-distinct), plus union of the two halves
+    // Set ops over an even/odd event_id interleave: types present among
+    // even-id events but not odd-id ones (except-distinct), plus the
+    // union-distinct of both splits
     "set_except_union" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val first = ev.filter(col("event_id") % 2 === 0)
@@ -137,6 +149,14 @@ object ExtendedQueries {
     "sample_systematic" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents WHERE doc_id % 10 = 0 GROUP BY 1""".stripMargin,
+    "sample_k_per_stratum" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(doc_id::VARCHAR) ASC)::INT
+        |           AS rank
+        |  FROM documents)
+        |SELECT lang, doc_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(value) AS click_value

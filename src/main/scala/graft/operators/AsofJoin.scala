@@ -45,6 +45,10 @@ object AsofJoin {
         otherLeft.map(col) :+
         lit(null).cast(payloadType).as("__r"): _*)
     val rTagged = right
+      // SQL ASOF never matches a NULL right timestamp (r.ts <= l.ts is
+      // never true); without this filter a null ts would sort first
+      // (asc nulls-first) and its payload would leak into every row
+      .filter(col(ts).isNotNull)
       .select(Seq(col(key), col(ts), lit(0).as("__side")) ++
         otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(valueCols.map(col): _*).as("__r"): _*)

@@ -36,6 +36,8 @@ object TopK {
                  rankCol: String = "rank"): DataFrame = {
     require(keys.nonEmpty && orderCols.nonEmpty && k > 0)
     val schema = df.schema
+    require(!schema.fieldNames.contains(rankCol),
+      s"input already has a '$rankCol' column; pass a different rankCol")
     val keyIdx = keys.map(schema.fieldIndex).toArray
     val ordIdx = orderCols.map { case (c, asc) => (schema.fieldIndex(c), asc) }.toArray
 

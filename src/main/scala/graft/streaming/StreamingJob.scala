@@ -29,15 +29,26 @@ object StreamingJob {
   /** Run a streaming DataFrame to completion into a uniquely-named
     * memory sink (T3 append / complete), returning the result table.
     * Used to prove stream/batch result parity on finite sources.
+    * Tables from PREVIOUS calls are dropped on entry (their callers
+    * have finished by then), so a long session doesn't pin every past
+    * streaming result in driver memory.
     */
+  private val liveMemTables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   def runToMemory(stream: DataFrame, mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
+    var prev = liveMemTables.poll()
+    while (prev != null) {
+      spark.catalog.dropTempView(prev)
+      prev = liveMemTables.poll()
+    }
     val name = s"graft_mem_${sinkCounter.incrementAndGet()}"
     val q = stream.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    liveMemTables.add(name)
     spark.table(name)
   }
 
@@ -71,8 +82,11 @@ object StreamingJob {
   }
 
   /** O1 fan-out: per micro-batch, persist once and write all sinks —
-    * facts append (O2), scores append (O3), keyed snapshot (O4),
-    * recency index via per-partition iteration (O5).
+    * facts (O2) and scores (O3) land in per-batch overwrite partitions
+    * ([[graft.io.IdempotentBatchSink]] pattern) so an at-least-once
+    * redelivery after a mid-fanout crash replaces rather than
+    * duplicates; keyed snapshot (O4) and recency index (O5) are
+    * id-keyed, hence naturally idempotent.
     * streaming_etl.py:179-263 re-expressed.
     */
   def startFanout(scored: DataFrame, factsDir: String, scoresDir: String,
@@ -81,12 +95,13 @@ object StreamingJob {
     scored.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.persist()
         try {
-          df.write.mode("append").parquet(factsDir)
-          df.select(col(keyCol), col("t5_score"), col("t6_score"),
-            col("t7_score")).write.mode("append").parquet(scoresDir)
+          graft.io.IdempotentBatchSink(factsDir).write(df, batchId)
+          graft.io.IdempotentBatchSink(scoresDir).write(
+            df.select(col(keyCol), col("t5_score"), col("t6_score"),
+              col("t7_score")), batchId)
           val key = keyCol
           val ts = tsCol
           val fields = df.columns
@@ -94,11 +109,18 @@ object StreamingJob {
             // connection-per-partition pattern (the reference's comment
             // on client non-serializability applies identically here)
             rows.foreach { r =>
-              val id = String.valueOf(r.getAs[Any](key))
-              KeyedStore.hashes.put(id,
-                fields.map(f => f -> String.valueOf(r.getAs[Any](f))).toMap)
-              val t = r.getAs[java.sql.Timestamp](ts)
-              if (t != null) KeyedStore.recency.put(id, t.getTime)
+              val id = r.getAs[Any](key)
+              if (id != null) {
+                // null-valued fields are ABSENT from the hash (a map
+                // entry "null" would be indistinguishable from the
+                // string "null")
+                KeyedStore.hashes.put(String.valueOf(id),
+                  fields.flatMap(f => Option(r.getAs[Any](f))
+                    .map(v => f -> String.valueOf(v))).toMap)
+                val t = r.getAs[java.sql.Timestamp](ts)
+                if (t != null)
+                  KeyedStore.recency.put(String.valueOf(id), t.getTime)
+              }
             }
           }
         } finally df.unpersist()

@@ -34,6 +34,14 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.getString(4) == "new")
   }
 
+  test("right rows with NULL timestamp never match (SQL ASOF parity)") {
+    val left = Seq((1L, ts(10), "a")).toDF("k", "t", "v")
+    val right = Seq((1L, None: Option[Timestamp], 5))
+      .toDF("k", "t", "x")
+    val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("x")).collect()
+    assert(got.length == 1 && got(0).isNullAt(3))
+  }
+
   test("left rows with no key on the right side get null") {
     val left = Seq((7L, ts(1), "z")).toDF("k", "t", "v")
     val right = Seq((8L, ts(0), 5)).toDF("k", "t", "x")

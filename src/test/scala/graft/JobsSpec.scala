@@ -39,7 +39,8 @@ class JobsSpec extends SparkSpec {
 
     // scores sink: 4-col projection; keyed store + recency populated
     val scores = spark.read.parquet(s"$tmp/scores")
-    assert(scores.count() == 1000 && scores.columns.length == 4)
+    assert(scores.count() == 1000 &&
+      scores.columns.length == 5) // 4 score cols + batch partition
     assert(StreamingJob.KeyedStore.hashes.size == 1000)
     assert(StreamingJob.KeyedStore.topN(5).size == 5)
   }

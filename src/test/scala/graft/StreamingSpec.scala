@@ -59,8 +59,9 @@ class StreamingSpec extends SparkSpec {
 
     assert(spark.read.parquet(s"$tmp/facts").count() == 2)
     val scores = spark.read.parquet(s"$tmp/scores")
+    // "batch" is the idempotence partition column of the fan-out sink
     assert(scores.columns.toSeq ==
-      Seq("id_transacao", "t5_score", "t6_score", "t7_score"))
+      Seq("id_transacao", "t5_score", "t6_score", "t7_score", "batch"))
     assert(StreamingJob.KeyedStore.hashes.get("x1").exists(
       _("t5_score") == "1.0"))
     assert(StreamingJob.KeyedStore.topN(1) == Seq("x2")) // most recent first
