@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import graft.etl.{ScoringPipeline, TestdataAdapter}
+
+/** Regression guards for the physical-plan claims the scale story
+  * rests on: the scoring pipeline must stay map-only (zero shuffles,
+  * broadcast-only joins), and its scan must prune columns.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def withPlainPlans[T](f: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  test("scoring pipeline is shuffle-free with broadcast-only joins") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val plan = ScoringPipeline.runDeterministic(
+        TestdataAdapter.transactions(spark, dir),
+        TestdataAdapter.users(spark, dir),
+        TestdataAdapter.regions(spark, dir),
+        TestdataAdapter.eventLimitArms).queryExecution.executedPlan
+      assert(shuffles(plan).isEmpty,
+        s"scoring pipeline must not shuffle the fact stream:\n$plan")
+      val txt = plan.toString
+      assert(txt.contains("BroadcastHashJoin"), s"dims must broadcast:\n$txt")
+      assert(!txt.contains("SortMergeJoin"), s"no sort-merge join expected:\n$txt")
+    }
+  }
+
+  test("scoring scan prunes unused columns (props never read)") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val txt = ScoringPipeline.runDeterministic(
+        TestdataAdapter.transactions(spark, dir),
+        TestdataAdapter.users(spark, dir),
+        TestdataAdapter.regions(spark, dir),
+        TestdataAdapter.eventLimitArms).queryExecution.executedPlan.toString
+      assert(!txt.contains("props"), "events.props must be pruned from the scan")
+    }
+  }
+
+  test("dashboard aggregation plans have exactly one shuffle") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val scored = ScoringPipeline.runDeterministic(
+        TestdataAdapter.transactions(spark, dir),
+        TestdataAdapter.users(spark, dir),
+        TestdataAdapter.regions(spark, dir),
+        TestdataAdapter.eventLimitArms)
+      val agg = graft.analytics.Dashboard.approvalRateByRegion(scored)
+      assert(shuffles(agg.queryExecution.executedPlan).size == 1)
+    }
+  }
+}
