@@ -146,6 +146,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list → dedup groups:
+    * every doc in a component labels itself with the component's
+    * minimum doc id (the canonical keeper). Iterative min-label
+    * propagation — per round one join + one min-aggregate, lineage
+    * truncated with localCheckpoint so plans stay flat; rounds are
+    * bounded by component diameter (near-dup clusters are shallow).
+    * The driver sees only a one-row convergence check per round, never
+    * the data. Only docs that appear in some pair are emitted
+    * (singletons are their own trivial component).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nlab"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlab"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("node").as("doc"), col("label").as("component"))
+  }
+
   /** 64-bit SimHash per doc: sign of the per-bit ±1 vote sum over token
     * hashes. A per-document scalar via the native single-pass kernel
     * ([[graft.functions.TextHashing.simhash64]]) — map-only, no

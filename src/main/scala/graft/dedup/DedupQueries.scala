@@ -27,7 +27,11 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")))
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          N, Threshold), "doc_a", "doc_b")))
 
   private val jaccardOracle =
     s"""WITH docs AS (
@@ -50,5 +54,17 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> jaccardOracle,
-    "dedup_minhash_lsh" -> jaccardOracle)
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc, min(label) AS component
+         |FROM reach GROUP BY u""".stripMargin)
 }

@@ -64,6 +64,16 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents merges transitively and labels by min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    // chain 1-2-3-9 collapses to component 1; 7-8 to component 7
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (9L, 1L),
+      (7L, 7L), (8L, 7L)))
+  }
+
   private val vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),
