@@ -86,7 +86,10 @@ object TestdataAdapter {
     s"""WITH $enrichedScSql,
        |gated AS (
        |  SELECT *,
-       |    (t5_score * t6_score * t7_score) / 3.0 AS score_medio,
+       |    -- + 0.0 normalizes IEEE -0.0 (t6=0 and t7<0 makes the product
+       |    -- -0.0; Spark's round() goes through BigDecimal and emits +0.0,
+       |    -- so an unnormalized oracle hash-mismatches on sign alone)
+       |    (t5_score * t6_score * t7_score) / 3.0 + 0.0 AS score_medio,
        |    NOT ((t5_score * t6_score * t7_score) / 3.0 > 6.0) AS score_aprovado,
        |    saldo > valor_transacao AS saldo_aprovado,
        |    CASE WHEN modalidade_pagamento = 'click' THEN valor_transacao < limite_PIX

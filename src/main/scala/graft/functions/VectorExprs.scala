@@ -31,7 +31,7 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProductDouble.checkedLength(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -44,7 +44,8 @@ case class DotProductDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = graft.functions.DotProductDouble.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -56,6 +57,18 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProductDouble {
+  /** BLAS-style dimension check: mismatched operand lengths raise
+    * instead of silently truncating (a wrong `dim` in an LSH/IVF caller
+    * would otherwise just degrade recall over a prefix).
+    */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_dot_d: array length mismatch ($a vs $b)")
+    a
+  }
 }
 
 /** Session registration + Column-API surface for the native vector

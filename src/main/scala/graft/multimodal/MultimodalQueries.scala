@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Driver-contract registrations for the multimodal plumbing over
@@ -19,7 +20,15 @@ object MultimodalQueries {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
         .as[Multimodal.MediaRow]
+      // The array column is flattened to a deterministic string for the
+      // driver's rows-only check (pandas can't sort ndarray cells); the
+      // typed Dataset[MediaFeatures] API keeps the real array and is
+      // exact-asserted in IoMultimodalSpec.
       Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("modality"),
+          size(col("features")).as("dim"),
+          concat_ws(",", transform(col("features"),
+            f => format_string("%.3f", f.cast("double")))).as("features_csv"))
     }))
 
   val oracleSql: Map[String, String] = Map(

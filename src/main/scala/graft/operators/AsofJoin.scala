@@ -37,6 +37,15 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__side", "__r", "__asof")
+    for (c <- reserved; side <- Seq("left" -> left, "right" -> right)
+         if side._2.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"asofJoin reserves column name '$c'; rename it in the ${side._1} input")
+    for (c <- valueCols if left.columns.contains(s"asof_$c"))
+      throw new IllegalArgumentException(
+        s"output column 'asof_$c' collides with an existing left column; " +
+          "rename it in the left input")
     val leftCols = left.columns.toSeq
     val otherLeft = leftCols.filterNot(c => c == key || c == ts)
     val payloadType = StructType(valueCols.map(c => right.schema(c)))

@@ -30,10 +30,17 @@ object TopK {
   /** @param orderCols (column, ascending) lexicographic sort spec;
     *                  columns must be Comparable (numeric, string,
     *                  timestamp, ...). Nulls sort last.
+    * @param maxHeapKeys phase-1 memory bound: at most this many per-key
+    *                  heaps are held per input partition (≈ maxHeapKeys·k
+    *                  rows). Rows for keys beyond the bound stream through
+    *                  unpruned — correct (phase 2 is exact) but unpruned,
+    *                  so high-cardinality keys degrade gracefully to the
+    *                  shuffle-then-sort plan instead of OOMing.
     */
   def topKPerKey(df: DataFrame, keys: Seq[String],
                  orderCols: Seq[(String, Boolean)], k: Int,
-                 rankCol: String = "rank"): DataFrame = {
+                 rankCol: String = "rank",
+                 maxHeapKeys: Int = 100000): DataFrame = {
     require(keys.nonEmpty && orderCols.nonEmpty && k > 0)
     val schema = df.schema
     require(!schema.fieldNames.contains(rankCol),
@@ -63,33 +70,54 @@ object TopK {
     val rowOrd: Ordering[Row] = (a: Row, b: Row) =>
       if (better(a, b)) -1 else if (better(b, a)) 1 else 0
 
+    // Phase 1 map-side prune: per key a bounded "worst-first" heap of
+    // the best k seen. The heap map itself is bounded by maxHeapKeys —
+    // once exceeded, rows of unseen keys pass through unpruned (lazily,
+    // chained AFTER the heap survivors), so memory stays
+    // O(maxHeapKeys · k) rows even on near-unique keys.
     def prunePartition(rows: Iterator[Row]): Iterator[Row] = {
-      // per key: bounded "worst-first" heap of the best k seen
       val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
+      val overflow = mutable.ArrayBuffer.empty[Row]
       rows.foreach { r =>
         val key = keyIdx.map(r.get).toSeq
-        val h = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty[Row](rowOrd)) // max = worst first
-        if (h.size < k) h.enqueue(r)
-        else if (better(r, h.head)) { h.dequeue(); h.enqueue(r) }
+        heaps.get(key) match {
+          case Some(h) =>
+            if (h.size < k) h.enqueue(r)
+            else if (better(r, h.head)) { h.dequeue(); h.enqueue(r) }
+          case None if heaps.size < maxHeapKeys =>
+            val h = mutable.PriorityQueue.empty[Row](rowOrd) // max = worst first
+            h.enqueue(r)
+            heaps.put(key, h)
+          case None => overflow += r
+        }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator) ++ overflow.iterator
     }
 
     val enc = Encoders.row(schema)
-    val pruned = df.mapPartitions(prunePartition _)(enc)          // phase 1
-      .repartition(keys.map(col): _*)                             // k·P rows/key
     val outSchema = StructType(schema.fields :+
       StructField(rankCol, IntegerType, nullable = false))
     val outEnc = Encoders.row(outSchema)
-    pruned.mapPartitions { rows =>                                // phase 2
-      prunePartition(rows).toSeq
-        .groupBy(r => keyIdx.map(r.get).toSeq)
-        .iterator.flatMap { case (_, group) =>
-          group.sorted(rowOrd).iterator.zipWithIndex.map { case (r, i) =>
-            Row.fromSeq(r.toSeq :+ (i + 1))
-          }
+    // Phase 2 is fully streaming: survivors are hash-partitioned by key
+    // and sorted (spillable external sort) by (key, order); ranks then
+    // fall out of a single forward pass — no per-partition
+    // materialization, so post-shuffle memory is O(1) rows.
+    val sortCols = keys.map(c => col(c).asc) ++ orderCols.map { case (c, asc) =>
+      if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last
+    }
+    df.mapPartitions(prunePartition _)(enc)                       // phase 1
+      .repartition(keys.map(col): _*)                             // ≤ k·keys·P rows
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { rows =>                                    // phase 2
+        var curKey: Seq[Any] = null
+        var rank = 0
+        rows.flatMap { r =>
+          val key = keyIdx.map(r.get).toSeq
+          if (key != curKey) { curKey = key; rank = 0 }
+          rank += 1
+          if (rank <= k) Iterator.single(Row.fromSeq(r.toSeq :+ rank))
+          else Iterator.empty
         }
-    }(outEnc)
+      }(outEnc)
   }
 }

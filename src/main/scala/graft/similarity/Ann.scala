@@ -66,8 +66,11 @@ object Ann {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplanes: `planes(p)(d)` from a fixed seed. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic ±1 hyperplanes: `planes(p)(d)` from a fixed seed.
+    * Exposed within the package so the DuckDB oracle SQL embeds the
+    * exact same planes as literals (no possibility of drift).
+    */
+  private[similarity] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }

@@ -5,17 +5,27 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Driver-contract registrations for similarity search over the
-  * `embeddings` table. Exact variants (brute-force top-k, all-pairs
-  * cosine) are oracle-checked: ranks order by cosine rounded to 6
-  * decimals with id tiebreak, so ordering is reproducible across
-  * engines. The LSH variant is approximate by construction → no oracle
-  * entry (rows-only driver check) + ScalaTest recall assertions.
+  * `embeddings` table. ALL variants are oracle-checked — including the
+  * "approximate" ones, because their randomness is fixed: IVF seeds
+  * centroids deterministically (first-N corpus vectors by id) and LSH
+  * draws its ±1 hyperplanes from a fixed seed, which the oracle SQL
+  * embeds as literals. Dot products sum left-to-right in
+  * both engines (graft_dot_d ↔ DuckDB list_dot_product), so cell
+  * assignment, band signatures, and rounded cosines match bit-for-bit.
   */
 object AnnQueries {
 
   private val K = 5
   private val NQueries = 8
   private val PairThreshold = 0.45
+
+  /** Shared oracle CTE: embeddings as double vectors + L2 norms. */
+  private val nCte =
+    """n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[],
+      |                               embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -37,13 +47,88 @@ object AnnQueries {
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         PairThreshold)))
 
+  /** DuckDB literal for a double vector. */
+  private def vecLit(v: Seq[Double]): String =
+    v.map(x => if (x == x.floor) f"$x%.1f" else x.toString)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** IVF oracle: replays centroid seeding (first `nCentroids` by id),
+    * max-sim cell assignment (ties → larger centroid index, matching
+    * Spark's struct-max), nProbe probing, and the exact rerank.
+    */
+  private def ivfOracle(nCentroids: Int, nProbe: Int): String =
+    s"""WITH $nCte,
+       |cents AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+       |         v AS cv, nrm AS cn
+       |  FROM n ORDER BY vec_id LIMIT $nCentroids),
+       |csims AS (
+       |  SELECT n.vec_id, cents.idx,
+       |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims WHERE vec_id < $NQueries) WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS vid,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+       |  JOIN n q ON q.vec_id = p.qid
+       |  JOIN n c ON c.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT qid, vid, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, vid ASC)::INT AS rank
+       |  FROM cand)
+       |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** LSH oracle: the ±1 hyperplanes are embedded as literals (same
+    * seed-42 draw as [[Ann.lshTopK]]); band values are the identical
+    * sign-bit sums, candidates any-band-equal pairs, then exact rerank.
+    */
+  private def lshOracle(bands: Int, bitsPerBand: Int, dim: Int,
+                        seed: Long): String = {
+    val planes = Ann.hyperplanes(bands * bitsPerBand, dim, seed)
+    def bandExpr(bnd: Int): String =
+      (0 until bitsPerBand).map { j =>
+        s"""CASE WHEN list_dot_product(v, ${vecLit(planes(bnd * bitsPerBand + j))})
+           |          >= 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+      }.mkString("(", "\n + ", s") AS b$bnd")
+    val bandCols = (0 until bands).map(bandExpr).mkString(",\n         ")
+    val bandMatch = (0 until bands).map(b => s"q.b$b = c.b$b").mkString(" OR ")
+    s"""WITH $nCte,
+       |sig AS (
+       |  SELECT vec_id, v, nrm,
+       |         $bandCols
+       |  FROM n),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM sig q JOIN sig c
+       |    ON q.vec_id < $NQueries AND c.vec_id != q.vec_id
+       |   AND ($bandMatch)),
+       |ranked AS (
+       |  SELECT qid, vid, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, vid ASC)::INT AS rank
+       |  FROM cand)
+       |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    "ann_lsh_topk" -> lshOracle(bands = 8, bitsPerBand = 4, dim = 64,
+      seed = 42L),
     "ann_bruteforce_topk" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_dot_product(embedding::DOUBLE[],
-         |                               embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+      s"""WITH $nCte,
          |sims AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vid,
          |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim

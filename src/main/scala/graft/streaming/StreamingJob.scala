@@ -27,29 +27,26 @@ object StreamingJob {
   private val sinkCounter = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion into a uniquely-named
-    * memory sink (T3 append / complete), returning the result table.
-    * Used to prove stream/batch result parity on finite sources.
-    * Tables from PREVIOUS calls are dropped on entry (their callers
-    * have finished by then), so a long session doesn't pin every past
-    * streaming result in driver memory.
+    * memory sink (T3 append / complete), returning the result as a
+    * self-contained local DataFrame. The memory sink's rows already
+    * live on the driver, so re-materializing them via `collect` adds
+    * only a transient copy; the sink's temp view is then dropped
+    * immediately — each call cleans up exactly its own table, so
+    * concurrent calls and long-lived returned DataFrames are safe.
     */
-  private val liveMemTables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
   def runToMemory(stream: DataFrame, mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
-    var prev = liveMemTables.poll()
-    while (prev != null) {
-      spark.catalog.dropTempView(prev)
-      prev = liveMemTables.poll()
-    }
     val name = s"graft_mem_${sinkCounter.incrementAndGet()}"
     val q = stream.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    liveMemTables.add(name)
-    spark.table(name)
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** T1/T3/T6-style console metrics stream (O6): second concurrent

@@ -40,15 +40,23 @@ object Text {
   def stopwordHits(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, t => array_contains(litArr(stop), t)))
 
-  /** Fraction of characters that are sentence punctuation. */
+  /** Fraction of characters that are sentence punctuation; 0.0 for the
+    * empty string (defined, not NaN/null, so degenerate docs score
+    * deterministically downstream).
+    */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
-      length(text)
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+        length(text)).otherwise(0.0)
 
-  /** Fraction of tokens that are (any-language) stopwords. */
+  /** Fraction of tokens that are (any-language) stopwords; 0.0 for a
+    * tokenless (empty/whitespace-only) document.
+    */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    stopwordHits(toks, enStop ++ ptStop ++ esStop).cast("double") / size(toks)
+    when(size(toks) > 0,
+      stopwordHits(toks, enStop ++ ptStop ++ esStop).cast("double") /
+        size(toks)).otherwise(0.0)
   }
 
   /** Language-ID by stopword votes; ties resolve en > pt > es. */

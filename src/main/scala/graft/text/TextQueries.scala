@@ -57,8 +57,16 @@ object TextQueries {
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')"""
   private def hits(list: Seq[String]) =
     s"len(list_filter($toks, t -> list_contains(${sqlList(list)}, t)))"
+  // zero-guarded like Text.punctRatio / stopwordRatio: empty input → 0.0
   private val punct =
-    """length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE / length(text)"""
+    """CASE WHEN length(text) > 0
+      |     THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+      |          / length(text)
+      |     ELSE 0.0 END""".stripMargin
+  private def stopRatio(list: Seq[String]) =
+    s"""CASE WHEN len($toks) > 0
+       |     THEN ${hits(list)}::DOUBLE / len($toks)
+       |     ELSE 0.0 END""".stripMargin
   private val normFp =
     """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
 
@@ -66,7 +74,7 @@ object TextQueries {
     "tx_token_stats" ->
       s"""SELECT doc_id, len($toks)::INT AS n_tokens,
          |       round($punct, 6) AS punct_ratio,
-         |       round(${hits(allStop)}::DOUBLE / len($toks), 6) AS stopword_ratio
+         |       round(${stopRatio(allStop)}, 6) AS stopword_ratio
          |FROM documents""".stripMargin,
     "tx_lang_id" ->
       s"""SELECT doc_id,
@@ -82,7 +90,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |       round(0.4 * least(1.0, len($toks) / 100.0)
          |           + 0.3 * (1.0 - $punct)
-         |           + 0.3 * (${hits(allStop)}::DOUBLE / len($toks)), 6) AS quality
+         |           + 0.3 * (${stopRatio(allStop)}), 6) AS quality
          |FROM documents""".stripMargin,
     "tx_fingerprint" ->
       s"SELECT doc_id, $normFp AS fp FROM documents",

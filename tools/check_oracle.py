@@ -55,6 +55,16 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         if got.equals(want):
+            # value-equality passed; also require bit-identical floats
+            # (driver hashes exact values: -0.0 vs 0.0 or 1-ulp noise
+            # passes == but fails the driver)
+            bitdiff = [c for c in got.columns
+                       if pd.api.types.is_float_dtype(got[c]) and
+                       got[c].astype("float64").to_numpy().tobytes() !=
+                       want[c].astype("float64").to_numpy().tobytes()]
+            if bitdiff:
+                print(f"FAIL {name}: float columns not bit-identical: {bitdiff}")
+                n_fail += 1; continue
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:
             diff = (got != want) & ~(got.isna() & want.isna())
