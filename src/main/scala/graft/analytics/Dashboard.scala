@@ -163,14 +163,23 @@ object Dashboard {
       col("modalidade_pagamento").isin(modalities: _*) &&
       hour(col("data_horario")).between(hourLo, hourHi))
 
-  /** W4/K1 — top-N recency via row_number window. */
-  def recencyTopN(scored: DataFrame, n: Int): DataFrame = {
-    val w = Window.orderBy(col("data_horario").desc, col("id_transacao").desc)
-    scored
-      .select(col("id_transacao"), col("data_horario"),
-        row_number().over(w).as("pos"))
-      .filter(col("pos") <= n)
-  }
+  /** W4/K1 — top-N recency with positions. Formulated through the
+    * map-side-pruned [[graft.operators.TopK]] operator under a constant
+    * key rather than `row_number() over (ORDER BY ...)`: the bare
+    * global window moves EVERY row to one partition before ranking,
+    * whereas TopK's bounded per-partition heaps ship only ≤ n rows per
+    * input partition to the single reducer — the global-order analog of
+    * `orderBy().limit(n)` (TakeOrderedAndProject), but with the rank
+    * column the dashboard needs.
+    */
+  def recencyTopN(scored: DataFrame, n: Int): DataFrame =
+    graft.operators.TopK.topKPerKey(
+      scored.select(col("id_transacao"), col("data_horario"))
+        .withColumn("__g", lit(1)),
+      Seq("__g"),
+      Seq("data_horario" -> false, "id_transacao" -> false), n,
+      rankCol = "pos")
+      .select(col("id_transacao"), col("data_horario"), col("pos"))
 
   /** Spark's stddev returns NaN where SQL returns NULL (n=1 sample). */
   private def nanToNull(c: Column): Column = when(!isnan(c), c)

@@ -17,8 +17,8 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-      "mm_features"), s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly == Set("dedup_simhash", "mm_features"),
+      s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("all queries are runnable on sf0.001") {

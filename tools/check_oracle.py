@@ -4,7 +4,7 @@ parquet dumped by graft.Verify, run the matching oracle SQL in DuckDB over
 the same testdata parquet tables and compare (schema-insensitively):
 columns sorted by name, rows sorted, values normalized, then hashed.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name,name,...]
 """
 import sys, json, glob, os, hashlib
 import duckdb
@@ -31,7 +31,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = pd.DataFrame(out)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -40,6 +40,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -78,4 +80,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
