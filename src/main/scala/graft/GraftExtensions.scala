@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(TextHashing.SimhashName,
         "_FUNC_(text) - 64-bit SimHash of whitespace tokens"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+    // (c)-tier whole-operator extension: per-key top-k planner strategy
+    // (logical TopKNode → partial-prune + exchange + rank execs)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -111,6 +111,14 @@ object ExtendedQueries {
           col("value")),
         keys = Seq("event_type"),
         orderCols = Seq("value" -> false, "event_id" -> true), k = 3)),
+    // K2'': same operator as a Catalyst plan node (TopKNode → strategy
+    // → partial-prune/exchange/rank execs), on a high-cardinality key
+    "k3_topk_plan" -> ((s, dir) =>
+      graft.plans.TopKPlan.topKPerKey(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("value")),
+        keys = Seq("user_id"),
+        orderCols = Seq("value" -> false, "event_id" -> true), k = 2)),
     // P6 geodesic upgrade: haversine km between all region pairs
     "p6_haversine_pairs" -> ((s, dir) => {
       val r = graft.etl.TestdataAdapter.regions(s, dir)
@@ -212,6 +220,14 @@ object ExtendedQueries {
         |           AS rank
         |  FROM events)
         |WHERE rank <= 3""".stripMargin,
+    "k3_topk_plan" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id ASC)::INT
+        |           AS rank
+        |  FROM events)
+        |WHERE rank <= 2""".stripMargin,
     "p6_haversine_pairs" ->
       s"""WITH ${graft.etl.TestdataAdapter.oracleCtes},
          |pairs AS (

@@ -1,0 +1,187 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Per-key top-k as a first-class Catalyst operator — the full
+  * (c)-tier extension stack: a logical [[TopKNode]], a planner
+  * [[TopKStrategy]], and a two-node physical pipeline
+  * ([[TopKPartialExec]] → exchange/sort inserted by Spark's
+  * EnsureRequirements → [[TopKFinalExec]]).
+  *
+  * Semantics are identical to [[graft.operators.TopK.topKPerKey]]
+  * (and to `row_number() over (partition by keys order by ... nulls
+  * last) <= k`) — tested differentially. What the plan-node
+  * formulation adds over the `mapPartitions` one:
+  *
+  *  - the partial prune declares `outputPartitioning = child's`, and
+  *    the final node declares `requiredChildDistribution =
+  *    ClusteredDistribution(keys)` + `requiredChildOrdering`, so the
+  *    planner OWNS the data movement: it inserts the hash exchange
+  *    and the (spillable, radix-capable) SortExec only when needed,
+  *    can satisfy the distribution from an existing partitioning
+  *    (e.g. a bucketed scan or an upstream aggregate on the same
+  *    keys — zero-exchange plan), and AQE can re-plan the exchange
+  *    at runtime;
+  *  - rows stay in Tungsten `UnsafeRow` format end-to-end (no
+  *    Row encode/decode at the operator boundary);
+  *  - the node appears in `explain()` as a named operator with its
+  *    pruning bound, auditable like any built-in.
+  *
+  * Phase 1 memory is bounded by `maxHeapKeys` per-key heaps of ≤ k
+  * rows per input partition; rows of keys beyond the bound stream
+  * through unpruned (exact either way — phase 2 ranks after a full
+  * sort). Phase 2 is a streaming group-boundary scan over the
+  * planner's sort: O(1) rows of state post-shuffle.
+  */
+object TopKPlan {
+
+  /** DataFrame API over the plan node. Registers [[TopKStrategy]] on
+    * the session's `experimental.extraStrategies` (idempotent) so no
+    * `spark.sql.extensions` config is required; sessions built with
+    * `graft.GraftExtensions` get the strategy injected at build time
+    * too.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 orderCols: Seq[(String, Boolean)], k: Int,
+                 rankCol: String = "rank",
+                 maxHeapKeys: Int = 100000): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty && k > 0)
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = df.queryExecution.analyzed
+    require(!child.output.exists(_.name == rankCol),
+      s"input already has a '$rankCol' column; pass a different rankCol")
+    def resolve(n: String): Attribute =
+      child.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$n' in ${child.output.map(_.name).mkString(", ")}"))
+    val order = orderCols.map { case (c, asc) =>
+      SortOrder(resolve(c), if (asc) Ascending else Descending, NullsLast,
+        Seq.empty)
+    }
+    val rankAttr = AttributeReference(rankCol, IntegerType, nullable = false)()
+    GraftSqlBridge.ofRows(spark,
+      TopKNode(keys.map(resolve), order, k, maxHeapKeys, rankAttr, child))
+  }
+
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val ex = spark.experimental
+    if (!ex.extraStrategies.contains(TopKStrategy))
+      ex.extraStrategies = ex.extraStrategies :+ TopKStrategy
+  }
+}
+
+/** Logical per-key top-k: emits `child.output :+ rank` with at most k
+  * rows per distinct value of `keys`, ranked 1..k in `order`.
+  */
+case class TopKNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                    maxHeapKeys: Int, rankAttr: Attribute,
+                    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKNode =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKNode]] as partial-prune → (planner-inserted exchange +
+  * sort) → final rank.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKNode(keys, order, k, maxHeapKeys, rankAttr, child) =>
+      TopKFinalExec(keys, order, k, rankAttr,
+        TopKPartialExec(keys, order, k, maxHeapKeys, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Phase 1: map-side prune. Keeps, per input partition, a bounded
+  * "worst-first" heap of the best k rows for each of at most
+  * `maxHeapKeys` keys; rows of further keys stream through unpruned.
+  * No distribution/ordering requirements — runs wherever the child
+  * already is, so the shuffle the final node requires carries
+  * ≤ k·keys·partitions rows instead of N.
+  */
+case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+                           k: Int, maxHeapKeys: Int,
+                           child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val ord: Ordering[InternalRow] =
+        new LazilyGeneratedOrdering(order, child.output)
+      // max-heap under "sorts-first is best": head = current worst
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val overflow = mutable.ArrayBuffer.empty[InternalRow]
+      rows.foreach { r =>
+        heaps.get(keyProj(r)) match {
+          case Some(h) =>
+            if (h.size < k) h.enqueue(r.copy())
+            else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r.copy()) }
+          case None if heaps.size < maxHeapKeys =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            h.enqueue(r.copy())
+            heaps.put(keyProj(r).copy(), h)
+          case None => overflow += r.copy()
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator) ++ overflow.iterator
+    }, preservesPartitioning = true)
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+/** Phase 2: exact rank emission. Declares the clustered distribution +
+  * (keys, order) sort it needs; EnsureRequirements inserts the
+  * exchange and a spillable SortExec, after which ranking is a
+  * streaming group-boundary pass — O(1) rows of state.
+  */
+case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
+                         k: Int, rankAttr: Attribute,
+                         child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val outProj = UnsafeProjection.create(output, child.output :+ rankAttr)
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var cur: UnsafeRow = null
+      var rank = 0
+      rows.flatMap { r =>
+        val key = keyProj(r)
+        if (cur == null || key != cur) { cur = key.copy(); rank = 0 }
+        rank += 1
+        if (rank <= k) {
+          rankRow.setInt(0, rank)
+          Iterator.single[InternalRow](outProj(joined(r, rankRow)))
+        } else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+}

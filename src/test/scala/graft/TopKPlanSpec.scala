@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPlan
+
+/** The Catalyst plan-node formulation of per-key top-k must equal both
+  * the window row_number formulation and the mapPartitions operator,
+  * and its physical plan must show the partial-prune below the
+  * exchange (the point of the strategy).
+  */
+class TopKPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    .repartition(7)
+
+  test("equals the window formulation on sf0.001 events") {
+    val got = TopKPlan.topKPerKey(events, Seq("event_type"),
+      Seq("value" -> false, "event_id" -> true), k = 5)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = events.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("equals the mapPartitions operator on high-cardinality keys") {
+    val got = TopKPlan.topKPerKey(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 2)
+    val want = graft.operators.TopK.topKPerKey(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("ties, sub-k keys, and nulls-last ordering") {
+    val df = Seq(
+      ("a", 1L, Some(3.0)), ("a", 2L, Some(3.0)), ("a", 3L, Some(1.0)),
+      ("a", 4L, None), ("b", 5L, Some(9.0))
+    ).toDF("k", "id", "v").repartition(3)
+    val got = TopKPlan.topKPerKey(df, Seq("k"),
+      Seq("v" -> false, "id" -> true), k = 2)
+      .select("k", "id", "rank").as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
+  }
+
+  test("plan shape: partial prune runs below the exchange, rank above") {
+    val plan = TopKPlan.topKPerKey(events, Seq("event_type"),
+      Seq("value" -> false), k = 3).queryExecution.executedPlan.toString
+    val iPartial = plan.indexOf("TopKPartial")
+    val iExchange = plan.indexOf("Exchange")
+    val iFinal = plan.indexOf("TopKFinal")
+    assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0, plan)
+    // plan strings print top-down: final < exchange < partial
+    assert(iFinal < iExchange && iExchange < iPartial, plan)
+  }
+
+  test("maxHeapKeys overflow path stays exact") {
+    val got = TopKPlan.topKPerKey(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 2, maxHeapKeys = 3)
+    val want = graft.operators.TopK.topKPerKey(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
