@@ -119,6 +119,36 @@ object ExtendedQueries {
           col("value")),
         keys = Seq("user_id"),
         orderCols = Seq("value" -> false, "event_id" -> true), k = 2)),
+    // Band join: near-simultaneous event pairs (|Δts| <= 5 s) via
+    // bucketed equi-join — no broadcast-nested-loop at any scale
+    "band_join_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.operators.BandJoin.bandPairs(ev, "event_id", "ts_us",
+        epsilon = 5000000L)
+        .select(col("id_a").as("event_a"), col("id_b").as("event_b"),
+          (col("pos_b") - col("pos_a")).as("dt_us"))
+    }),
+    // Interval join: lineitems shipped within 2 days of any order's
+    // placement date (point-in-interval via cell explode + equi-join)
+    "interval_join_orders" -> ((s, dir) => {
+      // star-schema dates are TIMESTAMP_NTZ: micros via timestampdiff
+      // from the NTZ epoch — timezone-free, unlike unix_micros(cast)
+      def ntzUs(c: String) = expr(
+        s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c)")
+      val pts = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-02-01") &&
+          col("l_shipdate") < lit("1995-03-01"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ntzUs("l_shipdate").as("ship_us"))
+      val dayUs = 86400L * 1000000L
+      val ivs = Tables.orders(s, dir).select(col("o_orderkey"),
+        ntzUs("o_orderdate").as("lo_us"),
+        (ntzUs("o_orderdate") + lit(2L * dayUs)).as("hi_us"))
+      graft.operators.BandJoin.intervalJoin(pts, "ship_us", ivs,
+        "lo_us", "hi_us", cellWidth = 2L * dayUs)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+    }),
     // P6 geodesic upgrade: haversine km between all region pairs
     "p6_haversine_pairs" -> ((s, dir) => {
       val r = graft.etl.TestdataAdapter.regions(s, dir)
@@ -228,6 +258,20 @@ object ExtendedQueries {
         |           AS rank
         |  FROM events)
         |WHERE rank <= 2""".stripMargin,
+    "band_join_events" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP))
+        |       <= 5000000""".stripMargin,
+    "interval_join_orders" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_shipdate BETWEEN o.o_orderdate
+        |                      AND o.o_orderdate + INTERVAL 2 DAY
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-02-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1995-03-01'""".stripMargin,
     "p6_haversine_pairs" ->
       s"""WITH ${graft.etl.TestdataAdapter.oracleCtes},
          |pairs AS (
