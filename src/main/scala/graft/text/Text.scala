@@ -79,6 +79,63 @@ object Text {
       lit(0.3) * (lit(1.0) - punctRatio(text)) +
       lit(0.3) * stopwordRatio(text)
 
+  /** Suffix-stripping stemmer ("Porter-lite"): five anchored
+    * regexp_replace rules applied in order — sses→ss, ies→i,
+    * (≥3)ing→∅, (≥3)ed→∅, trailing single s (not ss, ≥4 chars)→∅.
+    * Pure expression composition (codegen'd, map-only at any corpus
+    * size); each pattern is `$`-anchored so Spark's global
+    * regexp_replace and the oracle's first-match replace agree by
+    * construction. Input should be lowercased by the caller.
+    */
+  def stem(w: Column): Column = {
+    val s1 = regexp_replace(w, "sses$", "ss")
+    val s2 = regexp_replace(s1, "ies$", "i")
+    val s3 = regexp_replace(s2, "([a-z]{3,})ing$", "$1")
+    val s4 = regexp_replace(s3, "([a-z]{3,})ed$", "$1")
+    regexp_replace(s4, "([a-z]{2,}[^s])s$", "$1")
+  }
+
+  /** Corpus-trained bigram language model with add-one smoothing,
+    * scoring each document by the mean log-probability of its bigrams:
+    * avg over (w1,w2) of ln((C(w1,w2)+1) / (C(w1)+V)), where C counts
+    * bigram occurrences corpus-wide, C(w1) is the bigram-context count,
+    * and V is the vocabulary size (distinct token types).
+    *
+    * The train-then-score shape is one pass of aggregations: bigrams
+    * come from an expression-level `transform(sequence(...))` zip (no
+    * UDF), counts are two map-side-combined groupBys keyed by bigram /
+    * first word, and V joins in as a broadcast scalar. Scoring re-joins
+    * the bigram stream to the count tables on their natural keys —
+    * shuffles are all keyed by token hashes, uniformly distributed
+    * except for stop-word heads, which AQE's skew split handles.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (inner-join semantics), mirroring the oracle.
+    */
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairT = "array<struct<w1:string,w2:string>>"
+    val bigramsExpr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast(pairT))
+    val bg = docs.select(col(idCol).as("doc_id"), explode(bigramsExpr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(org.apache.spark.sql.functions.broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 6)
+          .as("avg_logp"))
+  }
+
   /** Whitespace-normalized lowercase form used for exact-dup keys. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

@@ -48,7 +48,17 @@ object TextQueries {
         .select(col("doc_id"), posexplode(Text.tokens(col("text")))
           .as(Seq("pos", "w")))
         .groupBy(col("w"))
-        .agg(count(lit(1)).as("n"), round(avg(col("pos")), 4).as("avg_pos"))))
+        .agg(count(lit(1)).as("n"), round(avg(col("pos")), 4).as("avg_pos"))),
+    // Suffix-stripping stem frequencies (lowercased tokens)
+    "tx_stem_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("t"))
+        .select(Text.stem(col("t")).as("stem"))
+        .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)),
+    // Corpus-trained bigram LM: per-doc mean log-probability
+    "tx_bigram_lm" -> ((s, dir) =>
+      Text.bigramLmScores(Tables.documents(s, dir), "doc_id", "text")))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -69,6 +79,15 @@ object TextQueries {
        |     ELSE 0.0 END""".stripMargin
   private val normFp =
     """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
+  // mirror of Text.stem — DuckDB backreference syntax is \1 (RE2);
+  // $-anchored patterns make first-match == global-match
+  private val stemSql =
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |regexp_replace(t, 'sses$', 'ss'), 'ies$', 'i'),
+      |'([a-z]{3,})ing$', '\1'), '([a-z]{3,})ed$', '\1'),
+      |'([a-z]{2,}[^s])s$', '\1')""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "tx_token_stats" ->
@@ -122,5 +141,23 @@ object TextQueries {
          |  FROM documents)
          |SELECT st.w AS w, count(*) AS n,
          |       round(avg(st.pos), 4) AS avg_pos
-         |FROM ex GROUP BY 1""".stripMargin)
+         |FROM ex GROUP BY 1""".stripMargin,
+    "tx_stem_freq" ->
+      s"""WITH ex AS (SELECT unnest($toksLower) AS t FROM documents)
+         |SELECT $stemSql AS stem, count(*) AS n
+         |FROM ex GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "tx_bigram_lm" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, list_extract(w, i) AS w1,
+         |         list_extract(w, i + 1) AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM docs)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |      FROM (SELECT unnest($toks) AS t FROM documents))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+         |GROUP BY doc_id""".stripMargin)
 }

@@ -61,4 +61,30 @@ class TextSpec extends SparkSpec {
       .select("n", "keeper").as[(Long, Long)].collect().toSet
     assert(groups == Set((2L, 1L), (1L, 3L)))
   }
+
+  test("stem: suffix rules in order, short words untouched") {
+    val cases = Seq(
+      "classes" -> "class", "ties" -> "ti", "running" -> "runn",
+      "wanted" -> "want", "cats" -> "cat", "its" -> "its",
+      "miss" -> "miss", "glass" -> "glass", "ing" -> "ing")
+    val got = cases.map(_._1).toDF("t")
+      .select(Text.stem(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("bigram LM: hand-checked add-one smoothing on a tiny corpus") {
+    // corpus: "a b a b" + "a b"  → bigrams: (a,b)x3, (b,a)x1
+    // C(a,b)=3 C(b,a)=1; C1(a)=3 C1(b)=1; V=2
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Text.bigramLmScores(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val pAB = math.log((3 + 1.0) / (3 + 3))  // V counts 'solo' too: V=3
+    val pBA = math.log((1 + 1.0) / (1 + 3))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // 'solo' has no bigrams
+    assert(got(0)._2 == 3L && got(0)._3 == r6((2 * pAB + pBA) / 3))
+    assert(got(1)._2 == 1L && got(1)._3 == r6(pAB))
+  }
 }
