@@ -113,35 +113,76 @@ object Ann {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) top-k: the corpus is partitioned into
-    * `nCentroids` Voronoi cells (centroids = the first `nCentroids`
-    * corpus vectors by id — deterministic seeding; a k-means refinement
-    * pass would reuse the same assignment expression), each query
-    * probes its `nProbe` nearest cells, and only those cells' vectors
-    * are reranked exactly. Corpus assignment is one map-only pass; the
-    * probe join is keyed by cell id — at scale each query touches
-    * nProbe/nCentroids of the corpus instead of all of it. Approximate
-    * (cell-boundary misses) → rows-only driver check + recall tests.
+  /** array<struct<sim,idx>> of vector-to-centroid cosines; struct
+    * ordering (sim first) makes array_max/sort_array rank by sim.
+    * Centroids embed as folded literals, so assignment is a map-only
+    * pass at any corpus size.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = prepared(corpus, id, vec)
-    val cents = c.orderBy(col("vid")).limit(nCentroids)
-      .select(col("vid"), col("v")).collect()
-      .map(r => r.getSeq[Double](1))
-    // array<struct<sim,idx>> of query-to-centroid similarities; struct
-    // ordering (sim first) makes array_max/sort_array rank by sim
-    def centSims(v: Column): Column = array(cents.zipWithIndex.toSeq.map {
-      case (cv, i) =>
-        val cl = typedlit(cv)
-        struct((dot(v, cl) / (norm(v) * norm(cl))).as("sim"),
-          lit(i).as("idx"))
+  private def centSims(cents: Seq[Seq[Double]], v: Column): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      val cl = typedlit(cv)
+      struct((dot(v, cl) / (norm(v) * norm(cl))).as("sim"),
+        lit(i).as("idx"))
     }: _*)
+
+  /** Deterministic IVF seeding: the first `nCentroids` corpus vectors
+    * by id (replayable in the oracle SQL).
+    */
+  private def firstNCentroids(prep: DataFrame, nCentroids: Int): Seq[Seq[Double]] =
+    prep.orderBy(col("vid")).limit(nCentroids)
+      .select(col("vid"), col("v")).collect()
+      .map(r => r.getSeq[Double](1)).toSeq
+
+  /** Spherical k-means (Lloyd) refinement of IVF centroids: assign
+    * every vector to its max-cosine centroid, replace each centroid
+    * with the direction of the sum of its members' UNIT vectors (the
+    * exact maximizer of the spherical objective, so Σ max-cosine is
+    * non-decreasing per iteration — spec-asserted), repeat. Each
+    * iteration is one map-only assignment plus one map-side-combined
+    * (cell, dim)-keyed sum; only nCentroids×dim doubles ever reach the
+    * driver, at any corpus size (centroid materialization is inherent
+    * to k-means, not a collect() smell). Empty cells keep their
+    * previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+                      nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
+    val c = prepared(corpus, id, vec)
+    val unit = c.filter(col("nrm") > 0)
+      .select(transform(col("v"), x => x / col("nrm")).as("u"))
+    var cents = firstNCentroids(c, nCentroids)
+    for (_ <- 1 to iters) {
+      val sums = unit
+        .withColumn("cell", array_max(centSims(cents, col("u"))).getField("idx"))
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val dir = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val n = math.sqrt(dir.map(x => x * x).sum)
+          cell -> (if (n > 0) dir.map(_ / n) else dir)
+        }
+      cents = cents.indices.map(i => sums.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF search against an explicit centroid set: corpus rows are
+    * assigned to their max-cosine cell (map-only), each query probes
+    * its `nProbe` nearest cells, and only those cells' vectors are
+    * reranked exactly. The probe join is keyed by cell id — at scale
+    * each query touches ~nProbe/nCentroids of the corpus instead of
+    * all of it. Approximate (cell-boundary misses) → recall tests.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, id: String,
+                           vec: String, k: Int, cents: Seq[Seq[Double]],
+                           nProbe: Int): DataFrame = {
+    val c = prepared(corpus, id, vec)
     val assigned = c.withColumn("cell",
-      array_max(centSims(col("v"))).getField("idx"))
+      array_max(centSims(cents, col("v"))).getField("idx"))
     val q = prepared(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        slice(sort_array(centSims(col("v")), asc = false), 1, nProbe)
+        slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
           .as("probes"))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes").getField("idx")).as("cell"))
@@ -155,6 +196,29 @@ object Ann {
       .orderBy(col("sim").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF with the deterministic first-N seeding (oracle-replayable —
+    * the DuckDB SQL embeds the same seeding and assignment).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    ivfTopKWithCentroids(queries, corpus, id, vec, k,
+      firstNCentroids(c, nCentroids), nProbe)
+  }
+
+  /** IVF with spherical-k-means-refined centroids: better-balanced
+    * Voronoi cells than first-N seeding ⇒ higher recall at the same
+    * nProbe. Centroids are float-sum accumulations (partition-order
+    * dependent), so results are rows-only checked — cross-engine bit
+    * parity is impossible by construction; recall is spec-asserted
+    * instead.
+    */
+  def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, k: Int, nCentroids: Int = 16,
+                    nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, id, vec, k,
+      kmeansCentroids(corpus, id, vec, nCentroids, iters), nProbe)
 
   /** All-pairs cosine near-duplicates (ids a < b, cosine ≥ threshold).
     * Exact O(n²) baseline — the LSH bucketing above is the scale path.

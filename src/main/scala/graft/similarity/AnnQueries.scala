@@ -43,6 +43,14 @@ object AnnQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") < NQueries), emb,
         "vec_id", "embedding", K)
     }),
+    // rows-only: k-means centroids are float-sum accumulations
+    // (partition-order dependent) — no cross-engine bit parity possible;
+    // recall vs brute force is asserted in DedupAnnSpec instead
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfKmeansTopK(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding", K)
+    }),
     "emb_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         PairThreshold)))

@@ -124,6 +124,38 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("kmeans refinement: spherical objective non-decreasing; recall sane") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // Σ max-cosine over unit vectors must not decrease across Lloyd
+    // iterations (centroid update is the exact spherical maximizer)
+    def objective(cents: Seq[Seq[Double]]): Double = {
+      val cl = cents.map(c => {
+        val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+      })
+      emb.select(col("embedding").cast("array<double>").as("v"))
+        .collect().map { r =>
+          val v = r.getSeq[Double](0)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          cl.map(c => c.zip(v).map { case (a, b) => a * b }.sum / n).max
+        }.sum
+    }
+    val obj = (0 to 2).map(it =>
+      objective(Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, it)))
+    assert(obj(1) >= obj(0) - 1e-9 && obj(2) >= obj(1) - 1e-9,
+      s"objective not monotone: $obj")
+
+    val q = emb.filter(col("vec_id") < 4)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val refined = Ann.ivfKmeansTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 4, iters = 2)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (exact & refined).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined recall $recall too low")
+    // contract shape: k rows per query, rank 1..k
+    assert(refined.size == exact.size)
+  }
+
   test("lshTopK achieves full recall on sf0.001 embeddings (k=3)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)

@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("dedup_simhash", "mm_features"),
+    assert(rowsOnly == Set("dedup_simhash", "mm_features",
+      "ann_ivf_kmeans_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
