@@ -55,6 +55,11 @@ object Bench {
     val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
       catch { case _: Throwable => 0L }
     val tput = rows / ((System.nanoTime() - t0) / 1e9)
+    // steady-state streaming rate: multi-batch run, first batch excluded
+    val (streamRate, streamBatches) =
+      try graft.streaming.StreamingJob.sustainedScoringRate(
+        spark, sfDir, "/tmp/graft_bench_stream")
+      catch { case _: Throwable => (0.0, 0) }
 
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Seq[(String, Double)]): String =
@@ -65,7 +70,7 @@ object Bench {
     java.nio.file.Files.writeString(detailPath,
       s"""{"total":${r3(total)},"queries":$detail,"sf":"$sfDir"}""")
     val head = jmap(headline.flatMap(n => results.get(n).map(n -> _)))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$head,"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${tput.round},"detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$head,"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${tput.round},"stream_rows_per_sec":${streamRate.round},"stream_steady_batches":$streamBatches,"detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -125,6 +125,47 @@ object StreamingJob {
       }
       .start()
 
+  /** Steady-state micro-batch throughput of the full scoring pipeline
+    * (the reference's headline metric — report p.15-16 measures ~1000
+    * tx/s peak): split the events table into `nFiles` parquet files,
+    * stream them back one file per trigger (so the run has nFiles real
+    * micro-batches, not one AvailableNow mega-batch), score each batch
+    * through enrich+score into a count-only `foreachBatch` sink, and
+    * compute rows/s over the batches AFTER the first — stream start,
+    * plan compile, and codegen all land in batch 1, which a
+    * steady-state number must exclude.
+    *
+    * Returns (rowsPerSec, steadyBatches).
+    */
+  def sustainedScoringRate(spark: SparkSession, sfDir: String,
+                           workDir: String, nFiles: Int = 8): (Double, Int) = {
+    import graft.etl.{ScoringPipeline, TestdataAdapter}
+    val in = s"$workDir/in"
+    val ckpt = s"$workDir/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    val ev = graft.Tables.events(spark, sfDir).repartition(nFiles)
+    ev.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val scored = ScoringPipeline.score(
+      ScoringPipeline.enrich(TestdataAdapter.transactionsFromEvents(stream),
+        TestdataAdapter.users(spark, sfDir),
+        TestdataAdapter.regions(spark, sfDir)),
+      TestdataAdapter.eventLimitArms)
+    val q = scored.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val steady = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+    val rows = steady.map(_.numInputRows).sum
+    val secs = steady
+      .map(_.durationMs.get("triggerExecution").toDouble).sum / 1000.0
+    (if (secs > 0) rows / secs else 0.0, steady.length)
+  }
+
   // ---------------------------------------------------------------------
   // T7: stateful late-event drop (the reference's abandoned feature).
   // ---------------------------------------------------------------------

@@ -151,4 +151,12 @@ class StreamingSpec extends SparkSpec {
     assert(wins.get("2024-01-01 10:00:00").contains(2L)) // closed + emitted
     assert(!wins.contains("2024-01-01 12:00:00")) // still open
   }
+
+  test("sustained scoring rate: multi-batch run reports steady-state rows/s") {
+    val (rate, batches) = StreamingJob.sustainedScoringRate(
+      spark, "/root/testdata/sf0.001",
+      s"/tmp/graft_stream_spec_${System.nanoTime()}", nFiles = 3)
+    assert(batches == 2, s"expected 2 steady batches, got $batches")
+    assert(rate > 0, s"rate $rate")
+  }
 }
