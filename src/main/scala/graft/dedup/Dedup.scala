@@ -30,10 +30,14 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    // n-gram windows as arrays_zip of n shifted slices: the transform
+    // lambda touches only its own argument — a lambda that closed over
+    // `toks` would re-evaluate the full split PER ELEMENT (O(tokens·n)
+    // splits per doc). m = 0 when size < n ⇒ empty result, no guard.
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val zipped = arrays_zip((1 to n).map(j => slice(toks, lit(j), m)): _*)
+    array_distinct(transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*)))
   }
 
   /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via
@@ -168,16 +172,16 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nlab"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over materialized data — not another join per round
       val next = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlab"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
     }
     labels.select(col("node").as("doc"), col("label").as("component"))
   }

@@ -102,7 +102,7 @@ object Text {
     * and V is the vocabulary size (distinct token types).
     *
     * The train-then-score shape is one pass of aggregations: bigrams
-    * come from an expression-level `transform(sequence(...))` zip (no
+    * come from an expression-level `arrays_zip` of shifted slices (no
     * UDF), counts are two map-side-combined groupBys keyed by bigram /
     * first word, and V joins in as a broadcast scalar. Scoring re-joins
     * the bigram stream to the count tables on their natural keys —
