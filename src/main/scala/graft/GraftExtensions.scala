@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductDouble, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
+import graft.functions.{DotProductDouble, MisraGries, MisraGriesAgg, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
 
 /** Catalyst extension point: installs the engine's native expressions
   * into every session built with
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(TextHashing.SimhashName,
         "_FUNC_(text) - 64-bit SimHash of whitespace tokens"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+    // aggregation-function tier: Misra-Gries heavy-hitters sketch
+    ext.injectFunction((FunctionIdentifier(MisraGries.FuncName),
+      info(MisraGries.FuncName,
+        "_FUNC_(item, capacity) - Misra-Gries heavy-hitter candidates"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     // (c)-tier whole-operator extension: per-key top-k planner strategy
     // (logical TopKNode → partial-prune + exchange + rank execs)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -58,7 +58,14 @@ object TextQueries {
         .filter(col("n") >= 10)),
     // Corpus-trained bigram LM: per-doc mean log-probability
     "tx_bigram_lm" -> ((s, dir) =>
-      Text.bigramLmScores(Tables.documents(s, dir), "doc_id", "text")))
+      Text.bigramLmScores(Tables.documents(s, dir), "doc_id", "text")),
+    // Exact heavy hitters via the Misra-Gries TypedImperativeAggregate
+    // (bounded sketch -> broadcast candidates -> exact verify)
+    "tx_heavy_hitters" -> ((s, dir) =>
+      graft.functions.HeavyHitters.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("w")),
+        "w", phi = 0.01)))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -159,5 +166,15 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
          |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
-         |GROUP BY doc_id""".stripMargin)
+         |GROUP BY doc_id""".stripMargin,
+    // the MG sketch only bounds WHICH items get exact-counted; its
+    // superset guarantee makes the verified result equal plain
+    // GROUP BY/HAVING (both engines multiply the same long by the
+    // same double literal, so the threshold compare is bit-identical)
+    "tx_heavy_hitters" ->
+      s"""WITH ex AS (SELECT unnest($toks) AS item FROM documents),
+         |n AS (SELECT count(*) AS n_total FROM ex)
+         |SELECT item, count(*) AS cnt
+         |FROM ex, n GROUP BY item, n_total
+         |HAVING count(*) >= n_total * 0.01""".stripMargin)
 }
