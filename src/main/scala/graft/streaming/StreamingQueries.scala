@@ -50,9 +50,39 @@ object StreamingQueries {
       .select(col("window.start").as("hora"), col("n"), col("avg_value"))
   }
 
+  /** Stream–stream inner interval join (beyond the reference's
+    * stream–static joins): same-user event pairs within 2 hours, both
+    * sides watermarked, time-range condition on the event-time columns
+    * so Spark bounds the join state (state eviction = watermark +
+    * range, the at-scale requirement; an unconstrained stream–stream
+    * join would hold state forever). On a finite source the result
+    * equals the batch self-join — same oracle family as
+    * band_join_events, with the ns→µs truncation mirrored via
+    * `::TIMESTAMP` in DuckDB.
+    */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.eventsStream(s, dir)
+      .select(col("event_id").as("id_a"), col("user_id"),
+        col("ts").as("ts_a"))
+      .withWatermark("ts_a", "10 minutes")
+    val r = Tables.eventsStream(s, dir)
+      .select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", "10 minutes")
+    val joined = l.join(r,
+      col("user_id") === col("user_b") && col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("id_a").as("event_a"),
+        col("id_b").as("event_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("dt_us"))
+    StreamingJob.runToMemory(joined, mode = "append")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
+    "s5_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     // P2: from_json decode of the events.props payload + rollup
     "p2_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -81,5 +111,12 @@ object StreamingQueries {
     "p2_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "s5_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP
+        | AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 2 HOUR""".stripMargin)
 }

@@ -152,6 +152,23 @@ class StreamingSpec extends SparkSpec {
     assert(!wins.contains("2024-01-01 12:00:00")) // still open
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    val got = graft.streaming.StreamingQueries
+      .queries("s5_stream_stream_join")(spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val want = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("a.user_id"), col("a.event_id").as("event_a"),
+        col("b.event_id").as("event_b"),
+        (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))).as("dt_us"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("sustained scoring rate: multi-batch run reports steady-state rows/s") {
     val (rate, batches) = StreamingJob.sustainedScoringRate(
       spark, "/root/testdata/sf0.001",
