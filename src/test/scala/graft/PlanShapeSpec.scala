@@ -46,6 +46,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_part_spec_${System.nanoTime()}"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("etype", col("event_type"))
+      .write.partitionBy("etype").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("etype") === "click")
+    val txt = pruned.queryExecution.executedPlan.toString
+    // directory-partitioned data: the predicate lands in
+    // PartitionFilters (file listing skips other partitions entirely)
+    assert(txt.contains("PartitionFilters") && txt.contains("etype"), txt)
+    assert(!txt.matches("(?s).*PushedFilters: \\[[^\\]]*etype.*"),
+      s"partition predicate must prune at listing, not row level:\n$txt")
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == want)
+  }
+
   test("dashboard aggregation plans have exactly one shuffle") {
     withPlainPlans {
       val dir = "/root/testdata/sf0.001"
