@@ -76,6 +76,11 @@ object ExtendedQueries {
       Tables.events(s, dir)
         .cube(col("event_type"), hour(col("ts")).as("hora"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+    // hierarchical subtotals (type -> type x hour -> grand total)
+    "a20_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .rollup(col("event_type"), hour(col("ts")).as("hora"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))),
     // Set ops over an even/odd event_id interleave: types present among
     // even-id events but not odd-id ones (except-distinct), plus the
     // union-distinct of both splits
@@ -220,6 +225,13 @@ object ExtendedQueries {
         |SELECT event_type, hora, count(*) AS n,
         |       round(sum(value), 2) AS total
         |FROM e GROUP BY CUBE(event_type, hora)""".stripMargin,
+    "a20_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts)::INT AS hora, value
+        |  FROM events)
+        |SELECT event_type, hora, count(*) AS n,
+        |       round(avg(value), 4) AS avg_v
+        |FROM e GROUP BY ROLLUP(event_type, hora)""".stripMargin,
     "set_except_union" ->
       """WITH e AS (SELECT event_type, event_id FROM events)
         |SELECT event_type, 'except' AS op FROM (

@@ -79,9 +79,30 @@ object StreamingQueries {
     StreamingJob.runToMemory(joined, mode = "append")
   }
 
+  /** Hopping (sliding) event-time windows: 2-hour windows every hour,
+    * so each event lands in exactly two windows — the overlap
+    * semantics tumbling (w3) can't express. Oracle replays the
+    * epoch-aligned window-start arithmetic: starts = floor_hour(ts)
+    * and floor_hour(ts) − 1h.
+    */
+  private def streamHopping(s: SparkSession, dir: String): DataFrame = {
+    // exact-DECIMAL sum, not avg: 2-decimal sums over counts like 40
+    // divide to true decimal half-boundaries (x.xxx75), where the two
+    // engines' double round() algorithms legitimately disagree —
+    // decimal money math is reassociation- AND rounding-proof
+    val agg = Tables.eventsStream(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_value"))
+    StreamingJob.runToMemory(agg, mode = "complete")
+      .select(col("window.start").as("hora"), col("n"), col("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
+    "w7_hopping_rollup" -> ((s, dir) => streamHopping(s, dir)),
     "s5_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     // P2: from_json decode of the events.props payload + rollup
     "p2_json_extract" -> ((s, dir) =>
@@ -112,6 +133,15 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
         |FROM events GROUP BY 1""".stripMargin,
+    "w7_hopping_rollup" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS hora,
+        |         value
+        |  FROM events)
+        |SELECT hora, count(*) AS n,
+        |       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+        |FROM w GROUP BY 1""".stripMargin,
     "s5_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
         |       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS dt_us
