@@ -72,26 +72,29 @@ object TopK {
 
     // Phase 1 map-side prune: per key a bounded "worst-first" heap of
     // the best k seen. The heap map itself is bounded by maxHeapKeys —
-    // once exceeded, rows of unseen keys pass through unpruned (lazily,
-    // chained AFTER the heap survivors), so memory stays
-    // O(maxHeapKeys · k) rows even on near-unique keys.
+    // once exceeded, rows of unseen keys are emitted IMMEDIATELY
+    // (never buffered), so memory stays O(maxHeapKeys · k) rows even
+    // on a partition of entirely distinct keys; heap survivors follow
+    // once the input is exhausted. Exact either way — phase 2 ranks
+    // after a full sort.
     def prunePartition(rows: Iterator[Row]): Iterator[Row] = {
       val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
-      val overflow = mutable.ArrayBuffer.empty[Row]
-      rows.foreach { r =>
+      val passthrough = rows.flatMap { r =>
         val key = keyIdx.map(r.get).toSeq
         heaps.get(key) match {
           case Some(h) =>
             if (h.size < k) h.enqueue(r)
             else if (better(r, h.head)) { h.dequeue(); h.enqueue(r) }
+            Iterator.empty
           case None if heaps.size < maxHeapKeys =>
             val h = mutable.PriorityQueue.empty[Row](rowOrd) // max = worst first
             h.enqueue(r)
             heaps.put(key, h)
-          case None => overflow += r
+            Iterator.empty
+          case None => Iterator.single(r)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator) ++ overflow.iterator
+      passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }
 
     val enc = Encoders.row(schema)

@@ -123,22 +123,28 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ord: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(order, child.output)
-      // max-heap under "sorts-first is best": head = current worst
+      // max-heap under "sorts-first is best": head = current worst.
+      // Rows of keys beyond the maxHeapKeys bound are emitted
+      // IMMEDIATELY (no buffering, no copy — straight passthrough of
+      // the source row), so memory stays O(maxHeapKeys · k) rows even
+      // on a partition of entirely distinct keys; heap survivors
+      // follow once the input is exhausted (++ is by-name).
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      val overflow = mutable.ArrayBuffer.empty[InternalRow]
-      rows.foreach { r =>
+      val passthrough = rows.flatMap { r =>
         heaps.get(keyProj(r)) match {
           case Some(h) =>
             if (h.size < k) h.enqueue(r.copy())
             else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r.copy()) }
+            Iterator.empty[InternalRow]
           case None if heaps.size < maxHeapKeys =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             h.enqueue(r.copy())
             heaps.put(keyProj(r).copy(), h)
-          case None => overflow += r.copy()
+            Iterator.empty[InternalRow]
+          case None => Iterator.single[InternalRow](r)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator) ++ overflow.iterator
+      passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
