@@ -159,9 +159,15 @@ object MisraGries {
   */
 object HeavyHitters {
 
-  /** @param phi minimum frequency share (e.g. 0.01 = 1% of rows). */
+  /** @param phi minimum frequency share (e.g. 0.01 = 1% of rows).
+    *             Bounded below: capacity = 2/phi counters per buffer,
+    *             and the decrement step is O(capacity) per overflowing
+    *             row — a phi under 1e-4 (> 20k counters) wants a
+    *             different sketch (spacesaving with a heap, CMS), not
+    *             a bigger Misra–Gries buffer.
+    */
   def heavyHitters(df: DataFrame, itemCol: String, phi: Double): DataFrame = {
-    require(phi > 0 && phi <= 1, "phi must be in (0, 1]")
+    require(phi >= 1e-4 && phi <= 1, "phi must be in [1e-4, 1]")
     MisraGries.register(df.sparkSession)
     val capacity = math.max(1, math.ceil(2.0 / phi)).toInt
     val items = df.select(col(itemCol).cast("string").as("item"))

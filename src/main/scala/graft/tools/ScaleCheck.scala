@@ -50,6 +50,43 @@ object ScaleCheck {
     val sn = streamed.count()
     val ssecs = (System.nanoTime() - t1) / 1e9
     println(f"[scale] stream rows=$sn%,d secs=$ssecs%.2f rate=${sn / ssecs}%,.0f rows/s")
+
+    // ---- round-3 operators at factor× rows ----
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+    // band join: each replica shifted by 35 days so pair density (and
+    // per-cell occupancy) stays constant — rows × factor, pairs ×
+    // factor, never quadratic
+    val evRep = ev
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("event_id") * factor + col("rep")).as("event_id"),
+        (unix_micros(col("ts")) +
+          col("rep").cast("long") * 35L * 86400L * 1000000L).as("ts_us"),
+        (col("user_id") * factor + col("rep")).as("user_id"), col("value"))
+      .repartition(32)
+    val t2 = System.nanoTime()
+    val bn = graft.operators.BandJoin
+      .bandPairs(evRep, "event_id", "ts_us", epsilon = 5000000L).count()
+    val bsecs = (System.nanoTime() - t2) / 1e9
+    val evn = evRep.count()
+    println(f"[scale] band   rows=$evn%,d pairs=$bn%,d secs=$bsecs%.2f rate=${evn / bsecs}%,.0f rows/s")
+
+    // plan-node top-k: factor× rows AND factor× distinct keys
+    val t3 = System.nanoTime()
+    val kn = graft.plans.TopKPlan.topKPerKey(evRep, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3).count()
+    val ksecs = (System.nanoTime() - t3) / 1e9
+    println(f"[scale] topk   rows=$evn%,d kept=$kn%,d secs=$ksecs%.2f rate=${evn / ksecs}%,.0f rows/s")
+
+    // Misra-Gries heavy hitters over the corpus token stream
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("w"))
+    val tkn = toks.count()
+    val t4 = System.nanoTime()
+    val hh = graft.functions.HeavyHitters.heavyHitters(toks, "w", 0.01).count()
+    val hsecs = (System.nanoTime() - t4) / 1e9
+    println(f"[scale] mg-hh  rows=$tkn%,d hitters=$hh%,d secs=$hsecs%.2f rate=${tkn / hsecs}%,.0f rows/s")
     spark.stop()
   }
 }
