@@ -81,6 +81,25 @@ object ExtendedQueries {
       Tables.events(s, dir)
         .rollup(col("event_type"), hour(col("ts")).as("hora"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))),
+    // Data-driven histogram: exact quartile edges computed once, joined
+    // in as a broadcast scalar row, rows bucketed against them — the
+    // quantile-stratification shape (F2/A14 family, at-scale variant
+    // swaps percentile for percentile_approx)
+    "a21_quantile_bins" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val qs = ev.agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.5)").as("q2"),
+        expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(qs))
+        .select(when(col("value") <= col("q1"), 0)
+          .when(col("value") <= col("q2"), 1)
+          .when(col("value") <= col("q3"), 2).otherwise(3).as("bin"),
+          col("value"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("total"))
+    }),
     // Set ops over an even/odd event_id interleave: types present among
     // even-id events but not odd-id ones (except-distinct), plus the
     // union-distinct of both splits
@@ -232,6 +251,18 @@ object ExtendedQueries {
         |SELECT event_type, hora, count(*) AS n,
         |       round(avg(value), 4) AS avg_v
         |FROM e GROUP BY ROLLUP(event_type, hora)""".stripMargin,
+    "a21_quantile_bins" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.5)  AS q2,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events)
+        |SELECT CASE WHEN value <= q1 THEN 0
+        |            WHEN value <= q2 THEN 1
+        |            WHEN value <= q3 THEN 2 ELSE 3 END AS bin,
+        |       count(*) AS n,
+        |       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total
+        |FROM events, q GROUP BY 1""".stripMargin,
     "set_except_union" ->
       """WITH e AS (SELECT event_type, event_id FROM events)
         |SELECT event_type, 'except' AS op FROM (

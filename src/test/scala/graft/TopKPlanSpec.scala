@@ -57,6 +57,22 @@ class TopKPlanSpec extends SparkSpec {
     assert(iFinal < iExchange && iExchange < iPartial, plan)
   }
 
+  test("bucketed input satisfies the distribution: zero-exchange top-k") {
+    // the point of declaring requiredChildDistribution instead of
+    // hand-rolling a repartition: a scan already hash-partitioned on
+    // the keys (bucketed table) plans with NO shuffle at all
+    val tbl = s"topk_bucketed_${System.nanoTime()}"
+    try {
+      events.write.bucketBy(4, "user_id").sortBy("user_id")
+        .option("path", s"/tmp/graft_$tbl").saveAsTable(tbl)
+      val plan = TopKPlan.topKPerKey(spark.table(tbl), Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), k = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected zero-exchange plan:\n$plan")
+      assert(plan.contains("TopKFinal") && plan.contains("TopKPartial"), plan)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("maxHeapKeys overflow path stays exact") {
     val got = TopKPlan.topKPerKey(events, Seq("user_id"),
       Seq("value" -> false, "event_id" -> true), k = 2, maxHeapKeys = 3)
