@@ -39,6 +39,26 @@ object Profile {
     time("jaccardPairs full")(
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count())
 
+    // experiment (kept as measurement record): replace the
+    // ex-self-join candidate gen with groupBy(h) + in-group pair
+    // emission (one shuffle of ex, pairs generated map-side after the
+    // agg; agg boundary blocks CollapseProject so the lambda reads
+    // materialized attributes). MEASURED at sf0.1: ~3.15 s vs ~3.3 s
+    // for the join formulation's equivalent stage — the 1.27M-row
+    // pair stream dominates either way, so the simpler join stays.
+    val byHash = ex.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = byHash.select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i => transform(slice(col("ds"), i + 1, size(col("ds")) - i),
+          b => struct(element_at(col("ds"), i).as("a"), b.as("b"))))))
+      .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val interG = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("grouped pair-gen inter")(interG.count())
+
     time("minhash signatures")(
       Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128).count())
 

@@ -24,6 +24,13 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_simhash64('a b c') = graft_simhash64('a  b   c')")
       .collect()(0).getBoolean(0)
     assert(sim) // whitespace-run tokenization
+    // injected AGGREGATE function: analyzer wraps it automatically
+    val hh = spark.sql(
+      """SELECT c.item FROM (
+        |  SELECT explode(graft_misra_gries(w, 3)) AS c
+        |  FROM VALUES ('a'),('a'),('a'),('b'),('b'),('z') AS t(w))""".stripMargin)
+      .as[String].collect().toSet
+    assert(Set("a", "b").subsetOf(hh))
   }
 
   test("salted count/avg equal plain groupBy results") {
