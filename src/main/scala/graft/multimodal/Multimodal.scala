@@ -101,6 +101,26 @@ object Multimodal {
     }
   }
 
+  case class FrameStats(media_id: Long, n_frames: Int,
+                        first_bytes: Int, last_bytes: Int)
+
+  /** Frame-sampling pass: runs [[Codec.sampleFrames]] per payload in a
+    * partition-batched typed transform (the video-frame plumbing:
+    * payload → bounded frame list → per-frame downstream work) and
+    * reports per-media frame counts/sizes. Map-only; the stub's
+    * byte-range "frames" make the stats arithmetic (ceil(len/every)),
+    * hence oracle-checkable — a real demuxer swaps into sampleFrames
+    * without touching the plan.
+    */
+  def frameStats(media: Dataset[MediaRow], every: Int): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val fs = Codec.sampleFrames(r.payload, every)
+      if (fs.isEmpty) FrameStats(r.media_id, 0, 0, 0)
+      else FrameStats(r.media_id, fs.length, fs.head.length, fs.last.length)
+    })
+  }
+
   /** Payload-level metadata pass (octet length + content digest) —
     * pure expressions over the binary column, no decode needed.
     */

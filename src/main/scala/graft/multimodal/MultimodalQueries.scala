@@ -29,6 +29,14 @@ object MultimodalQueries {
           size(col("features")).as("dim"),
           concat_ws(",", transform(col("features"),
             f => format_string("%.3f", f.cast("double")))).as("features_csv"))
+    }),
+    // frame-sampling plumbing; the stub's byte-range frames make the
+    // stats pure arithmetic, so this one IS oracle-checked
+    "mm_frame_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .as[Multimodal.MediaRow]
+      Multimodal.frameStats(media, every = 32).toDF()
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -39,5 +47,15 @@ object MultimodalQueries {
         |       'fake/raw' AS format,
         |       (length(text) % 640)::INT AS width,
         |       (length(text) % 480)::INT AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm_frame_stats" ->
+      """WITH l AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id AS media_id,
+        |       ceil(n / 32.0)::INT AS n_frames,
+        |       least(32, n)::INT AS first_bytes,
+        |       CASE WHEN n = 0 THEN 0
+        |            ELSE n - (ceil(n / 32.0)::INT - 1) * 32 END::INT
+        |         AS last_bytes
+        |FROM l""".stripMargin)
 }
