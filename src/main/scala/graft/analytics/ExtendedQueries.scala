@@ -81,6 +81,25 @@ object ExtendedQueries {
       Tables.events(s, dir)
         .rollup(col("event_type"), hour(col("ts")).as("hora"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))),
+    // Full ranking/analytic window suite (the reference has NO ranking
+    // functions at all — extension surface): one partition-sorted pass
+    // computes every rank family member plus lag/lead deltas
+    "w8_rank_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          (col("value") - lag(col("value"), 1).over(w)).as("gap_prev"),
+          (lead(col("value"), 1).over(w) - col("value")).as("gap_next"))
+        .filter(col("rnk") <= 50)
+    }),
     // Data-driven histogram: exact quartile edges computed once, joined
     // in as a broadcast scalar row, rows bucketed against them — the
     // quantile-stratification shape (F2/A14 family, at-scale variant
@@ -251,6 +270,22 @@ object ExtendedQueries {
         |SELECT event_type, hora, count(*) AS n,
         |       round(avg(value), 4) AS avg_v
         |FROM e GROUP BY ROLLUP(event_type, hora)""".stripMargin,
+    "w8_rank_suite" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |         rank() OVER w ::INT AS rnk,
+        |         dense_rank() OVER w ::INT AS drnk,
+        |         ntile(4) OVER w ::INT AS quartile,
+        |         round(percent_rank() OVER w, 6) AS prnk,
+        |         round(cume_dist() OVER w, 6) AS cdist,
+        |         value - lag(value, 1) OVER w AS gap_prev,
+        |         lead(value, 1) OVER w - value AS gap_next
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type
+        |               ORDER BY value DESC, event_id ASC))
+        |SELECT event_id, event_type, rnk, drnk, quartile, prnk, cdist,
+        |       gap_prev, gap_next
+        |FROM r WHERE rnk <= 50""".stripMargin,
     "a21_quantile_bins" ->
       """WITH q AS (
         |  SELECT quantile_cont(value, 0.25) AS q1,
