@@ -5,19 +5,19 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-/** Per-key top-k as a two-phase bounded-heap operator — an operator
-  * Spark has no specialized physical plan for.
+/** Per-key top-k as a two-phase bounded-heap operator.
   *
-  * The built-in formulation, `row_number().over(Window.partitionBy(
-  * keys).orderBy(...)) <= k`, shuffles EVERY row and fully sorts each
-  * key partition before discarding all but k rows. This operator
-  * map-side-prunes first: phase 1 keeps at most k rows per key per
-  * input partition in a bounded heap (no sort), so the shuffle carries
-  * ≤ k·keys·partitions rows instead of N; phase 2 merges the
-  * survivors per key and emits the exact top-k with ranks. At 100 TB
-  * with bounded k this turns the dominant shuffle into noise — the
-  * same partial-aggregation idea Catalyst applies to algebraic aggs,
-  * applied to a holistic operator it doesn't cover.
+  * Honest comparison with the built-in formulation
+  * (`row_number().over(Window.partitionBy(keys).orderBy(...)) <= k`):
+  * since 3.5, Spark plans that as Sort → WindowGroupLimit(Partial) →
+  * Exchange → Sort → WindowGroupLimit(Final) → Window → Filter —
+  * i.e. it ALSO prunes to ≤ k·keys·partitions rows before the
+  * shuffle, but only after FULLY SORTING each input partition
+  * (O(n log n) per partition, spill-eligible). This operator replaces
+  * that pre-shuffle sort with bounded per-key heaps: O(n log k) work,
+  * O(heapKeys·k) memory, no sort buffer over the input — the same
+  * shuffle volume for strictly less map-side work. Post-shuffle both
+  * sort only the pruned survivors.
   *
   * Results are identical to the window formulation with explicit
   * nulls-LAST ordering (`desc` / `asc_nulls_last`) — tested

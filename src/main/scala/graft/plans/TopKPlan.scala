@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Semantics are identical to [[graft.operators.TopK.topKPerKey]]
   * (and to `row_number() over (partition by keys order by ... nulls
-  * last) <= k`) — tested differentially. What the plan-node
-  * formulation adds over the `mapPartitions` one:
+  * last) <= k`) — tested differentially. Relative to Spark's own
+  * WindowGroupLimit plan for the window formulation, phase 1 prunes
+  * with bounded heaps (O(n log k), no full per-partition sort) instead
+  * of sorting the whole input partition first; see
+  * [[graft.operators.TopK]] for the full comparison. What the
+  * plan-node formulation adds over the `mapPartitions` one:
   *
   *  - the partial prune declares `outputPartitioning = child's`, and
   *    the final node declares `requiredChildDistribution =
