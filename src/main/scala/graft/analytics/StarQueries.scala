@@ -71,7 +71,18 @@ object StarQueries {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
-    }))
+    }),
+    // TPC-H Q6 shape: pure filter-heavy scan-agg — every predicate
+    // (date range, discount band, quantity cap) pushes into the
+    // parquet scan; the whole query is one map + one scalar agg
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+          .cast("double").as("revenue"))))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -122,5 +133,13 @@ object StarQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+        |              * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
 }
