@@ -115,4 +115,60 @@ class PropertySpec extends SparkSpec {
       assert(ab == model) // identical left-to-right summation
     }
   }
+
+  test("bandPairs == brute-force pairs for random positions and epsilon") {
+    for (seed <- 0 until 3) {
+      val eps = Seq(1L, 7L, 1000L)(seed)
+      val positions = samples(Gen.chooseNum(-5000L, 5000L), n = 120)
+        .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      val df = positions.toDF("id", "p").repartition(5)
+      val got = graft.operators.BandJoin.bandPairs(df, "id", "p", eps)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        (a, pa) <- positions; (b, pb) <- positions
+        if a < b && math.abs(pa - pb) <= eps
+      } yield (a, b)).sorted
+      assert(got == want, s"eps=$eps")
+    }
+  }
+
+  test("plan-node top-k == plain-Scala model for random data and k") {
+    val rows = samples(for {
+      key <- Gen.chooseNum(0, 6); v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (key, v), n = 150).zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k, v) }
+    for (k <- Seq(1, 3, 7)) {
+      val got = graft.plans.TopKPlan.topKPerKey(
+        rows.toDF("id", "key", "v").repartition(4), Seq("key"),
+        Seq("v" -> false, "id" -> true), k)
+        .select("key", "id", "rank").as[(Int, Long, Int)].collect().toSet
+      val want = rows.groupBy(_._2).flatMap { case (key, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(k).zipWithIndex
+          .map { case (r, i) => (key, r._1, i + 1) }
+      }.toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("Misra-Gries superset guarantee on random skewed streams") {
+    graft.functions.MisraGries.register(spark)
+    for (seed <- 0 until 3) {
+      // zipf-ish: item i drawn with weight ~ 1/(i+1)
+      val items = samples(Gen.frequency(
+        (8, Gen.const("hot")), (4, Gen.const("warm")),
+        (2, Gen.const("mild")), (1, Gen.chooseNum(0, 500).map(i => s"cold$i"))
+      ), n = 400 + seed)
+      val capacity = 6
+      val surviving = items.toDF("w").repartition(3 + seed)
+        .agg(graft.functions.MisraGries.sketch(col("w"), capacity).as("sk"))
+        .select(explode(col("sk")).as("c"))
+        .select($"c.item").as[String].collect().toSet
+      val counts = items.groupBy(identity).view.mapValues(_.size).toMap
+      val threshold = items.size.toDouble / (capacity + 1)
+      counts.filter(_._2 > threshold).keys.foreach { k =>
+        assert(surviving.contains(k),
+          s"seed=$seed: $k (${counts(k)} > $threshold) must survive")
+      }
+    }
+  }
 }
