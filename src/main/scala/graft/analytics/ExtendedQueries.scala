@@ -147,6 +147,22 @@ object ExtendedQueries {
           round(avg(col("gap_us")), 4).as("avg_gap_us"),
           max(col("gap_us")).as("max_gap_us"))
     }),
+    // forward as-of with tolerance: EARLIEST click at-or-after each
+    // purchase, but only within 1 hour (merge_asof direction+tolerance)
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"),
+          direction = "forward", toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("value"),
+          col("asof_click_value"))
+    }),
     // K2': per-key top-k via the two-phase bounded-heap operator
     "k2_topk_per_key" -> ((s, dir) =>
       graft.operators.TopK.topKPerKey(
@@ -336,6 +352,26 @@ object ExtendedQueries {
         |           AS rank
         |  FROM events)
         |WHERE rank <= 2""".stripMargin,
+    "asof_join_fwd" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT p.event_id, c.click_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts ASC) AS rn
+        |  FROM purch p JOIN clicks c ON p.user_id = c.user_id
+        |   AND c.ts >= p.ts
+        |   AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP + INTERVAL 1 HOUR)
+        |SELECT p.event_id, p.user_id,
+        |       date_trunc('second', p.ts) AS ts_s, p.value,
+        |       c.click_value AS asof_click_value
+        |FROM purch p
+        |LEFT JOIN (SELECT event_id, click_value FROM cand WHERE rn = 1) c
+        |  USING (event_id)""".stripMargin,
     "band_join_events" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,
         |       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS dt_us

@@ -48,4 +48,27 @@ class AsofJoinSpec extends SparkSpec {
     val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("x")).collect()
     assert(got.length == 1 && got(0).isNullAt(3))
   }
+
+  test("forward direction picks the earliest at-or-after row") {
+    val left = Seq((1L, ts(10), "p"), (1L, ts(50), "q")).toDF("k", "t", "v")
+    val right = Seq((1L, ts(5), 100), (1L, ts(10), 200), (1L, ts(30), 300))
+      .toDF("k", "t", "x")
+    val got = AsofJoin
+      .asofJoin(left, right, "k", "t", Seq("x"), direction = "forward")
+      .select("v", "asof_x").as[(String, Option[Int])].collect().toMap
+    // at-or-after is inclusive: t=10 matches the t=10 right row;
+    // t=50 has nothing after it
+    assert(got == Map("p" -> Some(200), "q" -> None))
+  }
+
+  test("tolerance nulls matches beyond the staleness bound") {
+    val left = Seq((1L, ts(100), "near"), (1L, ts(500), "far"))
+      .toDF("k", "t", "v")
+    val right = Seq((1L, ts(90), 7)).toDF("k", "t", "x")
+    val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("x"),
+      toleranceUs = Some(15L * 60L * 1000000L)) // 15 min
+      .select("v", "asof_x").as[(String, Option[Int])].collect().toMap
+    // 10 min stale -> kept; 410 min stale -> nulled by the tolerance
+    assert(got == Map("near" -> Some(7), "far" -> None))
+  }
 }
