@@ -364,7 +364,7 @@ object ExtendedQueries {
         |         row_number() OVER (PARTITION BY p.event_id
         |                            ORDER BY c.ts ASC) AS rn
         |  FROM purch p JOIN clicks c ON p.user_id = c.user_id
-        |   AND c.ts >= p.ts
+        |   AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP
         |   AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP + INTERVAL 1 HOUR)
         |SELECT p.event_id, p.user_id,
         |       date_trunc('second', p.ts) AS ts_s, p.value,

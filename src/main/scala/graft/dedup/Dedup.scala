@@ -36,8 +36,12 @@ object Dedup {
     // splits per doc). m = 0 when size < n ⇒ empty result, no guard.
     val m = greatest(size(toks) - (n - 1), lit(0))
     val zipped = arrays_zip((1 to n).map(j => slice(toks, lit(j), m)): _*)
-    array_distinct(transform(zipped, s =>
-      concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*)))
+    // NULL text ⇒ empty array, not NULL (slice(null,…) propagates null;
+    // callers rely on size() = 0 for empty/null docs)
+    coalesce(
+      array_distinct(transform(zipped, s =>
+        concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))),
+      array().cast("array<string>"))
   }
 
   /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via

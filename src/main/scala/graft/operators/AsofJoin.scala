@@ -80,9 +80,12 @@ object AsofJoin {
         struct(valueCols.map(col) :+ col(ts).as("__ts"): _*).as("__r"): _*)
     // backward: ascending ts, carry last-at-or-before; forward:
     // descending ts, carry last-at-or-after. Right (side 0) sorts
-    // before left at equal ts either way → inclusive bounds.
+    // before left at equal ts either way → inclusive bounds. NULLS
+    // FIRST: a left row with NULL ts must sort before every right row
+    // (all right ts are non-null here) so the carry sees no payload and
+    // yields NULL — ASOF semantics never match a null timestamp.
     val tsOrd =
-      if (direction == "backward") col(ts).asc_nulls_last else col(ts).desc_nulls_last
+      if (direction == "backward") col(ts).asc_nulls_first else col(ts).desc_nulls_first
     val w = Window.partitionBy(col(key))
       .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

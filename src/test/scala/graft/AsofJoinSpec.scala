@@ -42,6 +42,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(3))
   }
 
+  test("left rows with NULL timestamp never match, either direction") {
+    val left = Seq((1L, None: Option[Timestamp], "nul"), (1L, Some(ts(20)), "ok"))
+      .toDF("k", "t", "v")
+    val right = Seq((1L, ts(10), 100), (1L, ts(30), 300)).toDF("k", "t", "x")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("x"), direction = dir)
+        .select("v", "asof_x").as[(String, Option[Int])].collect().toMap
+      assert(got("nul").isEmpty, s"null left ts must not match ($dir)")
+      assert(got("ok") == Some(if (dir == "backward") 100 else 300))
+    }
+  }
+
   test("left rows with no key on the right side get null") {
     val left = Seq((7L, ts(1), "z")).toDF("k", "t", "v")
     val right = Seq((8L, ts(0), 5)).toDF("k", "t", "x")

@@ -51,6 +51,10 @@ class DedupAnnSpec extends SparkSpec {
     val empty = Seq((9L, "a b")).toDF("doc_id", "text")
       .select(size(TextHashing.ngramHashes(col("text"), 3))).as[Int].head()
     assert(empty == 0)
+    // NULL text -> empty array (not NULL): callers use size() = 0
+    val nullDoc = Seq((10L, None: Option[String])).toDF("doc_id", "text")
+      .select(size(Dedup.shingles(col("text"), 3))).as[Int].head()
+    assert(nullDoc == 0)
   }
 
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
