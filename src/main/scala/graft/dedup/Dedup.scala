@@ -60,27 +60,50 @@ object Dedup {
       graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
   }
 
+  /** Exact threshold-Jaccard pairs via prefix filtering (SSJoin /
+    * PPJoin family): under ANY global total order of shingles — here
+    * ascending hash value, which the kernel already emits sorted — two
+    * sets with Jaccard ≥ t MUST share an element within each set's
+    * first |s| − ⌈t·|s|⌉ + 1 elements. So the inverted index is built
+    * over ~(1−t)·|s| prefix hashes instead of all of them, the join
+    * applies the length filter (t·|b| ≤ |a|), and the surviving
+    * candidate pairs — a small superset of the answer — are verified
+    * exactly with one array_intersect over the full sorted arrays.
+    * Lossless: output is identical to the all-shingles join; the
+    * shuffled pair stream shrinks by ~|prefix|/|s| plus the verify
+    * dedup (each candidate once, not once per shared shingle).
+    */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double): DataFrame = {
-    val sh = hashedShingles(df, id, text, n)
-    // The shuffle carries two longs per row; shingle strings never
-    // materialize. (Cross-shingle hash collisions would inflate `inter`
-    // with probability ~|shingles|²/2⁶⁴ — negligible at any realistic
-    // corpus size.)
-    val ex = sh.select(col("doc"), explode(col("hs")).as("h"))
-    val sizes = sh.select(col("doc"), size(col("hs")).as("sz"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc").as("doc_a"), col("sz").as("sza"))),
-        Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc").as("doc_b"), col("sz").as("szb"))),
-        Seq("doc_b"))
+    // self-joins get no exchange reuse: materialize the shingle table
+    // once (one kernel pass) instead of re-hashing the corpus on every
+    // of its four plan references
+    val sh = hashedShingles(df, id, text, n).localCheckpoint(true)
+    val preLen = (size(col("hs")) -
+      ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
+    val ex = sh.filter(size(col("hs")) > 0)
+      .select(col("doc"), size(col("hs")).as("sz"),
+        explode(slice(col("hs"), lit(1), preLen)).as("h"))
+    val cand = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc")
+        && col("a.sz") >= ceil(lit(threshold) * col("b.sz"))
+        && col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // Verify candidates WITH duplicates (a pair appears once per shared
+    // prefix hash — a few %): deduplicating 250 verified rows at the
+    // end is one tiny shuffle vs a distinct over the whole candidate
+    // stream. shuffle_hash: build the doc-keyed shingle side per
+    // partition instead of sort-merging both sides.
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("hs").as("sha"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("hs").as("shb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .distinct()
   }
 
   /** MinHash signature columns via the standard universal-hash family
@@ -128,23 +151,31 @@ object Dedup {
                       threshold: Double, numHashes: Int = 128,
                       bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sig = signatures(df, id, text, n, numHashes)
-    // band value = hash of its r signature entries
-    val banded = sig.select(col("doc") +: (0 until bands).map { bnd =>
-      xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"m$i")): _*)
-        .as(s"b$bnd")
-    }: _*)
-    val ex = banded.select(col("doc"), explode(map(
-      (0 until bands).flatMap(bnd => Seq(lit(bnd), col(s"b$bnd"))): _*))
-      .as(Seq("band", "bh")))
-    val cand = ex.as("x").join(ex.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+    // Signature + banding in ONE map-only native kernel per doc
+    // (band index folded into the band hash, so the join key is the
+    // single band-hash long). The composable alternative — explode +
+    // 128 min-aggregates + 32 xxhash64 band columns — shuffles every
+    // shingle and pays a 128-expression plan for the same result.
+    // localCheckpoint: one kernel pass shared by banding + the two
+    // verification joins (self-join plans get no exchange reuse).
+    val sh = hashedShingles(df, id, text, n).localCheckpoint(true)
+    val ex = sh.filter(size(col("hs")) > 0)
+      .select(col("doc"),
+        explode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L)).as("bh"))
+    // Bucket members pair up via one groupBy — half the shuffles of the
+    // inverted-index self-join and no join at all. Bucket sizes are
+    // near-dup cluster sizes (small); a mass-duplicate corpus would cap
+    // or salt the hottest buckets upstream.
+    val cand = ex.groupBy(col("bh"))
+      .agg(array_sort(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // exact verification over the candidates only
-    val sh = hashedShingles(df, id, text, n)
     cand
       .join(sh.select(col("doc").as("doc_a"), col("hs").as("sha")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("hs").as("shb")), Seq("doc_b"))

@@ -110,8 +110,69 @@ object TextHashing {
     sig
   }
 
+  /** MinHash band hashes straight from a shingle-hash array, one JVM
+    * pass: signature k = min over shingles of gₖ(x) = (aₖ·x + bₖ) mod p
+    * (x = hash mod p, p = 2³¹−1, the same universal family Spark ML's
+    * MinHashLSH uses), then each of `bands` bands of r = numHashes/bands
+    * consecutive signature entries collapses to one 64-bit mix (band
+    * index folded in, so hashes never collide across bands and pairs
+    * can join on the band hash alone). The composable formulation —
+    * explode + groupBy(doc) with `numHashes` min-aggregates + band
+    * xxhash64 columns — shuffles every shingle and carries a
+    * 128-expression plan; this is map-only and O(shingles × numHashes)
+    * per doc. Empty input ⇒ empty output (caller filters).
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]
+  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { case (nh, sd) =>
+      val rnd = new scala.util.Random(sd)
+      val as = new Array[Long](nh); val bs = new Array[Long](nh)
+      var i = 0
+      while (i < nh) {
+        as(i) = 1L + rnd.nextInt(Int.MaxValue - 1)
+        bs(i) = rnd.nextInt(Int.MaxValue).toLong
+        i += 1
+      }
+      (as, bs)
+    })
+
+  def minhashBands(hs: ArrayData, numHashes: Int, bands: Int,
+                   seed: Long): ArrayData = {
+    val m = hs.numElements()
+    if (m == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val (as, bs) = coeffs(numHashes, seed)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = ((hs.getLong(i) % MinhashP) + MinhashP) % MinhashP
+      var k = 0
+      while (k < numHashes) {
+        val v = (as(k) * x + bs(k)) % MinhashP // < 2^62: no overflow
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = fmix64(-7046029254386353131L ^ b)
+      var j = 0
+      while (j < r) { h = fmix64(h ^ sig(b * r + j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   val FuncName = "graft_ngram_hashes"
   val SimhashName = "graft_simhash64"
+  val MinhashBandsName = "graft_minhash_bands"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -121,6 +182,13 @@ object TextHashing {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimhashName, exprs => SimHash64Expr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinhashBandsName,
+      exprs => MinhashBandsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()),
+      "built-in")
   }
 
   /** Column API; requires [[register]] on the session. */
@@ -128,6 +196,10 @@ object TextHashing {
     call_function(FuncName, text, lit(n))
 
   def simhash64(text: Column): Column = call_function(SimhashName, text)
+
+  def minhashBands(hashes: Column, numHashes: Int, bands: Int,
+                   seed: Long): Column =
+    call_function(MinhashBandsName, hashes, lit(numHashes), lit(bands), lit(seed))
 }
 
 /** Expression wrapper for [[TextHashing.simhash64]]. */
@@ -141,6 +213,24 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashing.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Expression wrapper for [[TextHashing.minhashBands]]. */
+case class MinhashBandsExpr(child: Expression, numHashes: Int, bands: Int,
+                            seed: Long) extends UnaryExpression {
+  require(bands > 0 && numHashes % bands == 0, "bands must divide numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = TextHashing.MinhashBandsName
+
+  override protected def nullSafeEval(hs: Any): Any =
+    TextHashing.minhashBands(hs.asInstanceOf[ArrayData], numHashes, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.minhashBands($c, $numHashes, $bands, ${seed}L);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

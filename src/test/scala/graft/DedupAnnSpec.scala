@@ -57,6 +57,27 @@ class DedupAnnSpec extends SparkSpec {
     assert(nullDoc == 0)
   }
 
+  test("minhashBands kernel: deterministic, band-count sized, empty-safe") {
+    TextHashing.register(spark)
+    val df = corpus.select(col("doc_id"),
+      TextHashing.minhashBands(
+        TextHashing.ngramHashes(col("text"), 3), 128, 32, 7L).as("bh"))
+    val rows = df.select(col("doc_id"), size(col("bh"))).as[(Long, Int)]
+      .collect().toMap
+    assert(rows.values.forall(_ == 32))
+    // identical docs -> identical band hashes in every band
+    val bh = df.as[(Long, Array[Long])].collect().toMap
+    assert(bh(1L).sameElements(bh(2L)))
+    // deterministic across evaluations
+    assert(df.as[(Long, Array[Long])].collect().toMap.apply(3L)
+      .sameElements(bh(3L)))
+    // empty shingle set -> empty band array, not a crash or null
+    val e = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(size(TextHashing.minhashBands(
+        TextHashing.ngramHashes(col("text"), 3), 128, 32, 7L))).as[Int].head()
+    assert(e == 0)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
