@@ -103,11 +103,12 @@ object Ann {
     val bandMatch = (0 until bands)
       .map(bnd => col(s"qb$bnd") === col(s"cb$bnd"))
       .reduce(_ || _)
+    // no distinct: one corpus row × one query row meets the OR-of-bands
+    // condition at most once, so (qid, vid) pairs are already unique
     val cand = cSig.join(broadcast(qSig), bandMatch && col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -147,8 +148,11 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
                       nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
     val c = prepared(corpus, id, vec)
+    // materialize the unit vectors once: every Lloyd iteration (and the
+    // seeding scan) would otherwise re-read + re-normalize the corpus
     val unit = c.filter(col("nrm") > 0)
       .select(transform(col("v"), x => x / col("nrm")).as("u"))
+      .localCheckpoint(true)
     var cents = firstNCentroids(c, nCentroids)
     for (_ <- 1 to iters) {
       val sums = unit
@@ -186,12 +190,13 @@ object Ann {
           .as("probes"))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes").getField("idx")).as("cell"))
+    // no distinct: each corpus vector lives in exactly one cell and a
+    // query probes nProbe distinct cells, so (qid, vid) is unique
     val cand = assigned.join(broadcast(q),
         Seq("cell")).filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
