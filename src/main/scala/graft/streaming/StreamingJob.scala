@@ -34,13 +34,26 @@ object StreamingJob {
     * immediately — each call cleans up exactly its own table, so
     * concurrent calls and long-lived returned DataFrames are safe.
     */
-  def runToMemory(stream: DataFrame, mode: String = "append"): DataFrame = {
+  def runToMemory(stream: DataFrame, mode: String = "append",
+                  shufflePartitions: Option[Int] = Some(8)): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_mem_${sinkCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful operators open one state store per shuffle partition,
+    // each with its own delta-file commit per micro-batch — at local
+    // harness scale that fixed cost dominates (a 32-partition
+    // stream-stream join spends more time in store commits than in
+    // rows). The stream clones the session conf at start(), so scoping
+    // the override here is race-free; a cluster deployment passes None
+    // and keeps the session's parallelism.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n))
+    val q = try {
+      stream.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
     q.awaitTermination()
     val sink = spark.table(name)
     val out = spark.createDataFrame(
