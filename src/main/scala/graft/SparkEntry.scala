@@ -45,7 +45,9 @@ object SparkEntry {
     coreQueries ++
       graft.analytics.DashboardQueries.queries ++
       graft.analytics.ExtendedQueries.queries ++
+      graft.analytics.RelationalOpsQueries.queries ++
       graft.analytics.StarQueries.queries ++
+      graft.similarity.EmbeddingQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
@@ -130,7 +132,9 @@ object SparkEntry {
     coreOracleSql ++
       graft.analytics.DashboardQueries.oracleSql ++
       graft.analytics.ExtendedQueries.oracleSql ++
+      graft.analytics.RelationalOpsQueries.oracleSql ++
       graft.analytics.StarQueries.oracleSql ++
+      graft.similarity.EmbeddingQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++

@@ -1,0 +1,177 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Skew
+
+/** Relational operator surface beyond the reference's inventory, all
+  * DuckDB-oracle-checked: semi/anti joins (EXISTS / NOT EXISTS
+  * shapes), explicit window frames (running, moving, time-range),
+  * GROUPING SETS with grouping indicators, UNPIVOT (melt), and the
+  * salted skew join proven equal to the plain join.
+  *
+  * Scale notes per query live next to each definition; the common
+  * thread: every shape here shuffles on its natural key, frames sort
+  * once per partition, and the semi/anti joins reduce to broadcast
+  * hash joins when the filtering side is small.
+  */
+object RelationalOpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LEFT SEMI: customers having at least one order (EXISTS). The
+    // probe side streams; only order keys travel — semi joins never
+    // multiply rows, so the shuffle is bounded by the fact side.
+    "join_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("total_acctbal"))
+    }),
+    // LEFT ANTI: customers with no URGENT order (NOT EXISTS with a
+    // filtered build side — every customer has SOME order, so the
+    // predicate keeps the result non-trivial).
+    "join_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("total_acctbal"))
+    }),
+    // Explicit window frames in one partition-sorted pass per user:
+    // running total (ROWS UNBOUNDED PRECEDING), 3-row moving average
+    // (ROWS 2 PRECEDING), trailing-hour total (RANGE over event-time
+    // micros), first value, running row count. Money sums in exact
+    // DECIMAL so engine-side reassociation can't move the rounding.
+    "w9_running_frames" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov3 = byUser.rowsBetween(-2, 0)
+      val hourRange = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(18,2)")).over(run), 2)
+          .cast("double").as("running_total"),
+        round(avg(col("value")).over(mov3), 4).as("mov_avg3"),
+        round(sum(col("value").cast("decimal(18,2)")).over(hourRange), 2)
+          .cast("double").as("hour_total"),
+        first(col("value")).over(run).as("first_v"),
+        count(lit(1)).over(run).as("row_in_user"))
+    }),
+    // GROUPING SETS with per-column grouping indicators — the general
+    // form cube/rollup (a18/a20) specialize. SQL surface on a temp
+    // view; one shuffle, Spark expands the sets map-side.
+    "a23_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_ev_gs")
+      s.sql(
+        """SELECT event_type, hour(ts) AS hora,
+          |       CAST(grouping(event_type) AS INT) AS g_type,
+          |       CAST(grouping(hour(ts)) AS INT) AS g_hora,
+          |       count(*) AS n
+          |FROM graft_ev_gs
+          |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+          |""".stripMargin)
+    }),
+    // UNPIVOT (melt): wide per-flag measure sums to long
+    // (flag, measure, total) — the multimodal/training-data shape for
+    // turning measure columns into rows. Map-only after the agg.
+    "p22_unpivot" -> ((s, dir) => {
+      val sums = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").as("quantity"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("extendedprice"),
+          round(sum(col("l_discount").cast("decimal(18,2)")), 2)
+            .cast("double").as("discount"))
+      sums.unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "total")
+    }),
+    // Salted skew join == plain join: per-type mean joined back onto
+    // the (skewed) fact stream with the dim replicated per salt, then
+    // per-type deviation totals. The oracle replays the plain join.
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      // absolute deviations: plain deviations sum to ~±1e-9 ≈ 0, where
+      // Spark rounds to -0.0 and DuckDB to 0.0 — bitwise unequal
+      Skew.saltedJoin(ev, dim, "event_type", buckets = 32)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(abs(col("value") - col("type_avg"))), 2).as("dev_total"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    "w9_running_frames" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value::DECIMAL(18,2)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+        |    AS running_total,
+        |  round(avg(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+        |  round(sum(value::DECIMAL(18,2)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)::DOUBLE
+        |    AS hour_total,
+        |  first_value(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_in_user
+        |FROM events""".stripMargin,
+    "a23_grouping_sets" ->
+      """SELECT event_type, hour(ts) AS hora,
+        |       CAST(GROUPING(event_type) AS INT) AS g_type,
+        |       CAST(GROUPING(hour(ts)) AS INT) AS g_hora,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())""".stripMargin,
+    "p22_unpivot" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS quantity,
+        |         round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS extendedprice,
+        |         round(sum(l_discount::DECIMAL(18,2)), 2)::DOUBLE AS discount
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM sums
+        |UNION ALL
+        |SELECT l_returnflag, 'extendedprice', extendedprice FROM sums
+        |UNION ALL
+        |SELECT l_returnflag, 'discount', discount FROM sums""".stripMargin,
+    "skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+        |SELECT e.event_type AS event_type, count(*) AS n,
+        |       round(sum(abs(e.value - d.type_avg)), 2) AS dev_total
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1""".stripMargin)
+}

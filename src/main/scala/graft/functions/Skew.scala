@@ -36,4 +36,25 @@ object Skew {
       .groupBy(col("key"))
       .agg((sum(col("s")) / sum(col("c"))).as("avg"),
         sum(col("c")).as("n"))
+
+  /** Salted inner equi-join for a skewed fact side against a dim too
+    * big (or undesirable) to broadcast: fact rows get a deterministic
+    * salt in [0, buckets), the dim is replicated once per salt value,
+    * and the join key becomes (key, salt) — a hot key's rows spread
+    * over `buckets` reducers instead of landing on one. Result equals
+    * the plain inner equi-join for any data (each fact row meets
+    * exactly the one dim replica carrying its salt). Cost: dim is
+    * shuffled `buckets`×. AQE's skew-join split is the optimizer-side
+    * equivalent; this is the explicit plan-visible variant that also
+    * works pre-AQE and in streaming plans.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 32): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(buckets.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,0 +1,69 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-column transformations a training-data pipeline needs
+  * beyond similarity search: per-group centroids (class prototypes /
+  * cluster summaries) and scalar int8 quantization (the standard
+  * 4×-compression trick for vector storage), both oracle-checked.
+  *
+  * Both are posexplode → keyed aggregation shapes: the shuffle carries
+  * (key, dim, value) triples, partial aggregation reduces map-side,
+  * and nothing touches the driver — the same plan at 100 TB.
+  */
+object EmbeddingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label centroid, one row per (label, dimension). float→double
+    // cast is exact; avg rounded to 4 so cross-engine summation-order
+    // noise can't reach the hash.
+    "emb_group_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 4).as("c"))),
+    // Per-vector min-max scalar quantization to [0, 255]; the output is
+    // the integer checksum per vector (exact in both engines — no
+    // float comparison at all). Degenerate constant vectors quantize
+    // to 0 by convention on both sides.
+    "emb_quantize_int8" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+      val stats = ex.groupBy(col("vec_id"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(stats.hint("shuffle_hash"), Seq("vec_id"))
+        .select(col("vec_id"),
+          when(col("mx") > col("mn"),
+            round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255)
+              .cast("long"))
+            .otherwise(0L).as("q"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).cast("int").as("n_dims"), sum(col("q")).as("q_sum"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "emb_group_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT label, pos, round(avg(x), 4) AS c
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |st AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1)
+        |SELECT ex.vec_id AS vec_id, count(*)::INT AS n_dims,
+        |       sum(CASE WHEN st.mx > st.mn
+        |                THEN round((ex.x - st.mn) / (st.mx - st.mn) * 255)::BIGINT
+        |                ELSE 0 END)::BIGINT AS q_sum
+        |FROM ex JOIN st ON ex.vec_id = st.vec_id
+        |GROUP BY 1""".stripMargin)
+}
