@@ -76,4 +76,44 @@ class PlanShapeSpec extends SparkSpec {
       assert(shuffles(agg.queryExecution.executedPlan).size == 1)
     }
   }
+
+  test("semi/anti joins plan as hash joins of the declared type") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val semi = graft.analytics.RelationalOpsQueries
+        .queries("join_semi")(spark, dir).queryExecution.executedPlan.toString
+      assert(semi.contains("LeftSemi"), s"expected LeftSemi join:\n$semi")
+      assert(!semi.contains("SortMergeJoin"),
+        s"small build side must hash-join, not sort:\n$semi")
+      val anti = graft.analytics.RelationalOpsQueries
+        .queries("join_anti")(spark, dir).queryExecution.executedPlan.toString
+      assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
+    }
+  }
+
+  test("w9 window frames share one user-keyed exchange") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val plan = graft.analytics.RelationalOpsQueries
+        .queries("w9_running_frames")(spark, dir).queryExecution.executedPlan
+      // the ROWS frames and the RANGE frame order differently (ts vs
+      // unix_micros(ts)) so two Window nodes are expected — but both
+      // partition by user_id, so the rows must shuffle exactly once
+      assert(shuffles(plan).size == 1,
+        s"frames over the same partition key must reuse one exchange:\n$plan")
+    }
+  }
+
+  test("grouping sets and unpivot plan via Expand, one shuffle for the agg") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val gs = graft.analytics.RelationalOpsQueries
+        .queries("a23_grouping_sets")(spark, dir).queryExecution.executedPlan
+      assert(gs.toString.contains("Expand"), s"grouping sets expand:\n$gs")
+      assert(shuffles(gs).size == 1)
+      val up = graft.analytics.RelationalOpsQueries
+        .queries("p22_unpivot")(spark, dir).queryExecution.executedPlan
+      assert(up.toString.contains("Expand"), s"unpivot expands:\n$up")
+    }
+  }
 }
