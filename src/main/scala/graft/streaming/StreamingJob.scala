@@ -211,6 +211,45 @@ object StreamingJob {
         })
   }
 
+  /** [[runningUserTotals]] re-expressed on the Spark 4 arbitrary-state
+    * API (`transformWithState`): typed state variables with optional
+    * TTL, timers, and RocksDB-backed stores — the successor to
+    * `mapGroupsWithState` for new code. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState rejects the default
+    * HDFS-backed provider).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TxKeyed, UserRunning] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: String, rows: Iterator[TxKeyed],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      var (n, total) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.filter(_.transacao_aprovada).foreach { e =>
+        n += 1; total += e.valor_transacao
+      }
+      totals.update((n, total))
+      Iterator.single(UserRunning(user, n, total))
+    }
+  }
+
+  /** Update-mode running totals via [[RunningTotalsProcessor]]. */
+  def runningUserTotalsTws(ds: Dataset[TxKeyed]): Dataset[UserRunning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id_usuario_pagador)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drop events that arrive with an event time older than the user's
     * last APPROVED transaction (report p.8 business rule). State per
     * user = max approved event-time millis. Works identically on batch

@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("u1", 1L, 100.0)) && rows.contains(("u1", 2L, 125.0)))
   }
 
+  test("transformWithState running totals accumulate across batches (RocksDB)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[TxKeyed]
+      val query = StreamingJob.runningUserTotalsTws(ms.toDS())
+        .writeStream.format("memory").queryName("running_totals_tws")
+        .outputMode("update").start()
+      ms.addData(
+        TxKeyed("t1", "u1", ts("2024-01-01 10:00:00"), 100.0, true),
+        TxKeyed("t2", "u1", ts("2024-01-01 10:01:00"), 50.0, false))
+      query.processAllAvailable()
+      ms.addData(TxKeyed("t3", "u1", ts("2024-01-01 10:02:00"), 25.0, true))
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("running_totals_tws")
+        .select("id_usuario", "n_aprovadas", "total_aprovado")
+        .as[(String, Long, Double)].collect()
+      assert(rows.contains(("u1", 1L, 100.0)) && rows.contains(("u1", 2L, 125.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
