@@ -28,6 +28,16 @@ object ExtendedQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
+    // HLL++ sketch beside the exact distinct — the at-scale variant of
+    // a17 (single pass, fixed memory, mergeable across partitions).
+    // Sketch estimates are engine-specific → rows-only driver check;
+    // the ≤5%-relative-error bound is spec-asserted instead
+    // (ExtensionsSpec).
+    "a24_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),

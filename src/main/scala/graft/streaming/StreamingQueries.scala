@@ -99,8 +99,25 @@ object StreamingQueries {
       .select(col("window.start").as("hora"), col("n"), col("total_value"))
   }
 
+  /** Streaming session windows (30-min gap per user) — the
+    * state-MERGING window kind: sessions grow and fuse as events
+    * arrive, which tumbling/hopping state never does. Complete mode on
+    * the finite source must equal the batch gaps-and-islands oracle
+    * (same oracle as w5_session_window).
+    */
+  private def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.eventsStream(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    StreamingJob.runToMemory(agg, mode = "complete")
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start")).as("session_start"),
+        col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
+    "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
     "w7_hopping_rollup" -> ((s, dir) => streamHopping(s, dir)),
     "s5_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
@@ -113,6 +130,8 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s6_stream_session_window" ->
+      graft.analytics.ExtendedQueries.oracleSql("w5_session_window"),
     "s4_stream_pipeline" ->
       s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
          |SELECT id_transacao, id_usuario_pagador, id_regiao,

@@ -143,6 +143,43 @@ object Text {
           .as("avg_logp"))
   }
 
+  /** Top bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln((c_ab/B) / ((c_a/T)·(c_b/T))) with T total tokens
+    * and B total bigrams, over bigrams seen at least `minCount` times.
+    * Docs with fewer than two tokens are excluded from every count so
+    * the universe is identical across engines. Ranking compares the
+    * ROUNDED pmi (then the bigram string) so last-ULP log noise can't
+    * reorder the cut. Unigram tables are broadcast here (vocab ≪
+    * corpus); at open-vocabulary scale drop the hint and let the
+    * bigram→unigram joins shuffle on the token key.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long, topN: Int): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .localCheckpoint(true) // shared by totals + unigrams + bigrams
+    val n1 = size(col("tk")) - 1
+    val bg = base
+      .select(explode(arrays_zip(slice(col("tk"), lit(1), n1),
+        slice(col("tk"), lit(2), n1))).as("p"))
+      .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cw"))
+    val tot = base.agg(sum(size(col("tk"))).cast("double").as("t"),
+      sum(size(col("tk")) - 1).cast("double").as("bt"))
+    val cnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    cnt
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), Seq("b"))
+      .join(broadcast(tot))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("n"),
+        round(log((col("n").cast("double") / col("bt")) /
+          ((col("ca") / col("t")) * (col("cb") / col("t")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topN)
+  }
+
   /** Whitespace-normalized lowercase form used for exact-dup keys. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

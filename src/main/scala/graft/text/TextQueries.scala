@@ -65,7 +65,11 @@ object TextQueries {
       graft.functions.HeavyHitters.heavyHitters(
         Tables.documents(s, dir)
           .select(explode(Text.tokens(col("text"))).as("w")),
-        "w", phi = 0.01)))
+        "w", phi = 0.01)),
+    // Bigram collocations ranked by pointwise mutual information
+    "tx_collocations" -> ((s, dir) =>
+      Text.collocations(Tables.documents(s, dir), "text",
+        minCount = 5, topN = 20)))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -176,5 +180,28 @@ object TextQueries {
          |n AS (SELECT count(*) AS n_total FROM ex)
          |SELECT item, count(*) AS cnt
          |FROM ex, n GROUP BY item, n_total
-         |HAVING count(*) >= n_total * 0.01""".stripMargin)
+         |HAVING count(*) >= n_total * 0.01""".stripMargin,
+    // PMI arithmetic replayed with the identical operation order
+    // ((c_ab/B) / ((c_a/T)(c_b/T)), then ln, then round) so the two
+    // engines agree bit-for-bit after rounding; ranking compares the
+    // rounded value
+    "tx_collocations" ->
+      s"""WITH d2 AS (SELECT $toks AS w FROM documents WHERE len($toks) >= 2),
+         |tot AS (SELECT sum(len(w))::DOUBLE AS t,
+         |               sum(len(w) - 1)::DOUBLE AS bt FROM d2),
+         |ucnt AS (SELECT tok, count(*)::DOUBLE AS cw
+         |         FROM (SELECT unnest(w) AS tok FROM d2) GROUP BY 1),
+         |big AS (SELECT unnest(list_transform(range(1, len(w)),
+         |                                     i -> [w[i], w[i+1]])) AS p
+         |        FROM d2),
+         |cnt AS (SELECT p[1] AS a, p[2] AS b, count(*) AS n
+         |        FROM big GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT a || ' ' || b AS bigram, n,
+         |       round(ln((n::DOUBLE / t.bt)
+         |                / ((ca.cw / t.t) * (cb.cw / t.t))), 4) AS pmi
+         |FROM cnt
+         |JOIN ucnt ca ON cnt.a = ca.tok
+         |JOIN ucnt cb ON cnt.b = cb.tok
+         |CROSS JOIN tot t
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin)
 }
