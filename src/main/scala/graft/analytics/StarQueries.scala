@@ -82,7 +82,60 @@ object StarQueries {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
         .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
-          .cast("double").as("revenue"))))
+          .cast("double").as("revenue"))),
+    // TPC-H Q12 shape: conditional counts split by a priority class
+    // over a fact⋈fact join — count(when) compiles to a single-pass
+    // conditional aggregate, no second scan per class
+    "q12_priority_lines" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+      val o = Tables.ordersTs(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+    }),
+    // TPC-H Q14 shape: promo revenue share. The two DECIMAL sums are
+    // exact; the percentage divides them as doubles (identical
+    // operands ⇒ identical quotient in both engines)
+    "q14_promo_share" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+      val p = Tables.part(s, dir)
+      val disc = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+            .cast("double").as("promo_revenue"),
+          round(sum(disc), 2).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(col("promo_revenue") / col("total_revenue") * 100, 4)
+            .as("promo_pct"))
+    }),
+    // TPC-H Q18 shape: large-volume orders — aggregate-then-join with
+    // a HAVING filter; the big fact aggregates BEFORE joining dims, so
+    // only qualifying orders reach the join
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitemTs(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(dec(col("l_quantity"))), 2).cast("double")
+          .as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = Tables.ordersTs(s, dir)
+      val c = Tables.customer(s, dir)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_trunc("second", col("o_orderdate")).as("o_orderdate"),
+          round(dec(col("o_totalprice")), 2).cast("double").as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -141,5 +194,48 @@ object StarQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin)
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS high_line_count,
+        |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """WITH s AS (
+        |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |                        THEN l_extendedprice::DECIMAL(18,2)
+        |                             * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |                        ELSE 0::DECIMAL(18,2) END), 2)::DOUBLE
+        |           AS promo_revenue,
+        |         round(sum(l_extendedprice::DECIMAL(18,2)
+        |                   * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |           AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_revenue, total_revenue,
+        |       round(promo_revenue / total_revenue * 100, 4) AS promo_pct
+        |FROM s""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       date_trunc('second', o_orderdate) AS o_orderdate,
+        |       round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
+        |       total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin)
 }
