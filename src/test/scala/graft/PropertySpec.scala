@@ -132,6 +132,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccardPairs == plain-Scala Jaccard on random corpora") {
+    // random docs over a tiny vocabulary force heavy shingle sharing —
+    // the adversarial case for prefix filtering (lossless by theorem;
+    // this pins the implementation)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (round <- 0 until 3) {
+      val thr = Seq(0.5, 0.7, 0.9)(round)
+      val docs = samples(
+        Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" ")), n = 60)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.dedup.Dedup
+        .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, thr)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq.sorted
+      def sh(t: String): Set[Seq[String]] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+          .map(_.toSeq).toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs
+        if ia < ib
+        sa = sh(ta); sb = sh(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= thr
+      } yield (ia, ib)).sorted
+      assert(got == want, s"threshold=$thr")
+    }
+  }
+
+  test("saltedJoin == plain inner join on random skewed keys") {
+    val rows = samples(for {
+      k <- Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"))
+      v <- Gen.chooseNum(0, 1000)
+    } yield (k, v), n = 300).zipWithIndex.map { case ((k, v), i) => (i, k, v) }
+    val fact = rows.toDF("id", "k", "v").repartition(7)
+    val dim = Seq(("hot", 1), ("a", 2), ("b", 3)).toDF("k", "w")
+    val got = graft.functions.Skew.saltedJoin(fact, dim, "k", buckets = 8)
+      .select("id", "w").as[(Int, Int)].collect().toSeq.sorted
+    val dimMap = Map("hot" -> 1, "a" -> 2, "b" -> 3)
+    val want = rows.collect { case (i, k, _) if dimMap.contains(k) =>
+      (i, dimMap(k))
+    }.sorted
+    assert(got == want) // "c" rows drop (inner), every other row exactly once
+  }
+
   test("plan-node top-k == plain-Scala model for random data and k") {
     val rows = samples(for {
       key <- Gen.chooseNum(0, 6); v <- Gen.chooseNum(-100.0, 100.0)
