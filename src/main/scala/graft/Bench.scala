@@ -20,11 +20,12 @@ object Bench {
   /** Representative subset reported per-query on the JSON line. */
   val headline: Seq[String] = Seq(
     "pipeline_score", "s4_stream_pipeline", "j2_star_join_agg",
-    "q1_pricing_summary", "q3_shipping_priority", "w5_session_window",
-    "a10_distance_crosstab", "k2_topk_per_key", "asof_join",
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "w5_session_window", "w9_running_frames",
+    "a10_distance_crosstab", "k2_topk_per_key", "asof_join", "join_semi",
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "tx_tfidf_topterms")
+    "tx_tfidf_topterms", "tx_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
