@@ -87,6 +87,39 @@ object ScaleCheck {
     val hh = graft.functions.HeavyHitters.heavyHitters(toks, "w", 0.01).count()
     val hsecs = (System.nanoTime() - t4) / 1e9
     println(f"[scale] mg-hh  rows=$tkn%,d hitters=$hh%,d secs=$hsecs%.2f rate=${tkn / hsecs}%,.0f rows/s")
+
+    // ---- round-4 operators at factor× rows ----
+
+    // corpus replicated with per-replica DISJOINT vocabulary (every
+    // token prefixed by the replica id): shingles never collide across
+    // replicas, so true pairs scale exactly ×factor — any superlinear
+    // growth would be an algorithmic regression, not data artifact
+    val docsRep = graft.Tables.documents(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        concat_ws(" ", transform(graft.text.Text.tokens(col("text")),
+          t => concat(col("rep").cast("string"), lit("_"), t))).as("text"))
+      .repartition(32).localCheckpoint(true)
+    val dn = docsRep.count()
+    val t5 = System.nanoTime()
+    val jp = graft.dedup.Dedup
+      .jaccardPairs(docsRep, "doc_id", "text", 3, 0.8).count()
+    val jsecs = (System.nanoTime() - t5) / 1e9
+    println(f"[scale] jaccrd rows=$dn%,d pairs=$jp%,d secs=$jsecs%.2f rate=${dn / jsecs}%,.0f docs/s")
+    val t6 = System.nanoTime()
+    val lp = graft.dedup.Dedup
+      .minhashLshPairs(docsRep, "doc_id", "text", 3, 0.8).count()
+    val lsecs = (System.nanoTime() - t6) / 1e9
+    println(f"[scale] mh-lsh rows=$dn%,d pairs=$lp%,d secs=$lsecs%.2f rate=${dn / lsecs}%,.0f docs/s")
+
+    // salted join: factor× fact rows against a per-type dim
+    val dim = evRep.groupBy((col("user_id") % 1000).as("k"))
+      .agg(avg(col("value")).as("w"))
+    val factKeyed = evRep.select((col("user_id") % 1000).as("k"), col("value"))
+    val t7 = System.nanoTime()
+    val sj = graft.functions.Skew.saltedJoin(factKeyed, dim, "k", 32).count()
+    val sjsecs = (System.nanoTime() - t7) / 1e9
+    println(f"[scale] saltjn rows=$sj%,d secs=$sjsecs%.2f rate=${sj / sjsecs}%,.0f rows/s")
     spark.stop()
   }
 }
