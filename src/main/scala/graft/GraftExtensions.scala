@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductDouble, MisraGries, MisraGriesAgg, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
+import graft.functions.{DotProductDouble, MinhashBandsExpr, MisraGries, MisraGriesAgg, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
 
 /** Catalyst extension point: installs the engine's native expressions
   * into every session built with
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(TextHashing.SimhashName,
         "_FUNC_(text) - 64-bit SimHash of whitespace tokens"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier(TextHashing.MinhashBandsName),
+      info(TextHashing.MinhashBandsName,
+        "_FUNC_(hashes, numHashes, bands, seed) - MinHash LSH band hashes"),
+      (exprs: Seq[Expression]) => MinhashBandsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue())))
     // aggregation-function tier: Misra-Gries heavy-hitters sketch
     ext.injectFunction((FunctionIdentifier(MisraGries.FuncName),
       info(MisraGries.FuncName,

@@ -98,6 +98,30 @@ object RelationalOpsQueries {
         Array(col("quantity"), col("extendedprice"), col("discount")),
         "measure", "total")
     }),
+    // Data-quality profile: per-column stats (rows, nulls, distincts,
+    // min/max) for the fact table in ONE scan — every training-data
+    // pipeline's first job. The wide single-row agg melts to one row
+    // per column via unpivot; at 100 TB this is a single pass with a
+    // tiny (count-distinct keyed) shuffle.
+    "dq_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def prof(c: String) = Seq(
+        count(col(c)).cast("double").as(s"${c}__n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("double")
+          .as(s"${c}__nulls"),
+        countDistinct(col(c)).cast("double").as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+      val cols = Seq("l_quantity", "l_discount", "l_linenumber")
+      val aggs = cols.flatMap(prof)
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      wide.unpivot(Array.empty[org.apache.spark.sql.Column],
+        "col_metric", "value")
+        .select(
+          substring_index(col("col_metric"), "__", 1).as("column"),
+          substring_index(col("col_metric"), "__", -1).as("metric"),
+          round(col("value"), 6).as("value"))
+    }),
     // Salted skew join == plain join: per-type mean joined back onto
     // the (skewed) fact stream with the dim replicated per salt, then
     // per-type deviation totals. The oracle replays the plain join.
@@ -167,6 +191,30 @@ object RelationalOpsQueries {
         |SELECT l_returnflag, 'extendedprice', extendedprice FROM sums
         |UNION ALL
         |SELECT l_returnflag, 'discount', discount FROM sums""".stripMargin,
+    "dq_profile" ->
+      """WITH w AS (
+        |  SELECT
+        |    count(l_quantity)::DOUBLE AS "l_quantity__n",
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END)::DOUBLE AS "l_quantity__nulls",
+        |    count(DISTINCT l_quantity)::DOUBLE AS "l_quantity__distinct",
+        |    min(l_quantity)::DOUBLE AS "l_quantity__min",
+        |    max(l_quantity)::DOUBLE AS "l_quantity__max",
+        |    count(l_discount)::DOUBLE AS "l_discount__n",
+        |    count(CASE WHEN l_discount IS NULL THEN 1 END)::DOUBLE AS "l_discount__nulls",
+        |    count(DISTINCT l_discount)::DOUBLE AS "l_discount__distinct",
+        |    min(l_discount)::DOUBLE AS "l_discount__min",
+        |    max(l_discount)::DOUBLE AS "l_discount__max",
+        |    count(l_linenumber)::DOUBLE AS "l_linenumber__n",
+        |    count(CASE WHEN l_linenumber IS NULL THEN 1 END)::DOUBLE AS "l_linenumber__nulls",
+        |    count(DISTINCT l_linenumber)::DOUBLE AS "l_linenumber__distinct",
+        |    min(l_linenumber)::DOUBLE AS "l_linenumber__min",
+        |    max(l_linenumber)::DOUBLE AS "l_linenumber__max"
+        |  FROM lineitem),
+        |u AS (UNPIVOT w ON COLUMNS(*) INTO NAME col_metric VALUE value)
+        |SELECT split_part(col_metric, '__', 1) AS "column",
+        |       split_part(col_metric, '__', 2) AS metric,
+        |       round(value, 6) AS value
+        |FROM u""".stripMargin,
     "skew_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)

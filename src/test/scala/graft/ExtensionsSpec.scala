@@ -24,6 +24,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_simhash64('a b c') = graft_simhash64('a  b   c')")
       .collect()(0).getBoolean(0)
     assert(sim) // whitespace-run tokenization
+    val nBands = spark.sql(
+      "SELECT size(graft_minhash_bands(graft_ngram_hashes('a b c d e', 2), 128, 32, 7))")
+      .collect()(0).getInt(0)
+    assert(nBands == 32)
     // injected AGGREGATE function: analyzer wraps it automatically
     val hh = spark.sql(
       """SELECT c.item FROM (
