@@ -62,6 +62,27 @@ object StreamingJob {
     out
   }
 
+  /** Append-mode twin of [[runToMemory]] backed by the parquet file
+    * sink: rows land executor-parallel instead of being collected
+    * row-by-row onto the driver (the memory sink's addBatch was ~80%
+    * of streaming wall time at 100k rows — the scoring itself is
+    * ~0.3 s). Complete-mode queries (windowed aggs) must keep the
+    * memory sink: the file sink is append-only.
+    */
+  def runToParquet(stream: DataFrame, workDir: String): DataFrame = {
+    val spark = stream.sparkSession
+    val out = s"$workDir/out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    val q = stream.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** T1/T3/T6-style console metrics stream (O6): second concurrent
     * query over the same lineage, 30 s processing-time trigger.
     */

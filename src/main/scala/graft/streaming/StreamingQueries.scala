@@ -35,7 +35,8 @@ object StreamingQueries {
       round(col("score_medio"), 6).as("score_medio"),
       col("score_aprovado"), col("saldo_aprovado"), col("limite_aprovado"),
       col("transacao_aprovada"))
-    StreamingJob.runToMemory(shaped, mode = "append")
+    StreamingJob.runToParquet(shaped,
+      s"/tmp/graft_s4_${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
   /** W3/T1: event-time tumbling-window aggregation on the stream,
