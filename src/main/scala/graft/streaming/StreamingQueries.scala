@@ -35,8 +35,9 @@ object StreamingQueries {
       round(col("score_medio"), 6).as("score_medio"),
       col("score_aprovado"), col("saldo_aprovado"), col("limite_aprovado"),
       col("transacao_aprovada"))
-    StreamingJob.runToParquet(shaped,
-      s"/tmp/graft_s4_${java.util.UUID.randomUUID().toString.take(8)}")
+    // fixed dir: runToParquet clears it on entry, so reruns overwrite
+    // instead of accumulating sink output under /tmp
+    StreamingJob.runToParquet(shaped, "/tmp/graft_s4_sink")
   }
 
   /** W3/T1: event-time tumbling-window aggregation on the stream,
