@@ -72,15 +72,21 @@ object RelationalOpsQueries {
     // form cube/rollup (a18/a20) specialize. SQL surface on a temp
     // view; one shuffle, Spark expands the sets map-side.
     "a23_grouping_sets" -> ((s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("graft_ev_gs")
-      s.sql(
-        """SELECT event_type, hour(ts) AS hora,
-          |       CAST(grouping(event_type) AS INT) AS g_type,
-          |       CAST(grouping(hour(ts)) AS INT) AS g_hora,
-          |       count(*) AS n
-          |FROM graft_ev_gs
-          |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
-          |""".stripMargin)
+      // unique view name, dropped once the plan is analyzed: a fixed
+      // name would race concurrent callers with different dirs (one
+      // caller's SQL silently resolving against the other's data) and
+      // leak into the session catalog
+      val view = s"graft_ev_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.events(s, dir).createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT event_type, hour(ts) AS hora,
+           |       CAST(grouping(event_type) AS INT) AS g_type,
+           |       CAST(grouping(hour(ts)) AS INT) AS g_hora,
+           |       count(*) AS n
+           |FROM $view
+           |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+           |""".stripMargin)
+      finally s.catalog.dropTempView(view)
     }),
     // UNPIVOT (melt): wide per-flag measure sums to long
     // (flag, measure, total) — the multimodal/training-data shape for

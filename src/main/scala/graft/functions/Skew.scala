@@ -50,9 +50,15 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int = 32): DataFrame = {
+    // content-hash salt, NOT partition-id/monotonic-id: those change
+    // when a lost task recomputes with different row order, so a
+    // straggler retry could re-salt rows into reduce partitions that
+    // were already consumed (rows joined twice or dropped). A hash of
+    // the row's columns is stable under any recomputation; identical
+    // duplicate rows share a bucket, which only matters if one exact
+    // row dominates the skew.
     val salted = fact.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(buckets.toLong)))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets.toLong)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -25,6 +25,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingJob {
 
   private val sinkCounter = new AtomicInteger(0)
+  private val confLock = new Object
 
   /** Run a streaming DataFrame to completion into a uniquely-named
     * memory sink (T3 append / complete), returning the result as a
@@ -46,14 +47,19 @@ object StreamingJob {
     // the override here is race-free; a cluster deployment passes None
     // and keeps the session's parallelism.
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n))
-    val q = try {
-      stream.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set(key, prev)
+    // set→start→restore under a lock: two concurrent calls otherwise
+    // interleave (B captures A's temporary value as its "previous" and
+    // pins the session to it permanently)
+    val q = confLock.synchronized {
+      val prev = spark.conf.get(key)
+      shufflePartitions.foreach(n => spark.conf.set(key, n))
+      try {
+        stream.writeStream
+          .format("memory").queryName(name).outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(key, prev)
+    }
     q.awaitTermination()
     val sink = spark.table(name)
     val out = spark.createDataFrame(
@@ -71,16 +77,26 @@ object StreamingJob {
     */
   def runToParquet(stream: DataFrame, workDir: String): DataFrame = {
     val spark = stream.sparkSession
-    val out = s"$workDir/out"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    // per-process suffix: a re-run in THIS process overwrites its own
+    // previous output, while another process (e.g. the bench running
+    // beside an oracle check) can never delete files this one is still
+    // lazily reading
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    val out = s"$dir/out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val q = stream.writeStream.format("parquet")
       .option("path", out)
-      .option("checkpointLocation", s"$workDir/ckpt")
+      .option("checkpointLocation", s"$dir/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    // a zero-row stream commits no files: mirror runToMemory's empty
+    // result instead of failing schema inference on an empty dir
+    if (new java.io.File(out).listFiles() == null)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        stream.schema)
+    else spark.read.parquet(out)
   }
 
   /** T1/T3/T6-style console metrics stream (O6): second concurrent

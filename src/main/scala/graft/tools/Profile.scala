@@ -39,33 +39,13 @@ object Profile {
     time("jaccardPairs full")(
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count())
 
-    // prefix-filter effectiveness: candidate pairs before verification
-    {
-      val t = 0.8
-      val preLen = (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + 1).cast("int")
-      val exp = sh.filter(size(col("hs")) > 0)
-        .select(col("doc"), size(col("hs")).as("sz"),
-          explode(slice(col("hs"), lit(1), preLen)).as("h"))
-      println(s"[profile] prefix index rows      ${exp.count()}")
-      val cand = exp.as("a")
-        .join(exp.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc")
-          && col("a.sz") >= ceil(lit(t) * col("b.sz"))
-          && col("b.sz") >= ceil(lit(t) * col("a.sz")))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      time("prefix cand (with dup)")(println(s"[profile]   cand rows ${cand.count()}"))
-      val cd = cand.distinct()
-      time("prefix cand distinct")(println(s"[profile]   cand distinct ${cd.count()}"))
-      val verified = cd
-        .join(sh.select(col("doc").as("doc_a"), col("hs").as("sha"))
-          .hint("shuffle_hash"), Seq("doc_a"))
-        .join(sh.select(col("doc").as("doc_b"), col("hs").as("shb"))
-          .hint("shuffle_hash"), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(array_union(col("sha"), col("shb")))).as("jaccard"))
-        .filter(col("jaccard") >= t)
-      time("verify join+intersect")(verified.count())
-    }
+    // Measurement record (r4, sf0.1, t=0.8): prefix filtering cut the
+    // inverted index to 55k rows (from 240k all-shingles) and the
+    // candidate pair stream to 86k (from 1.27M) — a 15× reduction;
+    // candidate gen ~0.6 s, exact verify ~1.6 s with shuffle_hash
+    // hints. The staged pipeline was measured with a hand copy of the
+    // operator internals, removed afterwards so this tool can't drift
+    // from the real implementation in Dedup.jaccardPairs.
 
     // experiment (kept as measurement record): replace the
     // ex-self-join candidate gen with groupBy(h) + in-group pair
