@@ -28,6 +28,33 @@ object ExtendedQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
+    // Cohort retention: users bucketed by first-seen day, distinct
+    // actives per (cohort, day offset) — the standard growth-analytics
+    // shape (two keyed shuffles: first-touch agg + cohort agg).
+    "a25_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+    // Funnel: per-user first touch of each stage, counted only when
+    // stages happen in order (view ≤ click ≤ purchase). One groupBy +
+    // one scalar agg; NULL stage times drop out of the conditional
+    // counts on both engines.
+    "a26_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      ev.groupBy(col("user_id"))
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .agg(count(col("t_view")).as("n_view"),
+          count(when(col("t_click") >= col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_click") >= col("t_view") &&
+            col("t_purchase") >= col("t_click"), 1)).as("n_full_funnel"))
+    }),
     // HLL++ sketch beside the exact distinct — the at-scale variant of
     // a17 (single pass, fixed memory, mergeable across partitions).
     // Sketch estimates are engine-specific → rows-only driver check;
@@ -251,6 +278,30 @@ object ExtendedQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "a25_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort, date_diff('day', cohort, d)::INT AS day_offset,
+        |       count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "a26_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT count(t_view) AS n_view,
+        |       count(CASE WHEN t_click::TIMESTAMP >= t_view::TIMESTAMP
+        |                  THEN 1 END) AS n_view_click,
+        |       count(CASE WHEN t_click::TIMESTAMP >= t_view::TIMESTAMP
+        |                   AND t_purchase::TIMESTAMP >= t_click::TIMESTAMP
+        |                  THEN 1 END) AS n_full_funnel
+        |FROM per""".stripMargin,
     "skew_salted_count" ->
       "SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1",
     "sample_systematic" ->
