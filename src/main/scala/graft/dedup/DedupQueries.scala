@@ -31,7 +31,13 @@ object DedupQueries {
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          N, Threshold), "doc_a", "doc_b")))
+          N, Threshold), "doc_a", "doc_b")),
+    // PageRank over the near-dup graph (3 deterministic iterations —
+    // the oracle unrolls them as CTE stages)
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          N, Threshold), "doc_a", "doc_b", iters = 3)))
 
   private val jaccardOracle =
     s"""WITH docs AS (
@@ -52,9 +58,38 @@ object DedupQueries {
        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin
 
+  private val pagerankOracle = {
+    def round(prev: String, cur: String) =
+      s"""c$cur AS (
+         |  SELECT e.v AS u, sum(r.rank / d.deg) AS inr
+         |  FROM cedges e
+         |  JOIN r$prev r ON e.u = r.u
+         |  JOIN deg d ON e.u = d.u
+         |  GROUP BY 1),
+         |r$cur AS (
+         |  SELECT nodes.u,
+         |         (1 - 0.85) / nn.n + 0.85 * coalesce(c$cur.inr, 0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$cur ON nodes.u = c$cur.u)""".stripMargin
+    s"""WITH pairs AS ($jaccardOracle),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT u, count(*) AS deg FROM cedges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT u FROM cedges),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT u, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT u AS node, round(rank, 8) AS rank FROM r3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "graph_pagerank" -> pagerankOracle,
     "dedup_components" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),
          |cedges AS (

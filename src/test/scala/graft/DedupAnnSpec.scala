@@ -78,6 +78,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(e == 0)
   }
 
+  test("pageRank: star center ranks highest; probability mass conserved") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (9L, 8L))
+      .toDF("a", "b")
+    val pr = graft.operators.Graph.pageRank(edges, "a", "b", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // undirected + no dangling nodes -> total rank mass stays 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    // the star center receives every leaf's full contribution
+    assert(pr(0L) > pr(1L) && pr(0L) > pr(4L))
+    // symmetric leaves tie exactly
+    assert(pr(1L) == pr(2L) && pr(8L) == pr(9L))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
