@@ -104,6 +104,15 @@ object RelationalOpsQueries {
         Array(col("quantity"), col("extendedprice"), col("discount")),
         "measure", "total")
     }),
+    // The real pivot API (a10 deliberately uses conditional agg):
+    // EXPLICIT value list, so Catalyst rewrites to one single-pass
+    // aggregate — no distinct-values discovery job, which is the
+    // difference between one scan and two at 100 TB.
+    "a27_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(hour(col("ts")).as("hora"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))),
     // Data-quality profile: per-column stats (rows, nulls, distincts,
     // min/max) for the fact table in ONE scan — every training-data
     // pipeline's first job. The wide single-row agg melts to one row
@@ -197,6 +206,14 @@ object RelationalOpsQueries {
         |SELECT l_returnflag, 'extendedprice', extendedprice FROM sums
         |UNION ALL
         |SELECT l_returnflag, 'discount', discount FROM sums""".stripMargin,
+    "a27_pivot" ->
+      """SELECT hour(ts)::INT AS hora,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "dq_profile" ->
       """WITH w AS (
         |  SELECT
