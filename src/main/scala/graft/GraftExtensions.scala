@@ -48,5 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (c)-tier whole-operator extension: per-key top-k planner strategy
     // (logical TopKNode → partial-prune + exchange + rank execs)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // ... and the optimizer rule that rewrites the hand-written
+    // row_number()-then-filter pattern onto that operator. Injected
+    // ONLY together with the strategy: the rule must never produce a
+    // TopKNode in a session that cannot plan it.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -46,6 +46,49 @@ class TopKPlanSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
   }
 
+  test("rewrite rule: row_number-filter pattern plans as TopK, results unchanged") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val q = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("value") > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
+      s"expected the rewrite to fire:\n$plan")
+    // same query with the rule excluded = the untouched window plan
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.TopKRewriteRule")
+    try {
+      val want = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4 && col("value") > 0)
+      assert(!want.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("rewrite rule: rank() and unbounded patterns stay untouched") {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+    val ranked = events.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPartial"))
+    val lower = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 3) // lower bound only: no k to prune with
+    assert(!lower.queryExecution.executedPlan.toString.contains("TopKPartial"))
+  }
+
+  test("rewrite rule: residual conjuncts still apply (band 2..4)") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val q = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2 && col("rn") <= 4)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPartial"))
+    val got = q.groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(got.values.forall(_ == 3)) // ranks 2,3,4 per type
+  }
+
   test("plan shape: partial prune runs below the exchange, rank above") {
     val plan = TopKPlan.topKPerKey(events, Seq("event_type"),
       Seq("value" -> false), k = 3).queryExecution.executedPlan.toString
