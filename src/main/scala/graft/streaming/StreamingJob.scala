@@ -36,7 +36,8 @@ object StreamingJob {
     * concurrent calls and long-lived returned DataFrames are safe.
     */
   def runToMemory(stream: DataFrame, mode: String = "append",
-                  shufflePartitions: Option[Int] = Some(8)): DataFrame = {
+                  shufflePartitions: Option[Int] = Some(8),
+                  extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_mem_${sinkCounter.incrementAndGet()}"
     // Stateful operators open one state store per shuffle partition,
@@ -45,20 +46,25 @@ object StreamingJob {
     // stream-stream join spends more time in store commits than in
     // rows). The stream clones the session conf at start(), so scoping
     // the override here is race-free; a cluster deployment passes None
-    // and keeps the session's parallelism.
-    val key = "spark.sql.shuffle.partitions"
+    // and keeps the session's parallelism. `extraConfs` rides the same
+    // scope (e.g. the RocksDB provider transformWithState requires).
+    val overrides = extraConfs ++
+      shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
     // set→start→restore under a lock: two concurrent calls otherwise
     // interleave (B captures A's temporary value as its "previous" and
     // pins the session to it permanently)
     val q = confLock.synchronized {
-      val prev = spark.conf.get(key)
-      shufflePartitions.foreach(n => spark.conf.set(key, n))
+      val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         stream.writeStream
           .format("memory").queryName(name).outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally spark.conf.set(key, prev)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
     q.awaitTermination()
     val sink = spark.table(name)

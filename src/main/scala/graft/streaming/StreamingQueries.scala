@@ -117,9 +117,41 @@ object StreamingQueries {
         col("n"))
   }
 
+  /** End-to-end arbitrary state on the Spark 4 transformWithState API:
+    * the scored stream keyed per payer feeds [[StreamingJob.RunningTotalsProcessor]]
+    * (typed ValueState on RocksDB — scoped via runToMemory's conf
+    * override), update mode. Each micro-batch emits the user's state
+    * snapshot; the final snapshot per user (selected by the monotone
+    * (n, total) struct max, exact even if the file source splits into
+    * several batches) must equal the batch GROUP BY of approved
+    * transactions.
+    */
+  private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tx = TestdataAdapter.transactionsStream(s, dir)
+    val scored = ScoringPipeline.score(
+      ScoringPipeline.enrich(tx,
+        TestdataAdapter.users(s, dir), TestdataAdapter.regions(s, dir)),
+      TestdataAdapter.eventLimitArms)
+    val keyed = scored
+      .filter(col("transacao_aprovada").isNotNull)
+      .select(col("id_transacao"), col("id_usuario_pagador"),
+        col("data_horario"), col("valor_transacao"), col("transacao_aprovada"))
+      .as[StreamingJob.TxKeyed]
+    val totals = StreamingJob.runningUserTotalsTws(keyed)
+    StreamingJob.runToMemory(totals.toDF(), mode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .groupBy(col("id_usuario"))
+      .agg(max(struct(col("n_aprovadas"), col("total_aprovado"))).as("m"))
+      .select(col("id_usuario"), col("m.n_aprovadas").as("n_aprovadas"),
+        round(col("m.total_aprovado"), 2).as("total_aprovado"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
+    "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
     "w7_hopping_rollup" -> ((s, dir) => streamHopping(s, dir)),
     "s5_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
@@ -134,6 +166,16 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "s6_stream_session_window" ->
       graft.analytics.ExtendedQueries.oracleSql("w5_session_window"),
+    "s7_tws_running_totals" ->
+      s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
+         |SELECT id_usuario_pagador AS id_usuario,
+         |       count(CASE WHEN transacao_aprovada THEN 1 END) AS n_aprovadas,
+         |       round(coalesce(sum(CASE WHEN transacao_aprovada
+         |                               THEN valor_transacao END), 0), 2)
+         |         AS total_aprovado
+         |FROM base
+         |WHERE transacao_aprovada IS NOT NULL
+         |GROUP BY 1""".stripMargin,
     "s4_stream_pipeline" ->
       s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
          |SELECT id_transacao, id_usuario_pagador, id_regiao,
