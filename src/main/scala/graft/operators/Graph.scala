@@ -31,7 +31,7 @@ object Graph {
     val n = nodes.count()
     val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = und.join(ranks, Seq("u")).join(deg, Seq("u"))
         .select(col("v").as("u"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("u")).agg(sum(col("c")).as("inr"))
@@ -39,7 +39,10 @@ object Graph {
         .select(col("u"),
           (teleport + lit(damping) * coalesce(col("inr"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
+      // checkpoint only every few rounds: each eager checkpoint is a
+      // full job, and a handful of join/agg layers is a perfectly
+      // plannable lineage — deep-iteration runs still get truncated
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("u").as("node"), round(col("rank"), 8).as("rank"))
   }
