@@ -116,6 +116,43 @@ object StarQueries {
           round(col("promo_revenue") / col("total_revenue") * 100, 4)
             .as("promo_pct"))
     }),
+    // TPC-H Q5 shape: local-supplier volume — the 6-table star with a
+    // same-nation equi-condition between two dims (customer and
+    // supplier must share the nation); dims broadcast, the fact chain
+    // shuffles only for the final aggregation
+    "q5_local_supplier" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+      val o = Tables.ordersTs(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+    }),
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // with a NOT IN exclusion subquery (planned as a broadcast
+    // null-aware anti join)
+    "q16_parts_suppliers" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_size").isin(1, 2, 3, 4))
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(bad, l("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
     // TPC-H Q18 shape: large-volume orders — aggregate-then-join with
     // a HAVING filter; the big fact aggregates BEFORE joining dims, so
     // only qualifying orders reach the join
@@ -223,6 +260,31 @@ object StarQueries {
         |SELECT promo_revenue, total_revenue,
         |       round(promo_revenue / total_revenue * 100, 4) AS promo_pct
         |FROM s""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 2, 3, 4)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
