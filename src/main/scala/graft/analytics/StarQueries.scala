@@ -172,6 +172,115 @@ object StarQueries {
           col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year. The nation-pair disjunction is pushed as isin() into BOTH
+    // broadcast dims before the join (Catalyst can't derive the
+    // per-side IN from the cross-table OR), so the fact rows that
+    // survive the hash probes are already the candidate pairs
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val l = Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1998-12-31")))
+      val o = Tables.ordersTs(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+    }),
+    // TPC-H Q8 shape: national market share inside one region. Both
+    // DECIMAL sums are exact, so the double division of identical
+    // operands is bit-identical across engines
+    "q8_market_share" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      val o = Tables.ordersTs(s, dir)
+        .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1997-12-31")))
+      val c = Tables.customer(s, dir)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val r = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+      val sup = Tables.supplier(s, dir)
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val volume = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_9", volume)
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+            .cast("double").as("nation_volume"),
+          round(sum(volume), 2).cast("double").as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+    }),
+    // TPC-H Q13 shape: customer order-count distribution — LEFT join
+    // with an extra non-key predicate (kept customers with zero
+    // qualifying orders land in the c_count=0 bucket), then a second
+    // aggregation over the first's result
+    "q13_customer_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.ordersTs(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar
+    // max-subquery becomes a broadcast join against a 1-row aggregate
+    // of the same (small, per-supplier) revenue relation; ties kept,
+    // exactly like `WHERE total = (SELECT max(total) ...)`
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitemTs(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+    // TPC-H Q22 shape: rich-but-dormant customers — scalar average
+    // subquery + NOT EXISTS anti join. The average threshold is
+    // compared multiplicatively (bal·n > Σbal) so both engines compare
+    // exact DECIMALs and no division rounding can flip a boundary row
+    "q22_dormant_accounts" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val pos = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("pos_sum"),
+          count(lit(1)).as("pos_n"))
+      val recent = Tables.ordersTs(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(pos))
+        .filter(dec(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(dec(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -299,5 +408,83 @@ object StarQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate)::INT AS l_year,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |                     AND TIMESTAMP '1998-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+        |       round(sum(CASE WHEN n2.n_name = 'NATION_9'
+        |                      THEN l_extendedprice::DECIMAL(18,2)
+        |                           * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |                      ELSE 0::DECIMAL(18,2) END), 2)::DOUBLE
+        |         AS nation_volume,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS total_volume,
+        |       round(nation_volume / total_volume, 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |                      AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                   AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice::DECIMAL(18,2)
+        |                   * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q22_dormant_accounts" ->
+      """WITH pos AS (
+        |  SELECT sum(c_acctbal::DECIMAL(18,2)) AS pos_sum,
+        |         count(*) AS pos_n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment,
+        |       count(*) AS numcust,
+        |       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
+        |FROM customer, pos
+        |WHERE c_acctbal::DECIMAL(18,2) * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.StarQueries
+
+/** Semantic guards for the warehouse (TPC-H-shape) queries beyond the
+  * oracle hash: invariants that must hold for ANY data, so a future
+  * refactor that silently changes join/agg semantics fails here even
+  * if it happens to keep the sf0.01 hash.
+  */
+class StarQuerySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q13: distribution masses sum to the customer count, 0-bucket kept") {
+    val dist = StarQueries.queries("q13_customer_distribution")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, dir).count()
+    assert(dist.values.sum == nCust,
+      s"every customer lands in exactly one bucket: $dist")
+    // the LEFT join must keep customers whose only orders are 1-URGENT
+    // (or who have none) — they form the c_count=0 bucket
+    val urgentOnly = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(dist.getOrElse(0L, 0L) == urgentOnly)
+  }
+
+  test("q15: returns exactly the argmax supplier(s) of quarterly revenue") {
+    val rows = StarQueries.queries("q15_top_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all returned rows tie at the max")
+    // no supplier anywhere beats the returned revenue
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("t"))
+      .agg(max(col("t"))).collect()(0).getDouble(0)
+    assert(math.abs(revs(0) - l) < 1.0, s"returned ${revs(0)}, true max $l")
+  }
+
+  test("q22: threshold is the positive-balance average; dormant only") {
+    val out = StarQueries.queries("q22_dormant_accounts")(spark, dir)
+      .agg(sum(col("numcust"))).collect()(0).getLong(0)
+    val c = Tables.customer(spark, dir)
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01")).select(col("o_custkey"))
+    val expected = c.filter(col("c_acctbal") > avgPos)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(out == expected,
+      s"multiplicative threshold must equal the division formulation")
+  }
+
+  test("q7: symmetric nation pair, no same-nation rows, revenue positive") {
+    val rows = StarQueries.queries("q7_volume_shipping")(spark, dir).collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("supp_nation"); val c = r.getAs[String]("cust_nation")
+      assert(s != c, "same-nation flows excluded")
+      assert(Set(s, c) == Set("NATION_1", "NATION_2"))
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+  }
+
+  test("q8: market share is nation/total and bounded to [0,1]") {
+    StarQueries.queries("q8_market_share")(spark, dir).collect().foreach { r =>
+      val nv = r.getAs[Double]("nation_volume")
+      val tv = r.getAs[Double]("total_volume")
+      val ms = r.getAs[Double]("mkt_share")
+      assert(tv >= nv && nv >= 0)
+      assert(ms >= 0 && ms <= 1)
+      assert(math.abs(ms - nv / tv) < 1e-6)
+    }
+  }
+}
