@@ -150,6 +150,21 @@ object RelationalOpsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(abs(col("value") - col("type_avg"))), 2).as("dev_total"))
+    }),
+    // SCD2: version the per-user "status" (event_type) stream into
+    // validity intervals — change-detection drops runs of identical
+    // statuses, lead() closes each interval. One shuffle on user_id;
+    // both window passes share the same sort.
+    "scd2_user_history" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Scd2
+        .fromSnapshots(ev, "user_id", "ts", Seq("event_type"), "event_id")
+        .select(col("user_id"),
+          date_trunc("second", col("valid_from")).as("valid_from_s"),
+          date_trunc("second", col("valid_to")).as("valid_to_s"),
+          col("event_type").as("status"),
+          col("is_current"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -244,5 +259,24 @@ object RelationalOpsQueries {
         |SELECT e.event_type AS event_type, count(*) AS n,
         |       round(sum(abs(e.value - d.type_avg)), 2) AS dev_total
         |FROM events e JOIN dim d ON e.event_type = d.event_type
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "scd2_user_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |  FROM e),
+        |keep AS (
+        |  SELECT * FROM chg WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id,
+        |       date_trunc('second', tsu) AS valid_from_s,
+        |       date_trunc('second', lead(tsu) OVER
+        |         (PARTITION BY user_id ORDER BY tsu, event_id)) AS valid_to_s,
+        |       event_type AS status,
+        |       lead(tsu) OVER
+        |         (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |         AS is_current
+        |FROM keep""".stripMargin)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing dimension builder — the warehouse pattern for
+  * turning an event-sourced snapshot log into versioned dimension rows
+  * with `[valid_from, valid_to)` validity intervals.
+  *
+  * The reference's pipeline keeps only the latest user attributes (its
+  * Redis store overwrites per key — see
+  * containers/spark-etl/streaming_etl.py:150-170); SCD2 is the
+  * batch-warehouse generalization that preserves attribute history, a
+  * standard requirement for training-data reproducibility (join facts
+  * to the dimension AS OF the fact time).
+  *
+  * Scale shape: one hash shuffle on `key`, one sort per partition, two
+  * window passes over the same sort order (Catalyst elides the second
+  * sort — the filter between them preserves ordering). No driver-side
+  * state; incremental merges ([[applyUpdates]]) touch only partitions
+  * holding updated keys.
+  */
+object Scd2 {
+
+  /** Build the SCD2 history from a snapshot/event log.
+    *
+    * 1. change-detect per key: a row survives iff any tracked attr
+    *    differs from the previous snapshot (null-safe, so NULL→value
+    *    and value→NULL transitions version correctly);
+    * 2. validity: `valid_from` = snapshot ts, `valid_to` = next
+    *    change's ts (half-open interval), `is_current` marks the open
+    *    row.
+    *
+    * @param tieBreak column making (ts, tieBreak) a total order per
+    *                 key — required for determinism when ts collides.
+    */
+  def fromSnapshots(df: DataFrame, key: String, ts: String,
+      attrs: Seq[String], tieBreak: String): DataFrame = {
+    require(attrs.nonEmpty, "SCD2 needs at least one tracked attribute")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieBreak).asc)
+    val changed = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("__chg", changed)
+      .filter(col("__chg")).drop("__chg")
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Incrementally merge a batch of new snapshots into an existing
+    * SCD2 history (parquet-friendly MERGE: rewrite only touched keys).
+    *
+    * History rows of keys absent from `updates` stream through
+    * untouched (anti join — never re-sorted, never re-shuffled beyond
+    * the join); touched keys have their history rebuilt from their own
+    * prior versions plus the new snapshots, so a late-arriving
+    * snapshot correctly splits an existing interval. Idempotent:
+    * re-applying the same batch yields the same history.
+    *
+    * `current` must carry `key, ts, tieBreak, attrs` plus the three
+    * validity columns (i.e. be the output of [[fromSnapshots]] /
+    * a prior applyUpdates); `updates` carries `key, ts, tieBreak,
+    * attrs`.
+    */
+  def applyUpdates(current: DataFrame, updates: DataFrame, key: String,
+      ts: String, attrs: Seq[String], tieBreak: String): DataFrame = {
+    val touched = updates.select(col(key)).distinct()
+    val untouched = current.join(touched, Seq(key), "left_anti")
+    val snapCols = (Seq(key, ts, tieBreak) ++ attrs).map(col)
+    val priorSnaps = current.join(touched, Seq(key), "left_semi")
+      .select(snapCols: _*)
+    val rebuilt = fromSnapshots(
+      priorSnaps.unionByName(updates.select(snapCols: _*)),
+      key, ts, attrs, tieBreak)
+    untouched.unionByName(rebuilt)
+  }
+}
