@@ -151,6 +151,21 @@ object RelationalOpsQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(abs(col("value") - col("type_avg"))), 2).as("dev_total"))
     }),
+    // Runtime Bloom-filter pruned join: the selective dim predicate
+    // (p_size = 1) becomes a bloom_filter_agg over p_partkey whose
+    // might_contain probe lands in the lineitem SCAN — non-matching
+    // fact rows never reach the shuffle. Plain-join oracle proves the
+    // pruning lossless; the plan guard lives in PlanShapeSpec.
+    "join_bloom_pruned" -> ((s, dir) => {
+      val s2 = graft.operators.BloomJoin.session(s)
+      val l = Tables.lineitem(s2, dir)
+      val p = Tables.part(s2, dir).filter(col("p_size") === 1)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+    }),
     // SCD2: version the per-user "status" (event_type) stream into
     // validity intervals — change-detection drops runs of identical
     // statuses, lead() closes each interval. One shuffle on user_id;
@@ -259,6 +274,13 @@ object RelationalOpsQueries {
         |SELECT e.event_type AS event_type, count(*) AS n,
         |       round(sum(abs(e.value - d.type_avg)), 2) AS dev_total
         |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1""".stripMargin,
+    "join_bloom_pruned" ->
+      """SELECT p_brand, count(*) AS n,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
         |GROUP BY 1""".stripMargin,
     "scd2_user_history" ->
       """WITH e AS (

@@ -148,8 +148,31 @@ object StreamingQueries {
         round(col("m.total_aprovado"), 2).as("total_aprovado"))
   }
 
+  /** Streaming dedup with bounded state: the source is unioned with
+    * itself (every event delivered twice — the at-least-once delivery
+    * failure mode), and `dropDuplicatesWithinWatermark` drops the
+    * redelivery. Unlike `dropDuplicates`, state is EVICTED once the
+    * watermark passes an id's event time — the only dedup that
+    * survives an unbounded stream. The deduped append stream then
+    * aggregates in batch; result must equal aggregating the original
+    * (duplicate-free) table.
+    */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    def side = Tables.eventsStream(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val deduped = side.unionByName(side)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    StreamingJob.runToMemory(deduped, mode = "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
+    "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -164,6 +187,10 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s8_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
     "s6_stream_session_window" ->
       graft.analytics.ExtendedQueries.oracleSql("w5_session_window"),
     "s7_tws_running_totals" ->

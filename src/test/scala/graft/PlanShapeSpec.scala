@@ -104,6 +104,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bloom-pruned join probes the fact scan and matches the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.analytics.RelationalOpsQueries
+      .queries("join_bloom_pruned")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+      s"runtime bloom filter must inject on the fact side:\n$opt")
+    // lossless: bloom false positives are re-checked by the join
+    import org.apache.spark.sql.functions._
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_size") === 1),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+    assert(df.collect().toSet == plain.collect().toSet)
+  }
+
   test("grouping sets and unpivot plan via Expand, one shuffle for the agg") {
     withPlainPlans {
       val dir = "/root/testdata/sf0.001"
