@@ -37,7 +37,24 @@ object DedupQueries {
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          N, Threshold), "doc_a", "doc_b", iters = 3)))
+          N, Threshold), "doc_a", "doc_b", iters = 3)),
+    // The full near-dup clustering pipeline: pairs → components →
+    // per-cluster stats joined back to the corpus. The component label
+    // IS the min doc id, so the canonical keeper is the row where
+    // doc = component — no extra argmin pass needed.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      comp.join(docs, comp("doc") === docs("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(when(col("doc") === col("component"), col("n_chars")))
+            .as("keeper_chars"))
+    }))
 
   private val jaccardOracle =
     s"""WITH docs AS (
@@ -101,5 +118,25 @@ object DedupQueries {
          |  UNION
          |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc, min(label) AS component
-         |FROM reach GROUP BY u""".stripMargin)
+         |FROM reach GROUP BY u""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS doc, min(label) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT component, count(*) AS n_docs,
+         |       count(DISTINCT lang) AS n_langs,
+         |       sum(n_chars)::BIGINT AS total_chars,
+         |       max(CASE WHEN doc = component THEN n_chars END)
+         |         AS keeper_chars
+         |FROM comp JOIN documents ON doc = doc_id
+         |GROUP BY 1""".stripMargin)
 }
