@@ -81,6 +81,41 @@ object StreamingQueries {
     StreamingJob.runToMemory(joined, mode = "append")
   }
 
+  /** Stream–stream LEFT OUTER interval join: events with no same-user
+    * successor within 1 hour still emit, with a NULL right side — but
+    * only once the watermark proves no successor can arrive (Spark
+    * emits outer-null rows on state eviction, in the no-data batch
+    * triggered by the final watermark advance). Rows whose eviction
+    * the finite stream's last watermark never reaches are still held
+    * in state, so BOTH engines restrict to the guaranteed-emitted
+    * region `ts_a ≤ max(ts) − 2 h` (watermark delay + join window,
+    * with margin) — the streaming side via a broadcast 1-row max of
+    * the batch table, the oracle via the same scalar subquery.
+    */
+  private def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.eventsStream(s, dir)
+      .select(col("event_id").as("id_a"), col("user_id"),
+        col("ts").as("ts_a"))
+      .withWatermark("ts_a", "10 minutes")
+    val r = Tables.eventsStream(s, dir)
+      .select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", "10 minutes")
+    val joined = l.join(r,
+      col("user_id") === col("user_b") && col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("id_a"), col("ts_a"), col("id_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("dt_us"))
+    val emitted = StreamingJob.runToMemory(joined, mode = "append")
+    val mx = Tables.events(s, dir).agg(max(col("ts")).as("mts"))
+    emitted.crossJoin(broadcast(mx))
+      .filter(col("ts_a") <= col("mts") - expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("id_a"),
+        date_trunc("second", col("ts_a")).as("ts_a_s"),
+        col("id_b"), col("dt_us"))
+  }
+
   /** Hopping (sliding) event-time windows: 2-hour windows every hour,
     * so each event lands in exactly two windows — the overlap
     * semantics tumbling (w3) can't express. Oracle replays the
@@ -173,6 +208,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -187,6 +223,20 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s9_stream_outer_join" ->
+      """WITH mx AS (SELECT max(ts::TIMESTAMP) AS mts FROM events),
+        |l AS (SELECT event_id AS id_a, user_id, ts::TIMESTAMP AS ts_a
+        |      FROM events),
+        |r AS (SELECT event_id AS id_b, user_id AS user_b,
+        |             ts::TIMESTAMP AS ts_b
+        |      FROM events)
+        |SELECT l.user_id, l.id_a,
+        |       date_trunc('second', l.ts_a) AS ts_a_s, r.id_b,
+        |       epoch_us(r.ts_b) - epoch_us(l.ts_a) AS dt_us
+        |FROM l CROSS JOIN mx
+        |LEFT JOIN r ON l.user_id = r.user_b AND r.ts_b > l.ts_a
+        |            AND r.ts_b <= l.ts_a + INTERVAL 1 HOUR
+        |WHERE l.ts_a <= mx.mts - INTERVAL 2 HOUR""".stripMargin,
     "s8_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
