@@ -59,6 +59,31 @@ class Scd2Spec extends SparkSpec {
       (40, None, "b")))
   }
 
+  test("streaming CDC: foreachBatch merges each micro-batch into the history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Int, Int, Int, String)]
+    // history survives across batches; localCheckpoint truncates the
+    // lineage so N batches don't stack N merge plans
+    var hist = Scd2.fromSnapshots(
+      snaps((1, 10, 1, "a")), "k", "ts", Seq("attr"), "tb").localCheckpoint(true)
+    val q = ms.toDF().toDF("k", "ts", "tb", "attr").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        hist = Scd2.applyUpdates(hist, batch, "k", "ts", Seq("attr"), "tb")
+          .localCheckpoint(true)
+      }.start()
+    ms.addData((1, 30, 2, "b"), (2, 5, 3, "x"))
+    q.processAllAvailable()
+    ms.addData((1, 20, 4, "z")) // late: splits the [10, 30) interval
+    q.processAllAvailable(); q.stop()
+    val expected = Scd2.fromSnapshots(
+      snaps((1, 10, 1, "a"), (1, 30, 2, "b"), (2, 5, 3, "x"), (1, 20, 4, "z")),
+      "k", "ts", Seq("attr"), "tb")
+    assert(hist.collect().toSet == expected.collect().toSet,
+      "incremental streamed merges must equal the one-shot batch build")
+  }
+
   test("applyUpdates is idempotent") {
     val hist0 = Scd2.fromSnapshots(
       snaps((1, 10, 1, "a"), (1, 30, 2, "b")), "k", "ts", Seq("attr"), "tb")
