@@ -21,6 +21,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "pipeline_score", "s4_stream_pipeline", "j2_star_join_agg",
     "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "q8_market_share", "scd2_user_history", "join_bloom_pruned",
     "w5_session_window", "w9_running_frames",
     "a10_distance_crosstab", "k2_topk_per_key", "asof_join", "join_semi",
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",

@@ -263,6 +263,41 @@ object StarQueries {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average subquery becomes one partial-aggregated
+    // groupBy on the fact joined back; the threshold compare is
+    // multiplicative (qty·5·n < Σqty) so both engines compare exact
+    // DECIMALs instead of a double average
+    "q17_small_quantity" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#12")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(perPart, l("l_partkey") === perPart("pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_sum"))
+        .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
+    // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    // — Catalyst's CNF conversion extracts the common p_partkey join
+    // key and pushes the per-side residuals (brand IN, size range,
+    // quantity range) into the scans; the OR itself evaluates post-join
+    "q19_branded_revenue" -> ((s, dir) => {
+      val l = Tables.lineitemTs(s, dir)
+      val p = Tables.part(s, dir)
+      val arm1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val arm2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val arm3 = col("p_brand") === "Brand#24" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+    }),
     // TPC-H Q22 shape: rich-but-dormant customers — scalar average
     // subquery + NOT EXISTS anti join. The average threshold is
     // compared multiplicatively (bal·n > Σbal) so both engines compare
@@ -473,6 +508,31 @@ object StarQueries {
         |FROM rev
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |         sum(l_quantity::DECIMAL(18,2)) AS qty_sum,
+        |         count(*) AS qty_n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+        |         AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON pk = l_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND l_quantity::DECIMAL(18,2) * 5 * qty_n < qty_sum""".stripMargin,
+    "q19_branded_revenue" ->
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+        |              * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q22_dormant_accounts" ->
       """WITH pos AS (
         |  SELECT sum(c_acctbal::DECIMAL(18,2)) AS pos_sum,
