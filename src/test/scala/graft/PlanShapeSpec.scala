@@ -104,6 +104,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join with zero exchanges (co-located layout)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // both sides bucketed on the join key with the same bucket count:
+    // at 100 TB this is the layout that turns every fact⋈fact join
+    // into a local zipper — no shuffle, ever, for any join on the key
+    Tables.lineitem(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("bspec_lineitem")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("bspec_orders")
+    withPlainPlans {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bspec_lineitem")
+          .join(spark.table("bspec_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val plan = joined.queryExecution.executedPlan
+        // the join itself must not shuffle either side; the only
+        // exchange in the whole plan is the final 1-key aggregation
+        assert(shuffles(plan).size == 1,
+          s"bucketed join must elide both join-side exchanges:\n$plan")
+        assert(plan.toString.contains("SortMergeJoin"))
+        assert(joined.agg(sum(col("n"))).collect()(0).getLong(0) ==
+          Tables.lineitem(spark, dir).count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bspec_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bspec_orders")
+      }
+    }
+  }
+
   test("bloom-pruned join probes the fact scan and matches the plain join") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.analytics.RelationalOpsQueries
