@@ -251,12 +251,16 @@ object StarQueries {
     // of the same (small, per-supplier) revenue relation; ties kept,
     // exactly like `WHERE total = (SELECT max(total) ...)`
     "q15_top_supplier" -> ((s, dir) => {
+      // materialized once: self-referencing subtrees get no exchange
+      // reuse, so without this the filtered scan + per-supplier agg
+      // would run twice (once for the probe side, once under max)
       val rev = Tables.lineitemTs(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01") &&
           col("l_shipdate") < lit("1997-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
           .cast("double").as("total_revenue"))
+        .localCheckpoint(true)
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.join(broadcast(mx), col("total_revenue") === col("mx"))
         .join(broadcast(Tables.supplier(s, dir)),

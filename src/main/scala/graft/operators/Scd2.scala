@@ -39,8 +39,12 @@ object Scd2 {
       attrs: Seq[String], tieBreak: String): DataFrame = {
     require(attrs.nonEmpty, "SCD2 needs at least one tracked attribute")
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieBreak).asc)
+    // first row per key is always a version: the attr-vs-lag compare
+    // alone would drop it when every tracked attr is NULL (NULL <=>
+    // NULL-lag is true); row_number shares the same window spec, so
+    // this costs no extra sort
     val changed = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
-      .reduce(_ || _)
+      .reduce(_ || _) || row_number().over(w) === 1
     df.withColumn("__chg", changed)
       .filter(col("__chg")).drop("__chg")
       .withColumn("valid_from", col(ts))
@@ -57,6 +61,18 @@ object Scd2 {
     * prior versions plus the new snapshots, so a late-arriving
     * snapshot correctly splits an existing interval. Idempotent:
     * re-applying the same batch yields the same history.
+    *
+    * Contract is HISTORY-relative: the result equals
+    * `fromSnapshots(versionRows(current) ∪ updates)`. Snapshots that
+    * change-detection suppressed in an earlier build are gone — the
+    * version rows ARE the system of record — so a late snapshot
+    * landing strictly inside a formerly collapsed duplicate run
+    * extends from the late value rather than re-asserting the
+    * suppressed duplicate (there is nothing left to re-assert).
+    * Consequently streamed merges equal the one-shot batch build
+    * exactly when no update lands strictly inside a collapsed run;
+    * otherwise the history-relative result is the defined one
+    * (pinned by Scd2Spec's compacted-run test).
     *
     * `current` must carry `key, ts, tieBreak, attrs` plus the three
     * validity columns (i.e. be the output of [[fromSnapshots]] /

@@ -32,6 +32,35 @@ class Scd2Spec extends SparkSpec {
     assert(hist.count() == 3) // a → NULL (run collapsed) → a
   }
 
+  test("fromSnapshots: a key whose first snapshot is all-NULL still versions") {
+    val df = Seq((1, 10, 1, Option.empty[String]), (1, 20, 2, Some("a")),
+      (2, 5, 3, Option.empty[String])).toDF("k", "ts", "tb", "attr")
+    val hist = Scd2.fromSnapshots(df, "k", "ts", Seq("attr"), "tb")
+      .select($"k", $"valid_from", $"valid_to", $"attr", $"is_current")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(hist == Set(
+      (1, 10, Some(20), None, false), // NULL initial version kept
+      (1, 20, None, Some("a"), true),
+      (2, 5, None, None, true)))      // all-NULL-forever key not dropped
+  }
+
+  test("applyUpdates: history-relative — a late row inside a collapsed run " +
+    "extends from the late value (suppressed duplicates are gone)") {
+    val hist0 = Scd2.fromSnapshots(
+      snaps((1, 10, 1, "a"), (1, 20, 2, "a")), // duplicate a@20 collapses
+      "k", "ts", Seq("attr"), "tb")
+    val merged = Scd2.applyUpdates(hist0,
+      snaps((1, 15, 9, "z")), "k", "ts", Seq("attr"), "tb")
+    val rows = merged.select($"valid_from", $"valid_to", $"attr")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), r.getString(2))).toSet
+    // equals fromSnapshots(versionRows ∪ updates) = {a@10, z@15}; the
+    // suppressed a@20 is not re-asserted — that is the documented
+    // contract of merging into a compacted history
+    assert(rows == Set((10, Some(15), "a"), (15, None, "z")))
+  }
+
   test("applyUpdates: untouched keys pass through; touched keys rebuild") {
     val hist0 = Scd2.fromSnapshots(
       snaps((1, 10, 1, "a"), (1, 30, 2, "b"), (2, 10, 3, "x")),
