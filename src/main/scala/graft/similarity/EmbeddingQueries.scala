@@ -45,6 +45,18 @@ object EmbeddingQueries {
             .otherwise(0L).as("q"))
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).cast("int").as("n_dims"), sum(col("q")).as("q_sum"))
+    }),
+    // PCA projection onto the top-2 principal axes (fit = one
+    // distributed Gram pass + driver-side d×d Jacobi; project =
+    // map-only codegen'd dots). Eigenvectors are float-sum derived →
+    // rows-only check; orthonormality, variance ordering, and
+    // projection math are pinned by PcaSpec instead.
+    "emb_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pca.fit(emb, "embedding", k = 2)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), col("label"),
+          round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
     }))
 
   val oracleSql: Map[String, String] = Map(
