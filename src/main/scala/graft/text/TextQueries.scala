@@ -69,7 +69,25 @@ object TextQueries {
     // Bigram collocations ranked by pointwise mutual information
     "tx_collocations" -> ((s, dir) =>
       Text.collocations(Tables.documents(s, dir), "text",
-        minCount = 5, topN = 20)))
+        minCount = 5, topN = 20)),
+    // Zipf-law fit: ln(freq) regressed on ln(rank) — exercises the
+    // linear-regression aggregate family (regr_slope/regr_intercept/
+    // corr) in one pass. The rank window is global but runs over the
+    // VOCABULARY (post-aggregation), which is ≪ corpus size; at
+    // web-scale vocab swap in a sort + monotonic id.
+    "tx_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tables.documents(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      wf.withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("w").asc)))
+        .agg(count(lit(1)).as("n_words"),
+          round(regr_slope(log(col("n")), log(col("rank"))), 4).as("slope"),
+          round(regr_intercept(log(col("n")), log(col("rank"))), 4)
+            .as("intercept"),
+          round(corr(log(col("n")), log(col("rank"))), 4).as("r"))
+    }))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -203,5 +221,16 @@ object TextQueries {
          |JOIN ucnt ca ON cnt.a = ca.tok
          |JOIN ucnt cb ON cnt.b = cb.tok
          |CROSS JOIN tot t
-         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin)
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    "tx_zipf_fit" ->
+      s"""WITH ex AS (SELECT unnest($toksLower) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS n FROM ex GROUP BY 1),
+         |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC)
+         |              AS rank
+         |       FROM wf)
+         |SELECT count(*) AS n_words,
+         |       round(regr_slope(ln(n), ln(rank)), 4) AS slope,
+         |       round(regr_intercept(ln(n), ln(rank)), 4) AS intercept,
+         |       round(corr(ln(n), ln(rank)), 4) AS r
+         |FROM rk""".stripMargin)
 }
