@@ -46,6 +46,31 @@ object EmbeddingQueries {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).cast("int").as("n_dims"), sum(col("q")).as("q_sum"))
     }),
+    // Pairwise cosine between per-label centroids (class-prototype
+    // confusion structure). Built on the ROUNDED centroid vectors —
+    // rounding already absorbs cross-engine summation noise (same
+    // contract as emb_group_centroid), so the downstream dot products
+    // run over bit-identical operands in identical order. The pair
+    // join is over #labels rows; the heavy part (centroid agg) stays
+    // the distributed (label, dim)-keyed shuffle.
+    "emb_centroid_pairs" -> ((s, dir) => {
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 4).as("c"))
+      val v = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("vec"))
+      val a = v.select(col("label").as("label_a"), col("vec").as("va"))
+      val b = v.select(col("label").as("label_b"), col("vec").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(Ann.dot(col("va"), col("vb")) /
+            (sqrt(Ann.dot(col("va"), col("va"))) *
+              sqrt(Ann.dot(col("vb"), col("vb")))), 6).as("cosine"))
+    }),
     // PCA projection onto the top-2 principal axes (fit = one
     // distributed Gram pass + driver-side d×d Jacobi; project =
     // map-only codegen'd dots). Eigenvectors are float-sum derived →
@@ -77,5 +102,19 @@ object EmbeddingQueries {
         |                THEN round((ex.x - st.mn) / (st.mx - st.mn) * 255)::BIGINT
         |                ELSE 0 END)::BIGINT AS q_sum
         |FROM ex JOIN st ON ex.vec_id = st.vec_id
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "emb_centroid_pairs" ->
+      """WITH ex AS (
+        |  SELECT label, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, round(avg(x), 4) AS c
+        |         FROM ex GROUP BY 1, 2),
+        |v AS (SELECT label, list(c ORDER BY pos) AS vec
+        |      FROM cent GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_dot_product(a.vec, b.vec)
+        |             / (sqrt(list_dot_product(a.vec, a.vec))
+        |                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+        |FROM v a JOIN v b ON a.label < b.label""".stripMargin)
 }
