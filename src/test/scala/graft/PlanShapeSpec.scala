@@ -160,6 +160,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.collect().toSet == plain.collect().toSet)
   }
 
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // scoped child session: AQE skew thresholds shrunk so the hot key
+    // trips the split on test-sized data (defaults are 256 MB-scale);
+    // broadcast off so the join actually shuffles
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // 200k rows on the hot key vs 10 rows on each cold key
+    val fact = s2.range(0, 200000 + 100)
+      .select((when($"id" < 200000, lit(0)).otherwise($"id" % 10 + 1))
+        .as("k"), $"id".as("payload"))
+    val dim = s2.range(0, 11).select($"id".as("k"), lit("d").as("tag"))
+    // global aggregate, deliberately not keyed by k: a keyed agg right
+    // after the join would REQUIRE hashpartitioning(k) and AQE then
+    // (correctly) refuses to split the skewed partition — the split's
+    // price is losing the join output's partitioning. payload rides
+    // through the shuffle so the hot partition's bytes don't compress
+    // below the skew threshold (constant-k-only rows lz4 to ~nothing)
+    val joined = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum($"payload").as("chk"))
+    assert(joined.collect()(0).getLong(0) == 200100)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE must mark the hot partition's join as skew-split:\n$finalPlan")
+  }
+
   test("grouping sets and unpivot plan via Expand, one shuffle for the agg") {
     withPlainPlans {
       val dir = "/root/testdata/sf0.001"
