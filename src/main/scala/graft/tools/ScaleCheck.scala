@@ -120,6 +120,45 @@ object ScaleCheck {
     val sj = graft.functions.Skew.saltedJoin(factKeyed, dim, "k", 32).count()
     val sjsecs = (System.nanoTime() - t7) / 1e9
     println(f"[scale] saltjn rows=$sj%,d secs=$sjsecs%.2f rate=${sj / sjsecs}%,.0f rows/s")
+
+    // ---- late round-4 operators at factor× rows ----
+
+    // SCD2: factor× snapshots AND factor× keys (re-keyed user ids), so
+    // per-key version-chain depth stays constant — time must scale
+    // with rows, never with keys × rows
+    val snapRep = evRep.withColumn("attr",
+      (abs(hash(col("value"))) % 7).cast("int"))
+    val t8 = System.nanoTime()
+    val scn = graft.operators.Scd2.fromSnapshots(
+      snapRep, "user_id", "ts_us", Seq("attr"), "event_id").count()
+    val scsecs = (System.nanoTime() - t8) / 1e9
+    println(f"[scale] scd2   rows=$evn%,d versions=$scn%,d secs=$scsecs%.2f rate=${evn / scsecs}%,.0f rows/s")
+
+    // Bloom-pruned join: factor× fact rows against the selective dim —
+    // the might_contain probe keeps the shuffle proportional to the
+    // SURVIVING fraction, so rate should improve relative to row count
+    val bs = graft.operators.BloomJoin.session(spark)
+    val liRep = graft.Tables.lineitem(bs, dir)
+      .withColumn("rep", explode(sequence(lit(1), lit(factor))))
+      .drop("rep").repartition(32)
+    val lin = liRep.count()
+    val pDim = graft.Tables.part(bs, dir).filter(col("p_size") === 1)
+    val t9 = System.nanoTime()
+    val bln = liRep.join(pDim, liRep("l_partkey") === pDim("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1))).count()
+    val blsecs = (System.nanoTime() - t9) / 1e9
+    println(f"[scale] bloom  rows=$lin%,d brands=$bln%,d secs=$blsecs%.2f rate=${lin / blsecs}%,.0f rows/s")
+
+    // PCA fit: factor× vectors; the collected state stays
+    // partitions × d(d+3)/2 regardless of rows
+    val embRep = graft.Tables.embeddings(spark, dir)
+      .withColumn("rep", explode(sequence(lit(1), lit(factor))))
+      .drop("rep").repartition(32)
+    val en = embRep.count()
+    val t10 = System.nanoTime()
+    val m = graft.similarity.Pca.fit(embRep, "embedding", 2)
+    val psecs = (System.nanoTime() - t10) / 1e9
+    println(f"[scale] pca    rows=$en%,d comps=${m.components.length}%d secs=$psecs%.2f rate=${en / psecs}%,.0f rows/s")
     spark.stop()
   }
 }
