@@ -215,4 +215,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SCD2 fromSnapshots == plain-Scala model on random snapshot logs") {
+    // small domains force ts collisions (tieBreak paths), duplicate
+    // runs, NULL attrs, and multi-key interleavings
+    val rows = samples(for {
+      k <- Gen.chooseNum(1, 4)
+      ts <- Gen.chooseNum(0, 12)
+      attr <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+    } yield (k, ts, attr), n = 300)
+      .zipWithIndex.map { case ((k, ts, a), tb) => (k, ts, tb, a) }
+
+    def model(in: Seq[(Int, Int, Int, Option[String])])
+      : Set[(Int, Int, Option[Int], Option[String], Boolean)] =
+      in.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        val changes = ordered.foldLeft(Vector.empty[(Int, Option[String])]) {
+          case (acc, (_, ts, _, a)) =>
+            if (acc.lastOption.forall(_._2 != a)) acc :+ (ts -> a) else acc
+        }
+        changes.zipWithIndex.map { case ((from, a), i) =>
+          val to = changes.lift(i + 1).map(_._1)
+          (k, from, to, a, to.isEmpty)
+        }
+      }.toSet
+
+    val got = graft.operators.Scd2.fromSnapshots(
+      rows.toDF("k", "ts", "tb", "attr"), "k", "ts", Seq("attr"), "tb")
+      .select($"k", $"valid_from", $"valid_to", $"attr", $"is_current")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(got == model(rows), "SCD2 must match the sequential model")
+
+    // interval invariants: per key, [valid_from, valid_to) partitions
+    // the observed span — each valid_to is the next valid_from
+    got.groupBy(_._1).foreach { case (k, vs) =>
+      // ts collisions make valid_from non-unique (several versions can
+      // open at one timestamp); the open version's MaxValue sentinel
+      // makes the chain order total
+      val byFrom = vs.toSeq.sortBy(v => (v._2, v._3.getOrElse(Int.MaxValue)))
+      byFrom.sliding(2).foreach {
+        case Seq((_, _, to, _, cur), (_, from2, _, _, _)) =>
+          assert(!cur && to.contains(from2),
+            s"key $k: intervals must chain without gaps")
+        case _ => ()
+      }
+      assert(byFrom.last._5, s"key $k: last version must be current")
+    }
+  }
 }
