@@ -216,6 +216,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find on random graphs") {
+    for (seed <- 0 until 3) {
+      val edges = samples(for {
+        a <- Gen.chooseNum(0, 40)
+        b <- Gen.chooseNum(0, 40)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong), n = 60 + seed)
+        .distinct
+      // union-find model
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      val got = graft.dedup.Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("SCD2 fromSnapshots == plain-Scala model on random snapshot logs") {
     // small domains force ts collisions (tieBreak paths), duplicate
     // runs, NULL attrs, and multi-key interleavings
