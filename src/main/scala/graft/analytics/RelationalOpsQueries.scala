@@ -166,6 +166,23 @@ object RelationalOpsQueries {
           round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
             .cast("double").as("revenue"))
     }),
+    // Calendar/date function family over the star join: day-of-week
+    // histogram + shipping-delay stats. dayofweek is 1=Sunday in
+    // Spark vs 0=Sunday in DuckDB (+1 in the oracle); datediff vs
+    // date_diff('day') agree because the synthetic dates are
+    // midnight-aligned (both count day boundaries then).
+    "a29_ship_delay_dow" -> ((s, dir) => {
+      val o = Tables.ordersTs(s, dir)
+      val l = Tables.lineitemTs(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4)
+            .as("avg_ship_days"),
+          max(datediff(col("l_shipdate"), col("o_orderdate")))
+            .as("max_ship_days"))
+    }),
     // SCD2: version the per-user "status" (event_type) stream into
     // validity intervals — change-detection drops runs of identical
     // statuses, lead() closes each interval. One shuffle on user_id;
@@ -282,6 +299,16 @@ object RelationalOpsQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 1
         |GROUP BY 1""".stripMargin,
+    "a29_ship_delay_dow" ->
+      """SELECT o_orderpriority,
+        |       (dayofweek(o_orderdate) + 1)::INT AS dow,
+        |       count(*) AS n,
+        |       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+        |         AS avg_ship_days,
+        |       max(date_diff('day', o_orderdate, l_shipdate))::INT
+        |         AS max_ship_days
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "scd2_user_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS tsu, event_type
