@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductDouble, MinhashBandsExpr, MisraGries, MisraGriesAgg, NgramHashesExpr, SimHash64Expr, TextHashing, VectorExprs}
+import graft.functions.{DotProductDouble, MinhashBandsExpr, MisraGries, MisraGriesAgg, NgramHashesExpr, NormalizeWsExpr, SimHash64Expr, TextHashing, VectorExprs}
 
 /** Catalyst extension point: installs the engine's native expressions
   * into every session built with
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier(TextHashing.NormalizeName),
+      info(TextHashing.NormalizeName,
+        "_FUNC_(text) - lowercased whitespace-collapsed normal form"),
+      (exprs: Seq[Expression]) => NormalizeWsExpr(exprs(0))))
     // aggregation-function tier: Misra-Gries heavy-hitters sketch
     ext.injectFunction((FunctionIdentifier(MisraGries.FuncName),
       info(MisraGries.FuncName,

@@ -170,9 +170,37 @@ object TextHashing {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Whitespace-normalized lowercase form, one JVM pass — replicates
+    * `lower(regexp_replace(trim(text), "\s+", " "))` exactly (trim
+    * strips ASCII spaces only, like Spark's `trim`; runs of regex-\s
+    * whitespace collapse to one space ANYWHERE, so a leading tab run
+    * still yields a leading space — differential-tested against the
+    * regexp chain). The regexp formulation walks the Java regex engine
+    * per document; this is a single char scan.
+    */
+  def normalizeWs(text: UTF8String): UTF8String = {
+    val s = text.toString
+    @inline def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    val sb = new java.lang.StringBuilder(en - st)
+    var i = st
+    while (i < en) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        sb.append(' ')
+        while (i < en && isWs(s.charAt(i))) i += 1
+      } else { sb.append(Character.toLowerCase(c)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   val FuncName = "graft_ngram_hashes"
   val SimhashName = "graft_simhash64"
   val MinhashBandsName = "graft_minhash_bands"
+  val NormalizeName = "graft_normalize_ws"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -189,6 +217,8 @@ object TextHashing {
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].longValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NormalizeName, exprs => NormalizeWsExpr(exprs(0)), "built-in")
   }
 
   /** Column API; requires [[register]] on the session. */
@@ -200,6 +230,24 @@ object TextHashing {
   def minhashBands(hashes: Column, numHashes: Int, bands: Int,
                    seed: Long): Column =
     call_function(MinhashBandsName, hashes, lit(numHashes), lit(bands), lit(seed))
+
+  def normalizeWs(text: Column): Column = call_function(NormalizeName, text)
+}
+
+/** Expression wrapper for [[TextHashing.normalizeWs]]. */
+case class NormalizeWsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = TextHashing.NormalizeName
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashing.normalizeWs(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.normalizeWs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Expression wrapper for [[TextHashing.simhash64]]. */

@@ -87,4 +87,27 @@ class TextSpec extends SparkSpec {
     assert(got(0)._2 == 3L && got(0)._3 == r6((2 * pAB + pBA) / 3))
     assert(got(1)._2 == 1L && got(1)._3 == r6(pAB))
   }
+
+  test("native normalize == regexp chain, including the odd edges") {
+    val cases = Seq(
+      "  Hello   World  ",      // plain trim + collapse
+      "\tTabs\tEverywhere\t",   // regex-\s trim does NOT strip tabs:
+                                // leading tab run → leading space
+      "A\r\nB\u000BC\fD",       // every \s class member collapses
+      "MiXeD CaSe",
+      " ", "", "nospace",
+      "a  b", "  a", "b  ")
+    val df = cases.toDF("t")
+    val got = df.select(Text.normalized(col("t"))).as[String].collect()
+    val want = df.select(Text.normalizedComposable(col("t"))).as[String].collect()
+    got.zip(want).zip(cases).foreach { case ((g, w), in) =>
+      assert(g == w, s"input ${in.map(_.toInt.toHexString)}: '$g' != '$w'")
+    }
+    // corpus-level: every document normalizes identically both ways
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(Text.normalized(col("text")).as("a"),
+      Text.normalizedComposable(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
 }
