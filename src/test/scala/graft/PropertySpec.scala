@@ -216,6 +216,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin == sequential model on random keyed series, both directions") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    for (seed <- 0 until 2) {
+      val left = samples(for {
+        k <- Gen.chooseNum(1, 3); m <- Gen.chooseNum(0, 50)
+      } yield (k, m), n = 60 + seed)
+        .zipWithIndex.map { case ((k, m), i) => (i.toLong, k, ts(m), m) }
+      // right side unique per (key, ts) — the operator's contract
+      // (the driver queries pre-aggregate to it)
+      val right = samples(for {
+        k <- Gen.chooseNum(1, 3); m <- Gen.chooseNum(0, 50)
+      } yield (k, m), n = 80 + seed)
+        .distinct.map { case (k, m) => (k, ts(m), m * 10.0) }
+      val lDf = left.toDF("lid", "k", "ts", "lm")
+      val rDf = right.toDF("k", "ts", "rv")
+
+      for (dir <- Seq("backward", "forward")) {
+        val got = graft.operators.AsofJoin
+          .asofJoin(lDf, rDf, "k", "ts", Seq("rv"), direction = dir)
+          .select($"lid", $"asof_rv").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+          .toMap
+        val model = left.map { case (lid, k, lts, _) =>
+          val cand = right.filter(r => r._1 == k &&
+            (if (dir == "backward") !r._2.after(lts) else !r._2.before(lts)))
+          val pick =
+            if (cand.isEmpty) None
+            else if (dir == "backward") Some(cand.maxBy(_._2.getTime)._3)
+            else Some(cand.minBy(_._2.getTime)._3)
+          lid -> pick
+        }.toMap
+        assert(got == model, s"seed=$seed dir=$dir")
+      }
+    }
+  }
+
   test("connectedComponents == union-find on random graphs") {
     for (seed <- 0 until 3) {
       val edges = samples(for {
