@@ -90,4 +90,27 @@ class PipelineSpec extends SparkSpec {
         "id_usuario_recebedor", "id_regiao"))
     assert(out.count() == 2)
   }
+
+  test("observe() rides pipeline metrics on the action itself (T6 analog)") {
+    import org.apache.spark.sql.functions._
+    // the reference runs a SECOND streaming query for console metrics;
+    // Dataset.observe attaches the aggregates to the main pass — no
+    // extra scan, no fan-out query, works identically under streaming
+    val obs = org.apache.spark.sql.Observation("scoring_metrics")
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.etl.ScoringPipeline.runDeterministic(
+      graft.etl.TestdataAdapter.transactions(spark, dir),
+      graft.etl.TestdataAdapter.users(spark, dir),
+      graft.etl.TestdataAdapter.regions(spark, dir),
+      graft.etl.TestdataAdapter.eventLimitArms)
+    val n = scored.observe(obs,
+      count(lit(1)).as("rows"),
+      count(when(col("transacao_aprovada"), 1)).as("approved"),
+      avg(col("score_medio")).as("avg_score")).count()
+    val m = obs.get
+    assert(m("rows") == n)
+    val approved = m("approved").asInstanceOf[Long]
+    assert(approved > 0 && approved <= n)
+    assert(!m("avg_score").asInstanceOf[Double].isNaN)
+  }
 }
