@@ -183,6 +183,19 @@ object RelationalOpsQueries {
           max(datediff(col("l_shipdate"), col("o_orderdate")))
             .as("max_ship_days"))
     }),
+    // Exact-percentile family: median + continuous quantiles +
+    // discrete quantile per group, one sorted pass per group. (At
+    // 100 TB swap in percentile_approx — same call shape, bounded
+    // memory; a14 documents that trade.)
+    "a30_percentile_family" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2)
+            .as("p90_price_disc"))),
     // SCD2: version the per-user "status" (event_type) stream into
     // validity intervals — change-detection drops runs of identical
     // statuses, lead() closes each interval. One shuffle on user_id;
@@ -299,6 +312,14 @@ object RelationalOpsQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 1
         |GROUP BY 1""".stripMargin,
+    "a30_percentile_family" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(median(l_quantity), 4) AS med_qty,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |       round(quantile_disc(l_extendedprice, 0.9), 2)
+        |         AS p90_price_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "a29_ship_delay_dow" ->
       """SELECT o_orderpriority,
         |       (dayofweek(o_orderdate) + 1)::INT AS dow,
