@@ -183,6 +183,42 @@ object RelationalOpsQueries {
           max(datediff(col("l_shipdate"), col("o_orderdate")))
             .as("max_ship_days"))
     }),
+    // Array-valued aggregate output: the sorted member list per group
+    // travels as a real array<string> column through the parquet dump
+    // and the hash compare — collection outputs are first-class
+    "a31_nations_per_region" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_sort(collect_set(col("n_name"))).as("nations"),
+          countDistinct(col("n_name")).as("n"))),
+    // Time-series gap fill: the (type × hour) grid comes from
+    // sequence() over the broadcast 1-row bounds, sparse actuals
+    // left-join onto it, absent cells coalesce to 0 — the standard
+    // densification step before windowed feature extraction. Grid
+    // size is types × hours (tiny vs the event stream); the heavy
+    // side stays a single keyed aggregation.
+    "a32_gapfill_hourly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev.filter(col("value") > 90)
+        .groupBy(col("event_type").as("et"),
+          date_trunc("hour", col("ts")).as("ha"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(
+        min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("hora"))
+      grid.join(hourly,
+          grid("event_type") === hourly("et") && grid("hora") === hourly("ha"),
+          "left")
+        .select(grid("event_type"), grid("hora"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+    }),
     // Exact-percentile family: median + continuous quantiles +
     // discrete quantile per group, one sorted pass per group. (At
     // 100 TB swap in percentile_approx — same call shape, bounded
@@ -312,6 +348,29 @@ object RelationalOpsQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 1
         |GROUP BY 1""".stripMargin,
+    "a31_nations_per_region" ->
+      """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
+        |       count(DISTINCT n_name) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "a32_gapfill_hourly" ->
+      """WITH actual AS (
+        |  SELECT event_type AS et, date_trunc('hour', ts::TIMESTAMP) AS ha,
+        |         count(*) AS cnt
+        |  FROM events WHERE value > 90 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(date_trunc('hour', ts::TIMESTAMP)) AS lo,
+        |         max(date_trunc('hour', ts::TIMESTAMP)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, g.hora
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |               AS hora FROM bounds) g)
+        |SELECT grid.event_type, grid.hora, coalesce(actual.cnt, 0) AS n
+        |FROM grid
+        |LEFT JOIN actual ON grid.event_type = actual.et
+        |                AND grid.hora = actual.ha""".stripMargin,
     "a30_percentile_family" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(median(l_quantity), 4) AS med_qty,
