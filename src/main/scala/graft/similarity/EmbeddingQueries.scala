@@ -46,6 +46,19 @@ object EmbeddingQueries {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).cast("int").as("n_dims"), sum(col("q")).as("q_sum"))
     }),
+    // Higher-order array functions as a user-facing surface: per-row
+    // vector stats via filter / transform+aggregate — map-only, no
+    // explode, the lambda fold runs left-to-right exactly like the
+    // oracle's list_sum, so operands and order match bit-for-bit.
+    "emb_vector_stats" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(filter(v, x => x > 0)).as("n_pos"),
+          round(aggregate(v, lit(0.0), (acc, x) => acc + abs(x)), 4)
+            .as("l1"),
+          round(array_max(transform(v, x => abs(x))), 4).as("max_abs"))
+    }),
     // Pairwise cosine between per-label centroids (class-prototype
     // confusion structure). Built on the ROUNDED centroid vectors —
     // rounding already absorbs cross-engine summation noise (same
@@ -103,6 +116,15 @@ object EmbeddingQueries {
         |                ELSE 0 END)::BIGINT AS q_sum
         |FROM ex JOIN st ON ex.vec_id = st.vec_id
         |GROUP BY 1""".stripMargin,
+    "emb_vector_stats" ->
+      """SELECT vec_id,
+        |       len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+        |       round(list_sum(list_transform(embedding,
+        |                                     x -> abs(x::DOUBLE))), 4) AS l1,
+        |       round(list_max(list_transform(embedding,
+        |                                     x -> abs(x::DOUBLE))), 4)
+        |         AS max_abs
+        |FROM embeddings""".stripMargin,
     "emb_centroid_pairs" ->
       """WITH ex AS (
         |  SELECT label, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
