@@ -192,9 +192,14 @@ object TextHashing {
       if (isWs(c)) {
         sb.append(' ')
         while (i < en && isWs(s.charAt(i))) i += 1
-      } else { sb.append(Character.toLowerCase(c)); i += 1 }
+      } else { sb.append(c); i += 1 }
     }
-    UTF8String.fromString(sb.toString)
+    // full-string lowercase LAST, exactly like lower() composed outside
+    // the regexp: String.toLowerCase is what Spark's UTF8String
+    // lowercasing delegates to off the ASCII fast path, and per-char
+    // Character.toLowerCase would diverge on contextual mappings
+    // (final sigma), length-changing ones (U+0130), and surrogates
+    UTF8String.fromString(sb.toString.toLowerCase)
   }
 
   val FuncName = "graft_ngram_hashes"

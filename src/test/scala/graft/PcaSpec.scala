@@ -55,12 +55,13 @@ class PcaSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, dir)
     val model = Pca.fit(emb, "embedding", k = 1)
     val proj = Pca.project(emb, "embedding", model)
-    def variance(c: org.apache.spark.sql.Column): Double =
-      proj.agg(var_pop(c)).collect()(0).getDouble(0)
-    val vTop = variance(col("pc1"))
-    // projecting on any raw coordinate axis captures no more variance
-    val perAxisMax = (0 until 4).map(i =>
-      variance(col("embedding").cast("array<double>")(i))).max
+    // one pass: pc1 variance + every coordinate axis's variance
+    val aggs = var_pop(col("pc1")) +:
+      (0 until 64).map(i => var_pop(col("embedding").cast("array<double>")(i)))
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val vTop = row.getDouble(0)
+    // projecting on ANY raw coordinate axis captures no more variance
+    val perAxisMax = (1 to 64).map(row.getDouble).max
     assert(vTop >= perAxisMax - 1e-9,
       s"pc1 variance $vTop must dominate axis variance $perAxisMax")
   }

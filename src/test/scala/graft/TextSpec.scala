@@ -95,6 +95,8 @@ class TextSpec extends SparkSpec {
                                 // leading tab run → leading space
       "A\r\nB\u000BC\fD",       // every \s class member collapses
       "MiXeD CaSe",
+      "ΜΕΓΑΣ İstanbul", // full-string case
+                                // mapping: final sigma + dotted I
       " ", "", "nospace",
       "a  b", "  a", "b  ")
     val df = cases.toDF("t")
