@@ -48,7 +48,15 @@ object StreamingJob {
     // the override here is race-free; a cluster deployment passes None
     // and keeps the session's parallelism. `extraConfs` rides the same
     // scope (e.g. the RocksDB provider transformWithState requires).
-    val overrides = extraConfs ++
+    // finite AvailableNow runs into a memory sink never restart from
+    // this checkpoint, so keep no history and skip state-store
+    // snapshot compaction (delta replay is bounded by the run's few
+    // batches) — measured ~12% off the stream-stream join's wall.
+    // The durable parquet/checkpointed paths do NOT get these.
+    val overrides = Map(
+      "spark.sql.streaming.minBatchesToRetain" -> "1",
+      "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100") ++
+      extraConfs ++
       shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
     // set→start→restore under a lock: two concurrent calls otherwise
     // interleave (B captures A's temporary value as its "previous" and
