@@ -80,9 +80,7 @@ object EmbeddingQueries {
       val b = v.select(col("label").as("label_b"), col("vec").as("vb"))
       a.join(b, col("label_a") < col("label_b"))
         .select(col("label_a"), col("label_b"),
-          round(Ann.dot(col("va"), col("vb")) /
-            (sqrt(Ann.dot(col("va"), col("va"))) *
-              sqrt(Ann.dot(col("vb"), col("vb")))), 6).as("cosine"))
+          round(Ann.cosine(col("va"), col("vb")), 6).as("cosine"))
     }),
     // PCA projection onto the top-2 principal axes (fit = one
     // distributed Gram pass + driver-side d×d Jacobi; project =
