@@ -15,6 +15,9 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a matching query; rows-only set is exactly the approximates") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
+    // count pin: a refactor that silently drops a registration (e.g. a
+    // ++ collision between two query maps) fails here, not at judging
+    assert(q.size == 116, s"expected 116 registered queries, got ${q.size}")
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("dedup_simhash", "mm_features",
