@@ -12,6 +12,22 @@ import graft.etl.ScoringPipeline
   */
 object Jobs {
 
+  /** Deploy-session builder carrying the reference's session-level
+    * choices (SURVEY.md §4: streaming_etl.py:12-19) plus this
+    * engine's extensions: Kryo serializer, modern Kafka offset
+    * fetching, native functions + TopK strategy/rewrite. AQE is left
+    * default-ON — the reference commented it out, but Spark disables
+    * it inside stateful streaming automatically, so keeping it costs
+    * streaming nothing and buys batch runtime re-planning.
+    */
+  def sessionBuilder(appName: String, master: String): SparkSession.Builder =
+    SparkSession.builder().appName(appName).master(master)
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.streaming.kafka.useDeprecatedOffsetFetching",
+        "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+
   /** Streaming scoring job: decoded transaction stream → enrich →
     * score → shape → foreachBatch fan-out (facts + scores + keyed
     * snapshot + recency). Mirrors streaming_etl.py end-to-end.

@@ -12,6 +12,18 @@ import graft.streaming.StreamingJob
   */
 class JobsSpec extends SparkSpec {
 
+  test("deploy session builder applies reference configs and resolves natives") {
+    // getOrCreate reuses the shared test session: core SparkConf
+    // settings (serializer) can't change on a live context, but
+    // runtime SQL confs from the builder ARE applied — assert those,
+    // plus that the extension-injected natives resolve here
+    val s = Jobs.sessionBuilder("graft-spec", "local[2]").getOrCreate()
+    assert(s.conf.get(
+      "spark.sql.streaming.kafka.useDeprecatedOffsetFetching") == "false")
+    assert(s.sql("SELECT graft_dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect()(0).getDouble(0) == 11.0)
+  }
+
   test("streaming job fan-out equals batch twin on sf0.001") {
     StreamingJob.KeyedStore.clear()
     val dir = "/root/testdata/sf0.001"
