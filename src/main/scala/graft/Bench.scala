@@ -31,14 +31,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // production posture: native functions + TopK strategy + the
-      // row_number-filter rewrite all active, as a user session would
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // production posture via the shared deploy builder: extensions
+    // (natives + TopK strategy/rewrite), Kryo, offset fetching — as a
+    // user session would run
+    val spark = graft.jobs.Jobs.localBuilder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm session/codegen/file-listing paths so the first measured
     // query doesn't absorb one-time JVM costs.

@@ -28,6 +28,16 @@ object Jobs {
         "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
+  /** The deploy posture specialized to the local harness (Verify /
+    * Bench / PlanCheck boot through here so the "production session"
+    * config lives in exactly one place): local[n] master with
+    * shuffle parallelism right-sized to the core count, UI off.
+    */
+  def localBuilder(appName: String, cpus: String): SparkSession.Builder =
+    sessionBuilder(appName, s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+
   /** Streaming scoring job: decoded transaction stream → enrich →
     * score → shape → foreachBatch fan-out (facts + scores + keyed
     * snapshot + recency). Mirrors streaming_etl.py end-to-end.

@@ -25,7 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingJob {
 
   private val sinkCounter = new AtomicInteger(0)
+  // serializes EVERY streaming start() in this module against
+  // runToMemory's temporary conf overrides: a query snapshots the
+  // session conf at start(), so a durable query starting inside the
+  // override window would otherwise capture the memory-sink tuning
   private val confLock = new Object
+  private def startLocked(f: => StreamingQuery): StreamingQuery =
+    confLock.synchronized(f)
 
   /** Run a streaming DataFrame to completion into a uniquely-named
     * memory sink (T3 append / complete), returning the result as a
@@ -98,12 +104,12 @@ object StreamingJob {
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     val out = s"$dir/out"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    val q = stream.writeStream.format("parquet")
+    val q = startLocked(stream.writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", s"$dir/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // a zero-row stream commits no files: mirror runToMemory's empty
     // result instead of failing schema inference on an empty dir
@@ -118,11 +124,11 @@ object StreamingJob {
     */
   def startConsoleMetrics(scored: DataFrame,
                           intervalMs: Long = 30000L): StreamingQuery =
-    scored.writeStream.format("console")
+    startLocked(scored.writeStream.format("console")
       .option("truncate", "false").option("numRows", "5")
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(intervalMs))
-      .start()
+      .start())
 
   // ---------------------------------------------------------------------
   // O1–O5: foreachBatch fan-out.
@@ -153,7 +159,7 @@ object StreamingJob {
   def startFanout(scored: DataFrame, factsDir: String, scoresDir: String,
                   checkpointDir: String, keyCol: String = "id_transacao",
                   tsCol: String = "data_horario"): StreamingQuery =
-    scored.writeStream
+    startLocked(scored.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -187,7 +193,7 @@ object StreamingJob {
         } finally df.unpersist()
         ()
       }
-      .start()
+      .start())
 
   /** Steady-state micro-batch throughput of the full scoring pipeline
     * (the reference's headline metric — report p.15-16 measures ~1000
@@ -216,12 +222,12 @@ object StreamingJob {
         TestdataAdapter.users(spark, sfDir),
         TestdataAdapter.regions(spark, sfDir)),
       TestdataAdapter.eventLimitArms)
-    val q = scored.writeStream
+    val q = startLocked(scored.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val steady = q.recentProgress.filter(_.numInputRows > 0).drop(1)
     val rows = steady.map(_.numInputRows).sum

@@ -13,10 +13,8 @@ object PlanCheck {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("pipeline_score", "j2_star_join_agg", "a6_rate_by_region",
         "dedup_ngram_jaccard", "ann_bruteforce_topk")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.jobs.Jobs.localBuilder("graft-plancheck", "4")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n=================== $n ===================")

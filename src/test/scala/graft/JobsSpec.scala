@@ -13,11 +13,18 @@ import graft.streaming.StreamingJob
 class JobsSpec extends SparkSpec {
 
   test("deploy session builder applies reference configs and resolves natives") {
-    // getOrCreate reuses the shared test session: core SparkConf
-    // settings (serializer) can't change on a live context, but
-    // runtime SQL confs from the builder ARE applied — assert those,
-    // plus that the extension-injected natives resolve here
+    // force the harness session FIRST: if this test ran on a fresh
+    // JVM, getOrCreate below would CREATE the process-wide session
+    // with local[2]/Kryo and every later suite would silently reuse it
+    val shared = spark
+    // against the live harness session only RUNTIME SQL confs from the
+    // builder apply (static confs — serializer, extensions — are
+    // snapshot at context creation); so this asserts the runtime-conf
+    // path plus that the session is usable end-to-end. The static-conf
+    // payload (spark.sql.extensions) is covered by the Verify/Bench
+    // sessions, which boot fresh JVMs with the same setting.
     val s = Jobs.sessionBuilder("graft-spec", "local[2]").getOrCreate()
+    assert(s eq shared, "builder must not fork a second session")
     assert(s.conf.get(
       "spark.sql.streaming.kafka.useDeprecatedOffsetFetching") == "false")
     assert(s.sql("SELECT graft_dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d))")
