@@ -220,6 +220,18 @@ object StreamingQueries {
         .withColumn("k", from_json(col("props"),
           StructType(Seq(StructField("k", IntegerType)))).getField("k"))
         .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))),
+    // P2 through Spark 4's VARIANT type: parse once into the binary
+    // semi-structured encoding, extract typed fields lazily — the
+    // schema-on-read path for JSON payloads whose shape isn't known
+    // up front (from_json needs the full schema declared; variant
+    // defers it to each variant_get). Same oracle as p2.
+    "p23_variant_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +282,10 @@ object StreamingQueries {
         |       round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
     "p2_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "p23_variant_extract" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
         |FROM events GROUP BY 1""".stripMargin,
