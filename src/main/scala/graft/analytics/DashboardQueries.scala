@@ -88,7 +88,23 @@ object DashboardQueries {
       scored(s, dir)
         .groupBy(graft.functions.Binning
           .widthBucket(col("valor_transacao"), 0.0, 1000.0, 10).as("bucket"))
-        .agg(count(lit(1)).as("n"))))
+        .agg(count(lit(1)).as("n"))),
+    // the reference's commented-out chart (dashboard.py:635): approval
+    // rate by frequency score — completes the dashboard's intended
+    // surface; avg skips null approvals identically in both engines
+    "a33_rate_by_freq_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id_usuario_pagador"),
+        date_trunc("hour", col("data_horario")))
+      val freq = count(lit(1)).over(w)
+      val fs = when(freq <= 3, 0.0).when(freq <= 10, 0.5).otherwise(1.0)
+      scored(s, dir)
+        .select(fs.as("freq_score"), col("transacao_aprovada"))
+        .groupBy(col("freq_score"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("transacao_aprovada").cast("double")), 4)
+            .as("approval_rate"))
+    }))
 
   private val base = TestdataAdapter.scoredBaseSql
 
@@ -226,5 +242,17 @@ object DashboardQueries {
          |            WHEN valor_transacao >= 1000 THEN 11
          |            ELSE (FLOOR(valor_transacao / 100.0) + 1)::INT
          |       END AS bucket, count(*) AS n
-         |FROM base GROUP BY 1""".stripMargin)
+         |FROM base GROUP BY 1""".stripMargin,
+    "a33_rate_by_freq_score" ->
+      s"""WITH base AS ($base),
+         |f AS (
+         |  SELECT transacao_aprovada,
+         |         count(*) OVER (PARTITION BY id_usuario_pagador,
+         |                        date_trunc('hour', data_horario)) AS freq
+         |  FROM base)
+         |SELECT CASE WHEN freq <= 3 THEN 0.0 WHEN freq <= 10 THEN 0.5
+         |            ELSE 1.0 END AS freq_score,
+         |       count(*) AS n,
+         |       round(avg(transacao_aprovada::INT), 4) AS approval_rate
+         |FROM f GROUP BY 1""".stripMargin)
 }
