@@ -38,6 +38,31 @@ object DedupQueries {
       graft.operators.Graph.pageRank(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           N, Threshold), "doc_a", "doc_b", iters = 3)),
+    // Triangle census over the temporal-proximity event graph (edges =
+    // same-minute band pairs, found by the cell-bucketed band join —
+    // never the quadratic cross join). Ordered ids u<v<w count each
+    // wedge and each triangle exactly once; closing is a LEFT SEMI
+    // probe of the wedge set against the edge set, so wedges never
+    // multiply. One localCheckpoint because the edge set is referenced
+    // three times (no exchange reuse across self-references).
+    "graph_triangles" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val e = graft.operators.BandJoin
+        .bandPairs(ev, "event_id", "ts_us", 60000000L)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .localCheckpoint(true)
+      val wedges = e.join(
+        e.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      val closed = wedges.join(
+        e.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(col("n_triangles").cast("double") / col("n_wedges"), 6)
+            .as("closure_rate"))
+    }),
     // The full near-dup clustering pipeline: pairs → components →
     // per-cluster stats joined back to the corpus. The component label
     // IS the min doc id, so the canonical keeper is the row where
@@ -119,6 +144,23 @@ object DedupQueries {
          |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc, min(label) AS component
          |FROM reach GROUP BY u""".stripMargin,
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT a.event_id AS u, b.event_id AS v
+        |  FROM events a JOIN events b
+        |    ON a.event_id < b.event_id
+        |   AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 1 MINUTE
+        |   AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 1 MINUTE),
+        |w AS (SELECT e1.u, e1.v, e2.v AS w
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u),
+        |t AS (SELECT * FROM w
+        |      WHERE EXISTS (SELECT 1 FROM e
+        |                    WHERE e.u = w.u AND e.v = w.w))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       (SELECT count(*) FROM t) AS n_triangles,
+        |       round((SELECT count(*) FROM t)::DOUBLE
+        |             / (SELECT count(*) FROM w), 6) AS closure_rate""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),
          |cedges AS (
