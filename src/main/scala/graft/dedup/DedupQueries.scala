@@ -63,6 +63,36 @@ object DedupQueries {
           round(col("n_triangles").cast("double") / col("n_wedges"), 6)
             .as("closure_rate"))
     }),
+    // Link-prediction feature extraction over the same graph: for
+    // every node pair sharing ≥1 neighbor, the common-neighbor count,
+    // the Adamic–Adar score (Σ 1/ln deg(m) over shared neighbors m —
+    // the classic degree-discounted evidence), and whether the pair
+    // is already linked (the supervised target). All joins key on
+    // node ids; the wedge join bounds candidate pairs to 2-hop
+    // neighborhoods — never all-pairs.
+    "graph_link_features" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val e = graft.operators.BandJoin
+        .bandPairs(ev, "event_id", "ts_us", 60000000L)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .localCheckpoint(true)
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val cand = und.select(col("u").as("a"), col("v").as("m"))
+        .join(und.select(col("u").as("b"), col("v").as("m")), Seq("m"))
+        .filter(col("a") < col("b"))
+      val feat = cand
+        .join(deg.select(col("u").as("m"), col("d")), Seq("m"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"),
+          round(sum(lit(1.0) / log(col("d"))), 6).as("adamic_adar"))
+      feat.join(
+          e.select(col("u").as("a"), col("v").as("b"), lit(true).as("lk")),
+          Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("cn"), col("adamic_adar"),
+          coalesce(col("lk"), lit(false)).as("linked"))
+    }),
     // The full near-dup clustering pipeline: pairs → components →
     // per-cluster stats joined back to the corpus. The component label
     // IS the min doc id, so the canonical keeper is the row where
@@ -144,6 +174,27 @@ object DedupQueries {
          |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc, min(label) AS component
          |FROM reach GROUP BY u""".stripMargin,
+    "graph_link_features" ->
+      """WITH e AS (
+        |  SELECT a.event_id AS u, b.event_id AS v
+        |  FROM events a JOIN events b
+        |    ON a.event_id < b.event_id
+        |   AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 1 MINUTE
+        |   AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 1 MINUTE),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+        |cand AS (
+        |  SELECT n1.u AS a, n2.u AS b, n1.v AS m
+        |  FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u),
+        |feat AS (
+        |  SELECT a, b, count(*) AS cn,
+        |         round(sum(1.0 / ln(d.d)), 6) AS adamic_adar
+        |  FROM cand JOIN deg d ON cand.m = d.u
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cn, adamic_adar,
+        |       EXISTS (SELECT 1 FROM e WHERE e.u = feat.a AND e.v = feat.b)
+        |         AS linked
+        |FROM feat""".stripMargin,
     "graph_triangles" ->
       """WITH e AS (
         |  SELECT a.event_id AS u, b.event_id AS v
