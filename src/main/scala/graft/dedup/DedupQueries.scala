@@ -17,6 +17,17 @@ object DedupQueries {
   private val N = 3
   private val Threshold = 0.8
 
+  /** Temporal-proximity graph: events within one minute are linked
+    * (cell-bucketed band join — never the quadratic cross join);
+    * ordered (u < v) edge list, the contract the graph operators want.
+    */
+  private def temporalEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BandJoin.bandPairs(
+        graft.Tables.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us")),
+        "event_id", "ts_us", 60000000L)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
@@ -45,24 +56,8 @@ object DedupQueries {
     // probe of the wedge set against the edge set, so wedges never
     // multiply. One localCheckpoint because the edge set is referenced
     // three times (no exchange reuse across self-references).
-    "graph_triangles" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      val e = graft.operators.BandJoin
-        .bandPairs(ev, "event_id", "ts_us", 60000000L)
-        .select(col("id_a").as("u"), col("id_b").as("v"))
-        .localCheckpoint(true)
-      val wedges = e.join(
-        e.select(col("u").as("v"), col("v").as("w")), Seq("v"))
-      val closed = wedges.join(
-        e.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          round(col("n_triangles").cast("double") / col("n_wedges"), 6)
-            .as("closure_rate"))
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCensus(temporalEdges(s, dir))),
     // Link-prediction feature extraction over the same graph: for
     // every node pair sharing ≥1 neighbor, the common-neighbor count,
     // the Adamic–Adar score (Σ 1/ln deg(m) over shared neighbors m —
@@ -70,29 +65,8 @@ object DedupQueries {
     // is already linked (the supervised target). All joins key on
     // node ids; the wedge join bounds candidate pairs to 2-hop
     // neighborhoods — never all-pairs.
-    "graph_link_features" -> ((s, dir) => {
-      val ev = graft.Tables.events(s, dir)
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      val e = graft.operators.BandJoin
-        .bandPairs(ev, "event_id", "ts_us", 60000000L)
-        .select(col("id_a").as("u"), col("id_b").as("v"))
-        .localCheckpoint(true)
-      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val cand = und.select(col("u").as("a"), col("v").as("m"))
-        .join(und.select(col("u").as("b"), col("v").as("m")), Seq("m"))
-        .filter(col("a") < col("b"))
-      val feat = cand
-        .join(deg.select(col("u").as("m"), col("d")), Seq("m"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("cn"),
-          round(sum(lit(1.0) / log(col("d"))), 6).as("adamic_adar"))
-      feat.join(
-          e.select(col("u").as("a"), col("v").as("b"), lit(true).as("lk")),
-          Seq("a", "b"), "left")
-        .select(col("a"), col("b"), col("cn"), col("adamic_adar"),
-          coalesce(col("lk"), lit(false)).as("linked"))
-    }),
+    "graph_link_features" -> ((s, dir) =>
+      graft.operators.Graph.linkFeatures(temporalEdges(s, dir))),
     // The full near-dup clustering pipeline: pairs → components →
     // per-cluster stats joined back to the corpus. The component label
     // IS the min doc id, so the canonical keeper is the row where

@@ -11,6 +11,54 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Triangle census + global clustering coefficient over an
+    * edge list with ordered ids (u < v). Ordered ids count each wedge
+    * and triangle exactly once; closing is a LEFT SEMI probe of the
+    * wedge set against the edges, so wedges never multiply. One
+    * localCheckpoint because the edge set is referenced three times
+    * (self-references get no exchange reuse). Returns one row:
+    * (n_edges, n_wedges, n_triangles, closure_rate).
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val wedges = e.join(
+      e.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val closed = wedges.join(
+      e.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(col("n_triangles").cast("double") / col("n_wedges"), 6)
+          .as("closure_rate"))
+  }
+
+  /** Link-prediction features for every node pair sharing ≥ 1
+    * neighbor: common-neighbor count, Adamic–Adar score
+    * (Σ 1/ln deg(m) over shared neighbors m), and whether the pair is
+    * already an edge (the supervised target). Candidate pairs are
+    * bounded by 2-hop neighborhoods (wedge join) — never all-pairs;
+    * every join keys on node ids.
+    */
+  def linkFeatures(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val cand = und.select(col("u").as("a"), col("v").as("m"))
+      .join(und.select(col("u").as("b"), col("v").as("m")), Seq("m"))
+      .filter(col("a") < col("b"))
+    val feat = cand
+      .join(deg.select(col("u").as("m"), col("d")), Seq("m"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("d"))), 6).as("adamic_adar"))
+    feat.join(
+        e.select(col("u").as("a"), col("v").as("b"), lit(true).as("lk")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("cn"), col("adamic_adar"),
+        coalesce(col("lk"), lit(false)).as("linked"))
+  }
+
   /** Undirected PageRank with a fixed iteration count (deterministic,
     * so a SQL oracle can replay it with unrolled CTEs). Only the node
     * COUNT reaches the driver — inherent to the uniform teleport term,
