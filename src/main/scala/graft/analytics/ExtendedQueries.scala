@@ -86,6 +86,23 @@ object ExtendedQueries {
             md5(col("doc_id").cast("string")).as("h")),
         keys = Seq("lang"), orderCols = Seq("h" -> true), k = 5)
         .select(col("lang"), col("doc_id"), col("rank"))),
+    // Deterministic train/val/test assignment: bucket = (id × Knuth
+    // multiplicative constant) mod 100 → 80/10/10. Pure integer
+    // arithmetic (no RNG state, no hash parity concern), so the split
+    // is reproducible run-over-run, stable under corpus growth (a doc's
+    // split never changes when other docs arrive — the property
+    // sample() cannot give), and exactly replayable by the oracle.
+    // Map-only + one tiny 3-key aggregate.
+    "sample_split_assign" -> ((s, dir) => {
+      val b = pmod(col("doc_id") * lit(2654435761L), lit(100))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
     // As-of join: last click value at-or-before each purchase, per user
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -315,6 +332,15 @@ object ExtendedQueries {
         |           AS rank
         |  FROM documents)
         |SELECT lang, doc_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "sample_split_assign" ->
+      """WITH b AS (
+        |  SELECT *, (doc_id * 2654435761) % 100 AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM b GROUP BY 1""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(value) AS click_value

@@ -44,6 +44,28 @@ object Dedup {
       array().cast("array<string>"))
   }
 
+  /** Boilerplate span mining: word n-grams shared across at least
+    * `minDf` documents, with their document frequency and the smallest
+    * containing doc id. This is the repeated-span signal behind
+    * substring-level training-data dedup (headers, footers, license
+    * blocks repeat verbatim across crawled pages; near-dup pair search
+    * never sees them because the containing documents differ).
+    *
+    * Shape at scale: one map-only shingling pass (distinct within doc,
+    * so a doc contributes each span once) then a single groupBy keyed
+    * by the span text — map-side partial counts collapse the heavy
+    * hitters before the shuffle, which is exactly the skewed-key case
+    * partial aggregation exists for. Emitting `min(doc)` rides the
+    * same aggregate; no second pass.
+    */
+  def commonNgrams(df: DataFrame, id: String, text: String, n: Int,
+                   minDf: Int): DataFrame =
+    df.select(col(id).as("doc"),
+        explode(shingles(col(text), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"), min(col("doc")).as("first_doc"))
+      .filter(col("df") >= minDf)
+
   /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via
     * explode + inverted-index self-join on the shingle string. At scale
     * the join key would be `xxhash64(shingle)` (narrower shuffle, same

@@ -39,6 +39,11 @@ object DedupQueries {
           round(col("jaccard"), 6).as("jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    // Boilerplate span mining: 6-gram spans appearing in >= 3 docs
+    // (the substring-level dedup signal near-dup pair search misses)
+    "dedup_common_ngrams" -> ((s, dir) =>
+      Dedup.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
+        n = 6, minDf = 3)),
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -134,6 +139,19 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_common_ngrams" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |                             '\s+'), t -> t != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 4),
+        |           i -> concat_ws(' ', w[i], w[i+1], w[i+2],
+        |                          w[i+3], w[i+4], w[i+5])))) AS ngram
+        |  FROM docs)
+        |SELECT ngram, count(*) AS df, min(doc_id) AS first_doc
+        |FROM grams GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "graph_pagerank" -> pagerankOracle,
     "dedup_components" ->

@@ -82,6 +82,31 @@ object EmbeddingQueries {
         .select(col("label_a"), col("label_b"),
           round(Ann.cosine(col("va"), col("vb")), 6).as("cosine"))
     }),
+    // Sparse random projection (Achlioptas '03 / Johnson–Lindenstrauss):
+    // project 64-dim embeddings onto K=8 axes with entries drawn from
+    // {+1, 0, -1} (P = 1/6, 2/3, 1/6) scaled by sqrt(3/K). The "random"
+    // matrix is a pure LCG formula over (dim, axis), so both engines
+    // rebuild it bit-identically and the result is fully oracle-checked
+    // — unlike PCA there is no float-derived model. Map-only: the sign
+    // rows ride the plan as array literals, each output axis is one
+    // left-to-right transform+aggregate fold per row, no shuffle at all
+    // — THE cheap dimensionality reduction at 100 TB (distance-
+    // preserving to (1±ε) by the JL lemma, no training pass needed).
+    "emb_jl_project" -> ((s, dir) => {
+      val K = 8
+      val D = 64
+      val v = slice(col("embedding").cast("array<double>"), 1, D)
+      val outs = (0 until K).map { k =>
+        val signs = array((0 until D).map(j => lit(Jl.sign(j, k, K))): _*)
+        round(
+          aggregate(
+            transform(v, (x, i) => x * element_at(signs, i + 1)),
+            lit(0.0), (acc, x) => acc + x) * math.sqrt(3.0 / K),
+          6)
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(array(outs: _*)).as(Seq("k", "v")))
+    }),
     // PCA projection onto the top-2 principal axes (fit = one
     // distributed Gram pass + driver-side d×d Jacobi; project =
     // map-only codegen'd dots). Eigenvectors are float-sum derived →
@@ -123,6 +148,21 @@ object EmbeddingQueries {
         |                                     x -> abs(x::DOUBLE))), 4)
         |         AS max_abs
         |FROM embeddings""".stripMargin,
+    "emb_jl_project" ->
+      """WITH e AS (SELECT vec_id, embedding, len(embedding) AS d
+        |           FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 64)) AS j),
+        |terms AS (
+        |  SELECT vec_id, k, j,
+        |         embedding[j+1]::DOUBLE *
+        |         (CASE ((1103515245 * (j * 8 + k) + 12345) % 2147483648) % 6
+        |            WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END) AS t
+        |  FROM e
+        |  CROSS JOIN generate_series(0, 7) AS ks(k)
+        |  CROSS JOIN dims
+        |  WHERE j < d)
+        |SELECT vec_id, k::INT AS k, round(sum(t) * sqrt(3.0/8), 6) AS v
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "emb_centroid_pairs" ->
       """WITH ex AS (
         |  SELECT label, (generate_subscripts(embedding, 1) - 1)::INT AS pos,

@@ -38,6 +38,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("commonNgrams counts each doc once and honours the df floor") {
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "p q x y z r"),
+      (3L, "x y z x y z"),             // span repeats in-doc: counted ONCE
+      (4L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.commonNgrams(docs, "doc_id", "text", n = 3, minDf = 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // "x y z" appears in docs 1, 2, 3 (twice in 3, distinct-per-doc)
+    assert(got == Map("x y z" -> (3L, 1L)))
+    // df floor 2 additionally admits "a b c" (docs 1 and 4)
+    val df2 = Dedup.commonNgrams(docs, "doc_id", "text", n = 3, minDf = 2)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(df2 == Map("x y z" -> (3L, 1L), "a b c" -> (2L, 1L)))
+  }
+
+  test("JL projection of a basis vector reads out the sign matrix row") {
+    import graft.similarity.Jl
+    val K = 8
+    // e_j projects to sign(j, k) * sqrt(3/K) on every axis k — the
+    // projection wiring (indexing, scaling) verified exactly
+    for (j <- Seq(0, 5, 63)) {
+      val basis = Array.tabulate(64)(i => if (i == j) 1.0 else 0.0)
+      val df = Seq((1L, basis)).toDF("vec_id", "embedding")
+      val signs = (0 until K).map { k =>
+        val arr = array((0 until 64).map(d => lit(Jl.sign(d, k, K))): _*)
+        aggregate(
+          transform(col("embedding"), (x, i) => x * element_at(arr, i + 1)),
+          lit(0.0), (acc, x) => acc + x) * math.sqrt(3.0 / K)
+      }
+      val got = df.select(array(signs: _*)).as[Seq[Double]].head()
+      val want = (0 until K).map(k => Jl.sign(j, k, K) * math.sqrt(3.0 / K))
+      assert(got == want, s"basis $j")
+    }
+    // sign distribution: ~1/3 of entries nonzero over the full matrix
+    val nz = (for (j <- 0 until 64; k <- 0 until K) yield Jl.sign(j, k, K))
+      .count(_ != 0.0)
+    assert(nz > 512 / 6 && nz < 512 / 2, s"nonzero=$nz of 512")
+  }
+
   test("ngramHashes matches string-shingle formulation (set sizes + overlap)") {
     TextHashing.register(spark)
     val viaKernel = corpus.select(col("doc_id"),

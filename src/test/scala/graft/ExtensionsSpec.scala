@@ -62,6 +62,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(ratio > 0.25 && ratio < 0.75, s"en ratio $ratio")
   }
 
+  test("deterministic split assignment: bucket boundaries land 80/10/10") {
+    // bucket = (id * 2654435761) % 100; 2654435761 ≡ 61 (mod 100) with
+    // inverse 41, so ids hitting buckets 79/80/89/90 exactly are
+    // 39/80/49/90 — the four split-edge cases
+    val b = pmod(col("id") * lit(2654435761L), lit(100))
+    val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val got = Seq(39L, 80L, 49L, 90L).toDF("id")
+      .select(col("id"), split.as("s")).as[(Long, String)].collect().toMap
+    assert(got == Map(39L -> "train", 80L -> "val", 49L -> "val",
+      90L -> "test"))
+    // over a full residue cycle the split is exactly 80/10/10 — and a
+    // doc's assignment is a pure function of its id, so it can never
+    // change when the corpus grows (the stability sample() lacks)
+    val frac = (0L until 1000L).toDF("id").select(split.as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(frac == Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
+  }
+
   test("approx aggregates: approx_count_distinct and percentile_approx sane") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val (exact, approx) = df.select(
