@@ -209,24 +209,96 @@ object Dedup {
 
   /** Connected components over a near-dup pair list → dedup groups:
     * every doc in a component labels itself with the component's
-    * minimum doc id (the canonical keeper). Iterative min-label
-    * propagation — per round one join + one min-aggregate, lineage
-    * truncated with localCheckpoint so plans stay flat; rounds are
-    * bounded by component diameter (near-dup clusters are shallow).
-    * The driver sees only a one-row convergence check per round, never
-    * the data. Only docs that appear in some pair are emitted
-    * (singletons are their own trivial component).
+    * minimum doc id (the canonical keeper). Two phases:
+    *
+    * 1. **Partition-local contraction**: hash-partition the doubled
+    *    edge list by source and run an in-memory union-find per
+    *    partition (the one genuinely imperative per-partition step —
+    *    `mapPartitions` territory). Each partition emits star edges
+    *    (node → local min-id root). This collapses everything locally
+    *    connected in ONE pass; the union of the stars has exactly the
+    *    original components (an edge (u,v) lands in u's partition,
+    *    which links u and v through a shared root).
+    * 2. **Min-label propagation** over the (much smaller, much
+    *    shallower) star graph — per round one join + one
+    *    min-aggregate, lineage truncated with localCheckpoint so
+    *    plans stay flat. Star diameters are ~the number of partition
+    *    boundaries a component crosses, so the loop converges in 1–2
+    *    rounds where naive propagation needs diameter rounds.
+    *
+    * Shuffle width tracks the edge count (≥1 partition per ~500k
+    * edges), not the session default: the pair list is tiny relative
+    * to the corpus, and frontier-sized shuffles keep the per-round
+    * fixed cost proportional to the work — the same clamp keeps
+    * per-task union-find state at a few MB at 100 TB. The driver sees
+    * only a one-row convergence check per round, never the data. Only
+    * docs that appear in some pair are emitted (singletons are their
+    * own trivial component). Ids must be integral (doc/event ids).
     */
   def connectedComponents(pairs: DataFrame, aCol: String,
-                          bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+                          bCol: String,
+                          edgesPerTask: Long = 500000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // one direction suffices for phase 1 (an edge links u and v in
+    // whichever partition it lands; doubling would only make local
+    // merging marginally more aggressive for 2× the shuffle), and
+    // union-find tolerates duplicate edges, so no distinct either.
+    // Checkpoint: the pair computation feeding this is expensive and
+    // is consumed twice (count + contraction).
+    val edges = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")).localCheckpoint(true)
+    val defaultWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = math.max(1L,
+      math.min(defaultWidth.toLong, edges.count() / edgesPerTask + 1)).toInt
+    val star = edges.repartition(width, col("u")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        for ((u, v) <- it) {
+          seen.update(u, ()); seen.update(v, ())
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { // min id wins so the root IS the local keeper
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        seen.keysIterator.map(x => (x, find(x)))
+      }.toDF("node", "label")
+    // recursive contraction bottoms out when the graph fits one task:
+    // a single union-find saw every edge, so the stars ARE the answer.
+    // Checkpoint either way: consumers join the labels back to the
+    // corpus, and an ExistingRDD leaf gives the planner a real size
+    // (broadcastable) where the raw mapPartitions lineage would not.
+    val resolved =
+      if (width == 1) star.localCheckpoint(true)
+      else propagateMinLabel(star.localCheckpoint(true))
+    resolved.select(col("node").as("doc"), col("label").as("component"))
+  }
+
+  /** Min-label fixpoint over an undirected graph given as (node, label)
+    * star edges (label is itself a node id). Returns every mentioned
+    * node with its component's minimum id.
+    */
+  private def propagateMinLabel(star: DataFrame): DataFrame = {
+    val edges = star.filter(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    val doubled = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = star.groupBy(col("node")).agg(min(col("label")).as("label"))
+      .localCheckpoint(true)
     var converged = false
     while (!converged) {
-      val prop = edges
+      val prop = doubled
         .join(labels.select(col("node").as("v"), col("label").as("vlab")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nlab"))
       // carry the previous label through the checkpoint so convergence
@@ -240,7 +312,7 @@ object Dedup {
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select(col("node"), col("label"))
     }
-    labels.select(col("node").as("doc"), col("label").as("component"))
+    labels
   }
 
   /** 64-bit SimHash per doc: sign of the per-bit ±1 vote sum over token

@@ -276,6 +276,12 @@ class PropertySpec extends SparkSpec {
         edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       assert(got == want, s"seed=$seed")
+      // a tiny per-task edge budget forces multi-partition contraction
+      // + the star-graph propagation loop (the at-scale path)
+      val gotWide = graft.dedup.Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", edgesPerTask = 8L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotWide == want, s"seed=$seed (multi-partition path)")
     }
   }
 
