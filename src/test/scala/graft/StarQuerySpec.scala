@@ -83,4 +83,67 @@ class StarQuerySpec extends SparkSpec {
       assert(math.abs(ms - nv / tv) < 1e-6)
     }
   }
+
+  test("q2: each returned supplier ties the regional per-part min cost") {
+    // recompute the derived catalog + regional min independently and
+    // check every returned (part, cost) is that part's min — and that
+    // NO cheaper regional supplier exists for a returned part
+    val d = "/root/testdata/sf0.01" // sf0.001 may miss the part filter
+    val rows = StarQueries.queries("q2_min_cost_supplier")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val minByPart = Tables.lineitem(spark, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("c"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey")).agg(min(col("c")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      val cost = r.getAs[Double]("supply_cost")
+      val want = BigDecimal(minByPart(pk))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cost - want) < 1e-9,
+        s"part $pk: returned $cost, regional min ${minByPart(pk)}")
+    }
+  }
+
+  test("q4: counts orders once regardless of how many late lines") {
+    val total = StarQueries.queries("q4_priority_checking")(spark, dir)
+      .agg(sum(col("order_count"))).collect()(0).getLong(0)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+    val l = Tables.lineitem(spark, dir)
+    // distinct-orders formulation of the same EXISTS
+    val expected = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("o_orderkey")).distinct().count()
+    assert(total == expected, s"semi-join count $total != distinct $expected")
+    assert(total <= o.count(), "can never exceed the window's order count")
+  }
+
+  test("q21: a late supplier in a solo-supplier order never appears") {
+    // numwait counts only late lines in orders that HAVE another
+    // supplier but have NO OTHER late supplier: recompute via
+    // per-order supplier censuses and compare totals
+    val rows = StarQueries.queries("q21_waiting_supplier")(spark, dir)
+      .agg(sum(col("numwait"))).collect()(0).getLong(0)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("is_late"))
+    val census = late.groupBy(col("l_orderkey").as("k"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    val expected = late.filter(col("is_late"))
+      .join(census, col("l_orderkey") === col("k"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .count()
+    assert(rows == expected, s"got $rows, census formulation $expected")
+  }
 }
