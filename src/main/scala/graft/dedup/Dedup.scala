@@ -28,12 +28,16 @@ object Dedup {
     * tokens, empty tokens excluded — matching [[graft.text.Text.tokens]]
     * and the native kernel).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+  def shingles(text: Column, n: Int): Column =
+    shinglesOf(filter(split(trim(text), "\\s+"), t => t =!= ""), n)
+
+  /** [[shingles]] over an already-tokenized array column. */
+  def shinglesOf(toks: Column, n: Int): Column = {
     // n-gram windows as arrays_zip of n shifted slices: the transform
     // lambda touches only its own argument — a lambda that closed over
-    // `toks` would re-evaluate the full split PER ELEMENT (O(tokens·n)
-    // splits per doc). m = 0 when size < n ⇒ empty result, no guard.
+    // `toks` would re-evaluate the full tokenizer PER ELEMENT
+    // (O(tokens·n) splits per doc). m = 0 when size < n ⇒ empty
+    // result, no guard.
     val m = greatest(size(toks) - (n - 1), lit(0))
     val zipped = arrays_zip((1 to n).map(j => slice(toks, lit(j), m)): _*)
     // NULL text ⇒ empty array, not NULL (slice(null,…) propagates null;
@@ -65,6 +69,36 @@ object Dedup {
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"), min(col("doc")).as("first_doc"))
       .filter(col("df") >= minDf)
+
+  /** Train→test contamination pairs: documents in different splits
+    * sharing at least one word `n`-gram — the GPT-3/PaLM-style 13-gram
+    * decontamination check run before a benchmark is trusted. Split
+    * assignment is the same deterministic Knuth-multiplicative bucket
+    * as the engine's split operator ((id·2654435761) mod 100: ≥ 90 is
+    * held-out test, < 80 train), so contamination is checked against
+    * the exact split the pipeline would emit.
+    *
+    * Shape at scale: one shingling pass (distinct within doc) feeding
+    * an inverted-index equi-join keyed by the gram — a key that is
+    * uniformly distributed except on true boilerplate, which
+    * [[commonNgrams]] exists to mine and mask upstream. Both sides
+    * prune to their split BEFORE the join (the test side is ~10% of
+    * the corpus), and the pair aggregation counts each shared distinct
+    * gram once, so `n_shared` is exactly |gram-set intersection|.
+    */
+  def decontaminate(df: DataFrame, id: String, text: String,
+                    n: Int): DataFrame = {
+    val grams = df.select(col(id),
+      pmod(col(id) * lit(2654435761L), lit(100)).as("__b"),
+      explode(shingles(col(text), n)).as("g"))
+    val train = grams.filter(col("__b") < 80)
+      .select(col(id).as("train_doc"), col("g"))
+    val test = grams.filter(col("__b") >= 90)
+      .select(col(id).as("test_doc"), col("g").as("g2"))
+    train.join(test, col("g") === col("g2"))
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via
     * explode + inverted-index self-join on the shingle string. At scale

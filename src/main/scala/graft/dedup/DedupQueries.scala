@@ -44,6 +44,13 @@ object DedupQueries {
     "dedup_common_ngrams" -> ((s, dir) =>
       Dedup.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
         n = 6, minDf = 3)),
+    // Benchmark decontamination: train docs sharing a 13-gram with a
+    // held-out test doc (split = the deterministic Knuth bucket). On
+    // this corpus only the planted near-dup pairs collide at n=13 —
+    // exactly the intended semantics
+    "dedup_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
+        n = 13)),
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -152,6 +159,23 @@ object DedupQueries {
         |  FROM docs)
         |SELECT ngram, count(*) AS df, min(doc_id) AS first_doc
         |FROM grams GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 100 AS b,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     t -> t != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(w) - 11, 1)),
+        |           i -> list_aggregate(w[i:i+12], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 13)
+        |SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+        |       count(*) AS n_shared
+        |FROM grams tr JOIN grams te ON tr.g = te.g
+        |WHERE tr.b < 80 AND te.b >= 90
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "graph_pagerank" -> pagerankOracle,
     "dedup_components" ->

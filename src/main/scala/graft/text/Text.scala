@@ -242,4 +242,37 @@ object Text {
     graft.operators.TopK.topKPerKey(scored, Seq("doc_id"),
       Seq("tfidf" -> false, "term" -> true), k)
   }
+
+  /** Within-document repetition signals (the Gopher/MassiveText-style
+    * quality filters near-dup pair search can't see): the fraction of
+    * trigram OCCURRENCES that are repeats of an earlier trigram in the
+    * same doc, and the mass fraction of the single most frequent word.
+    *
+    * Map-only at any corpus size: the token array is materialized ONCE
+    * as a column and every signal is array arithmetic over it — no
+    * explode, no shuffle, no per-element re-tokenization (a lambda
+    * closing over the tokenizer expression would re-split per element;
+    * referencing the materialized attribute does not). The top-word
+    * scan is O(distinct·tokens) per row — bounded by document length,
+    * the same contract as the shingle kernels.
+    *
+    * Emits (id, n_tokens, dup_trigram_frac, top_word_frac); both
+    * fractions are 0.0 for degenerate docs (no trigrams / no tokens).
+    */
+  def repetitionProfile(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val triTotal = greatest(size(col("__toks")) - 2, lit(0))
+    val triDistinct = size(graft.dedup.Dedup.shinglesOf(col("__toks"), 3))
+    val topCount = array_max(transform(array_distinct(col("__toks")),
+      w => size(filter(col("__toks"), t => t === w))))
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        when(triTotal > 0,
+          round((triTotal - triDistinct).cast("double") / triTotal, 6))
+          .otherwise(0.0).as("dup_trigram_frac"),
+        when(size(col("__toks")) > 0,
+          round(topCount.cast("double") / size(col("__toks")), 6))
+          .otherwise(0.0).as("top_word_frac"))
+  }
 }

@@ -87,7 +87,11 @@ object TextQueries {
           round(regr_intercept(log(col("n")), log(col("rank"))), 4)
             .as("intercept"),
           round(corr(log(col("n")), log(col("rank"))), 4).as("r"))
-    }))
+    }),
+    // Gopher-style repetition filters: duplicate-trigram fraction and
+    // top-word mass per document, map-only (no shuffle at any scale)
+    "tx_repetition" -> ((s, dir) =>
+      Text.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -232,5 +236,26 @@ object TextQueries {
          |       round(regr_slope(ln(n), ln(rank)), 4) AS slope,
          |       round(regr_intercept(ln(n), ln(rank)), 4) AS intercept,
          |       round(corr(ln(n), ln(rank)), 4) AS r
-         |FROM rk""".stripMargin)
+         |FROM rk""".stripMargin,
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         greatest(len(w) - 2, 0) AS tri_total,
+         |         len(list_distinct(list_transform(range(1, len(w) - 1),
+         |           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS tri_d
+         |  FROM t),
+         |wc AS (
+         |  SELECT doc_id, max(c) AS top_c FROM (
+         |    SELECT doc_id, w2, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(w) AS w2 FROM t)
+         |    GROUP BY 1, 2) GROUP BY 1)
+         |SELECT base.doc_id, n_tokens::INT AS n_tokens,
+         |       CASE WHEN tri_total > 0
+         |            THEN round((tri_total - tri_d)::DOUBLE / tri_total, 6)
+         |            ELSE 0.0 END AS dup_trigram_frac,
+         |       CASE WHEN n_tokens > 0
+         |            THEN round(top_c::DOUBLE / n_tokens, 6)
+         |            ELSE 0.0 END AS top_word_frac
+         |FROM base LEFT JOIN wc ON base.doc_id = wc.doc_id""".stripMargin)
 }

@@ -249,4 +249,21 @@ class DedupAnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("decontaminate: only cross-split (train,test) 13-gram pairs") {
+    // Knuth bucket (id·2654435761) mod 100 = (id·61) mod 100:
+    // id 1 → 61 (train), 2 → 22 (train), 3 → 83 (val: NEITHER side),
+    // 90 → 90 (test)
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$gram extraA"),  // train; 2 distinct 13-grams, shares 1
+      (2L, s"$gram extraA"),  // train; identical (train-train ignored)
+      (3L, s"$gram extraC"),  // val bucket: appears on NO side
+      (90L, s"$gram extraB")  // test
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.decontaminate(docs, "doc_id", "text", 13)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 90L, 1L), (2L, 90L, 1L)),
+      s"expected exactly the two train→test pairs, got $got")
+  }
 }

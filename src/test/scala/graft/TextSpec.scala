@@ -112,4 +112,21 @@ class TextSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
   }
+
+  test("repetitionProfile: hand-checked fractions, degenerate docs 0.0") {
+    val docs = Seq(
+      (1L, "a a a a a a"),     // 4 trigrams all "a a a" -> dup 3/4; top 6/6
+      (2L, "a b c d e f"),     // all trigrams distinct -> dup 0; top 1/6
+      (3L, "x y"),             // no trigrams -> dup 0.0
+      (4L, "")                 // no tokens -> both 0.0
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6, 0.75, 1.0),
+      (2L, 6, 0.0, math.rint(1.0 / 6 * 1e6) / 1e6),
+      (3L, 2, 0.0, 0.5),
+      (4L, 0, 0.0, 0.0)))
+  }
 }
