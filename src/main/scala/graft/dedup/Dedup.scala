@@ -162,6 +162,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * ≥ threshold over word n-gram shingle sets, A ≠ B — the near-dup
+    * signal symmetric Jaccard misses when a short document is embedded
+    * in a much longer one (quoted articles, digests, concatenated
+    * crawl pages). Emits every ordered (sub, super) pair.
+    *
+    * Prefix filtering holds on the SUBJECT side only: if none of A's
+    * first |A| − ⌈t·|A|⌉ + 1 smallest hashes hits B, fewer than t·|A|
+    * elements can intersect — so the index carries just A's prefix but
+    * probes ALL of B's shingles (B has no usable prefix bound: it may
+    * be arbitrarily large). The one valid size prune is t·|A| ≤ |B|
+    * (an intersection can never exceed B). Candidates are then
+    * verified exactly over the full sorted hash arrays, same contract
+    * as [[jaccardPairs]] (lossless; oracle-exact modulo 2⁻⁶⁴ hash
+    * collisions).
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                       threshold: Double): DataFrame = {
+    val sh = hashedShingles(df, id, text, n).localCheckpoint(true)
+    val preLen = (size(col("hs")) -
+      ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
+    val subj = sh.filter(size(col("hs")) > 0)
+      .select(col("doc"), size(col("hs")).as("sz"),
+        explode(slice(col("hs"), lit(1), preLen)).as("h"))
+    val all = sh.filter(size(col("hs")) > 0)
+      .select(col("doc").as("docB"), size(col("hs")).as("szb"),
+        explode(col("hs")).as("hb"))
+    val cand = subj.join(all, col("h") === col("hb") &&
+        col("doc") =!= col("docB") &&
+        col("szb") >= ceil(lit(threshold) * col("sz")))
+      .select(col("doc").as("doc_sub"), col("docB").as("doc_super"))
+    cand
+      .join(sh.select(col("doc").as("doc_sub"), col("hs").as("sha"))
+        .hint("shuffle_hash"), Seq("doc_sub"))
+      .join(sh.select(col("doc").as("doc_super"), col("hs").as("shb"))
+        .hint("shuffle_hash"), Seq("doc_super"))
+      .select(col("doc_sub"), col("doc_super"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(col("sha"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .distinct()
+  }
+
   /** MinHash signature columns via the standard universal-hash family
     * gᵢ(x) = (aᵢ·x + bᵢ) mod p over the base shingle hash x =
     * xxhash64(shingle) mod p, p = 2³¹−1 (the same family Spark ML's

@@ -51,6 +51,13 @@ object DedupQueries {
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
         n = 13)),
+    // Asymmetric containment (sub ⊆ super at 90% of the sub's
+    // shingles) — the embedded-document signal Jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        N, 0.9)
+        .select(col("doc_sub"), col("doc_super"),
+          round(col("containment"), 6).as("containment"))),
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -159,6 +166,23 @@ object DedupQueries {
         |  FROM docs)
         |SELECT ngram, count(*) AS df, min(doc_id) AS first_doc
         |FROM grams GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |                                   '\s+'), t -> t != '') AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_sub, db AS doc_super,
+        |       round(inter::DOUBLE / x.n, 6) AS containment
+        |FROM pairs
+        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+        |WHERE inter::DOUBLE / x.n >= 0.9""".stripMargin,
     "dedup_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, (doc_id * 2654435761) % 100 AS b,

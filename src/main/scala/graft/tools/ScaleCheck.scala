@@ -159,6 +159,23 @@ object ScaleCheck {
     val m = graft.similarity.Pca.fit(embRep, "embedding", 2)
     val psecs = (System.nanoTime() - t10) / 1e9
     println(f"[scale] pca    rows=$en%,d comps=${m.components.length}%d secs=$psecs%.2f rate=${en / psecs}%,.0f rows/s")
+
+    // decontamination: disjoint-vocab replicas → cross-replica grams
+    // never collide, so work scales with the gram stream (rows),
+    // never pairwise
+    val t11 = System.nanoTime()
+    val dc = graft.dedup.Dedup
+      .decontaminate(docsRep, "doc_id", "text", 13).count()
+    val dcsecs = (System.nanoTime() - t11) / 1e9
+    println(f"[scale] decon  rows=$dn%,d pairs=$dc%,d secs=$dcsecs%.2f rate=${dn / dcsecs}%,.0f docs/s")
+
+    // repetition profile: map-only — rate must track the scan
+    val t12 = System.nanoTime()
+    val rp = graft.text.Text
+      .repetitionProfile(docsRep, "doc_id", "text")
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val rpsecs = (System.nanoTime() - t12) / 1e9
+    println(f"[scale] repeat rows=$dn%,d toks=$rp%,d secs=$rpsecs%.2f rate=${dn / rpsecs}%,.0f docs/s")
     spark.stop()
   }
 }

@@ -250,6 +250,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("containmentPairs: embedded doc found sub→super, not super→sub") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // 3 trigrams, all inside doc 2
+      (2L, "a b c d e f g h"),      // 6 trigrams
+      (3L, "z y x w v u")           // unrelated
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // C(1→2) = 3/3 = 1.0 reported; C(2→1) = 3/6 = 0.5 and anything
+    // with doc 3 stays below threshold
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+  }
+
   test("decontaminate: only cross-split (train,test) 13-gram pairs") {
     // Knuth bucket (id·2654435761) mod 100 = (id·61) mod 100:
     // id 1 → 61 (train), 2 → 22 (train), 3 → 83 (val: NEITHER side),

@@ -205,4 +205,41 @@ class PlanShapeSpec extends SparkSpec {
       assert(up.toString.contains("Expand"), s"unpivot expands:\n$up")
     }
   }
+
+  test("q21: SEMI then ANTI chain on one probe-side exchange + sort") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val plan = graft.analytics.StarQueries
+        .queries("q21_waiting_supplier")(spark, dir)
+        .queryExecution.executedPlan
+      val txt = plan.toString
+      assert(txt.contains("LeftSemi") && txt.contains("LeftAnti"),
+        s"EXISTS/NOT EXISTS must plan as SEMI + ANTI:\n$txt")
+      // probe stream sorts on l_orderkey once: the ANTI join consumes
+      // the SEMI join's output ordering directly, so the plan carries
+      // exactly 4 exchanges (probe, l2, l3 on orderkey + the final
+      // per-supplier agg) and 3 sorts — one more of either means the
+      // chain re-shuffled or re-sorted between the two joins
+      assert(shuffles(plan).size == 4,
+        s"expected 4 exchanges (3 join sides + final agg):\n$plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size == 3,
+        s"probe must not re-sort between SEMI and ANTI:\n$plan")
+    }
+  }
+
+  test("q4: EXISTS with time-lag condition stays a single semi join") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      val txt = graft.analytics.StarQueries
+        .queries("q4_priority_checking")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(txt.contains("LeftSemi"), s"expected LeftSemi:\n$txt")
+      // the non-equi lag predicate must ride the join as its condition,
+      // not force a nested-loop plan
+      assert(!txt.contains("BroadcastNestedLoopJoin"),
+        s"lag predicate must not degrade to nested-loop:\n$txt")
+    }
+  }
 }
