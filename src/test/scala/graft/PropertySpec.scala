@@ -160,6 +160,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == plain-Scala containment on random corpora") {
+    // same adversarial tiny-vocabulary corpus as the Jaccard property:
+    // subject-side-only prefix filtering must stay lossless
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (round <- 0 until 3) {
+      val thr = Seq(0.5, 0.7, 0.9)(round)
+      val docs = samples(
+        Gen.chooseNum(4, 14).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))), n = 60)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.dedup.Dedup
+        .containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, thr)
+        .select("doc_sub", "doc_super").as[(Long, Long)].collect().toSeq.sorted
+      def sh(t: String): Set[Seq[String]] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+          .map(_.toSeq).toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs
+        if ia != ib
+        sa = sh(ta); sb = sh(tb)
+        if sa.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= thr
+      } yield (ia, ib)).sorted
+      assert(got == want, s"threshold=$thr")
+    }
+  }
+
   test("saltedJoin == plain inner join on random skewed keys") {
     val rows = samples(for {
       k <- Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"))
