@@ -34,6 +34,24 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-family BPE pre-tokenization pattern: contractions, letter
+    * runs, digit runs, punctuation runs, each with an optional leading
+    * space. Deliberately lookahead-free (the original's `\s+(?!\S)`
+    * arm only matters for whitespace tokens, which a count ignores) so
+    * Java regex and RE2 engines match identically — the oracle runs
+    * the very same pattern.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-style token count — the budget number a training pipeline
+    * tracks per document (an upper bound on merged-BPE tokens: merges
+    * only fuse chunks the pre-tokenizer emits). Codegen'd
+    * `regexp_count`, map-only.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
   /** Count of tokens present in `stop` (duplicates counted — NOT set
     * intersection, so frequency information survives).
     */

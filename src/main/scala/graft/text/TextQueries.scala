@@ -91,7 +91,17 @@ object TextQueries {
     // Gopher-style repetition filters: duplicate-trigram fraction and
     // top-word mass per document, map-only (no shuffle at any scale)
     "tx_repetition" -> ((s, dir) =>
-      Text.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")))
+      Text.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")),
+    // Token budgeting: whitespace vs BPE-style pre-tokenization counts
+    "tx_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_ws"),
+        Text.bpeTokenCount(col("text")).as("n_bpe"),
+        when(Text.tokenCount(col("text")) > 0,
+          round(Text.bpeTokenCount(col("text")).cast("double") /
+            Text.tokenCount(col("text")), 6)).otherwise(0.0)
+          .as("bpe_per_word"))))
 
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -257,5 +267,15 @@ object TextQueries {
          |       CASE WHEN n_tokens > 0
          |            THEN round(top_c::DOUBLE / n_tokens, 6)
          |            ELSE 0.0 END AS top_word_frac
-         |FROM base LEFT JOIN wc ON base.doc_id = wc.doc_id""".stripMargin)
+         |FROM base LEFT JOIN wc ON base.doc_id = wc.doc_id""".stripMargin,
+    "tx_bpe_tokens" -> {
+      val pat = Text.BpePattern.replace("'", "''")
+      s"""SELECT doc_id, len($toks)::INT AS n_ws,
+         |       len(regexp_extract_all(text, '$pat'))::INT AS n_bpe,
+         |       CASE WHEN len($toks) > 0
+         |            THEN round(len(regexp_extract_all(text, '$pat'))::DOUBLE
+         |                       / len($toks), 6)
+         |            ELSE 0.0 END AS bpe_per_word
+         |FROM documents""".stripMargin
+    })
 }

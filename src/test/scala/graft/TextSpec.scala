@@ -113,6 +113,15 @@ class TextSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("bpeTokenCount: contractions, digit runs, punct runs, spaces") {
+    val got = Seq(
+      "don't stop, it's 42 meters-long!", // 11 chunks (checked by hand)
+      "hello world",                      // 2
+      "")                                 // 0
+      .toDF("t").select(Text.bpeTokenCount(col("t"))).as[Int].collect()
+    assert(got.toSeq == Seq(11, 2, 0))
+  }
+
   test("repetitionProfile: hand-checked fractions, degenerate docs 0.0") {
     val docs = Seq(
       (1L, "a a a a a a"),     // 4 trigrams all "a a a" -> dup 3/4; top 6/6
