@@ -307,6 +307,90 @@ object StreamingJob {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class ShardedToken(shard: Int, item: String)
+  case class SketchEntry(shard: Int, item: String, weight: Long, seen: Long)
+
+  /** Streaming Misra–Gries heavy-hitter sketch: each shard (a hash
+    * range of the item space — every item lives in exactly ONE shard,
+    * so shard sketches never overlap and their union is a valid
+    * summary) maintains a capacity-bounded count map as
+    * `transformWithState` MapState. Per batch the input is first
+    * reduced to exact LOCAL counts (one hash map pass), then merged
+    * into the sketch with the classic mergeable-summaries step:
+    * combine, and if over capacity subtract the (capacity+1)-th
+    * largest count from everything and drop the non-positives. Each
+    * surviving weight is a lower bound within streamLen/(capacity+1)
+    * of the true count, and any item with true frequency above that
+    * error bound is GUARANTEED present — the same superset contract as
+    * the batch [[graft.functions.MisraGries]] aggregate, which is what
+    * makes the exact-verify pass downstream deterministic.
+    *
+    * Emits the shard's full sketch each batch, stamped with the
+    * running `seen` total — monotone per shard, so "the final sketch"
+    * is the rows where seen = max(seen) over the shard.
+    */
+  class HeavyHittersProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, ShardedToken, SketchEntry] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[ShardedToken],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SketchEntry] = {
+      val merged = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.iterator().foreach { case (k, v) => merged(k) = v }
+      var n = 0L
+      rows.foreach { r =>
+        n += 1; merged(r.item) = merged.getOrElse(r.item, 0L) + 1
+      }
+      if (merged.size > capacity) {
+        // subtract the (capacity+1)-th largest weight from everything:
+        // ≤ capacity survivors, every weight still a valid lower bound
+        val arr = merged.values.toArray
+        java.util.Arrays.sort(arr)
+        val d = arr(arr.length - capacity - 1)
+        merged.mapValuesInPlace((_, v) => v - d)
+        merged.filterInPlace((_, v) => v > 0)
+      }
+      counts.clear()
+      merged.foreach { case (k, v) => counts.updateValue(k, v) }
+      val tot = (if (seen.exists()) seen.get() else 0L) + n
+      seen.update(tot)
+      merged.iterator.map { case (k, v) => SketchEntry(shard, k, v, tot) }
+        .toSeq.iterator
+    }
+  }
+
+  /** Update-mode sharded streaming sketch over a string item stream.
+    * `shards` fixes the stateful parallelism unit (item-hash keyed —
+    * uniform); per-shard state is ≤ capacity counters regardless of
+    * stream length.
+    */
+  def streamingHeavyHitterSketch(items: Dataset[String], capacity: Int,
+                                 shards: Int): Dataset[SketchEntry] = {
+    import items.sparkSession.implicits._
+    items.toDF("item")
+      .select(pmod(xxhash64(col("item")), lit(shards)).cast("int").as("shard"),
+        col("item"))
+      .as[ShardedToken]
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drop events that arrive with an event time older than the user's
     * last APPROVED transaction (report p.8 business rule). State per
     * user = max approved event-time millis. Works identically on batch

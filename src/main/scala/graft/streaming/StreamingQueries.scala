@@ -161,6 +161,40 @@ object StreamingQueries {
     * several batches) must equal the batch GROUP BY of approved
     * transactions.
     */
+  /** Streaming Misra–Gries heavy hitters end-to-end: the documents
+    * token stream feeds the sharded transformWithState sketch
+    * ([[StreamingJob.HeavyHittersProcessor]], MapState on RocksDB);
+    * the final sketch rows (seen = the shard's monotone running max)
+    * are the CANDIDATE set, which the batch table then exact-verifies
+    * — per-shard capacity (200 ≥ 2/φ of even the whole stream) makes
+    * the superset guarantee hold with room, so the output equals the
+    * plain GROUP BY/HAVING oracle regardless of batch boundaries.
+    */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val phi = 0.01
+    val toks = Tables.documentsStream(s, dir)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("w"))
+      .as[String]
+    val sketch = StreamingJob.streamingHeavyHitterSketch(
+      toks, capacity = 200, shards = 8)
+    val snap = StreamingJob.runToMemory(sketch.toDF(), mode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val last = snap.groupBy(col("shard")).agg(max(col("seen")).as("mx"))
+    val cand = snap.join(broadcast(last),
+        snap("shard") === last("shard") && snap("seen") === last("mx"))
+      .select(col("item")).distinct()
+    val items = Tables.documents(s, dir)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("item"))
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .filter(col("cnt") >= col("n_total") * phi)
+      .select(col("item"), col("cnt"))
+  }
+
   private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tx = TestdataAdapter.transactionsStream(s, dir)
@@ -209,6 +243,7 @@ object StreamingQueries {
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
+    "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -235,6 +270,14 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s10_stream_heavy_hitters" ->
+      """WITH ex AS (SELECT unnest(list_filter(regexp_split_to_array(
+        |             trim(text), '\s+'), t -> t != '')) AS item
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM ex)
+        |SELECT item, count(*) AS cnt
+        |FROM ex, n GROUP BY item, n_total
+        |HAVING count(*) >= n_total * 0.01""".stripMargin,
     "s9_stream_outer_join" ->
       """WITH mx AS (SELECT max(ts::TIMESTAMP) AS mts FROM events),
         |l AS (SELECT event_id AS id_a, user_id, ts::TIMESTAMP AS ts_a

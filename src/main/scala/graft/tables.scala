@@ -69,4 +69,18 @@ object Tables {
     s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Streaming file-source variant of [[documents]] (same S4 drop-
+    * location semantics as [[eventsStream]]); plain µs-safe types, no
+    * conversion needed.
+    */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
+  }
 }

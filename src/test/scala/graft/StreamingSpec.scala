@@ -137,6 +137,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming MG sketch: cross-batch lower bounds, heavy superset") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // capacity 2 over 4 distinct items in ONE shard — forces the
+      // decrement path and cross-batch merges
+      val ms = MemoryStream[String]
+      val sk = StreamingJob.streamingHeavyHitterSketch(
+        ms.toDS(), capacity = 2, shards = 1)
+      val query = sk.toDF().writeStream.format("memory").queryName("mg_sk")
+        .outputMode("update").start()
+      val b1 = Seq.fill(6)("hot") ++ Seq("x", "y")
+      val b2 = Seq.fill(5)("hot") ++ Seq.fill(4)("warm") ++ Seq("z")
+      ms.addData(b1: _*); query.processAllAvailable()
+      ms.addData(b2: _*); query.processAllAvailable()
+      query.stop()
+      val snap = spark.table("mg_sk")
+        .as[(Int, String, Long, Long)].collect()
+      val n = (b1 ++ b2).size.toLong
+      val fin = snap.filter(_._4 == n).map(t => t._2 -> t._3).toMap
+      val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+      assert(fin.size <= 2, s"capacity bound violated: $fin")
+      fin.foreach { case (item, w) =>
+        val t = truth(item)
+        assert(w <= t && t - w <= n / 3,
+          s"$item: weight $w not a bound within n/(cap+1) of $t")
+      }
+      // any item with true count > n/(capacity+1) = 6 must survive
+      assert(fin.contains("hot"), s"heavy item evicted: $fin")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
