@@ -103,6 +103,37 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // Walk-forward temporal split with an embargo gap: train strictly
+    // before T, test at-or-after T+gap, rows inside the embargo DROPPED
+    // — the leakage guard for autocorrelated event data (a model must
+    // not train on rows time-adjacent to its test window). Map-only +
+    // one 2-key aggregate; the boundary is a constant, so the split is
+    // stable as the stream grows backward or forward.
+    "sample_temporal_split" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("split",
+          when(col("ts") < lit("2024-01-22 00:00:00"), "train")
+            .when(col("ts") >= lit("2024-01-23 00:00:00"), "test"))
+        .filter(col("split").isNotNull)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_trunc("second", min(col("ts"))).as("first_ts"),
+          date_trunc("second", max(col("ts"))).as("last_ts"))),
+    // Group-keyed split: every document of the same SOURCE lands in
+    // one split (the Knuth bucket of the source's numeric id, not the
+    // row's) — the leakage guard when near-duplicates cluster within a
+    // source; a per-row split would leak them across train/test.
+    "sample_group_split" -> ((s, dir) => {
+      val src = regexp_replace(col("source"), "[^0-9]", "").cast("long")
+      val b = pmod(src * lit(2654435761L), lit(100))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
     // As-of join: last click value at-or-before each purchase, per user
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -340,6 +371,30 @@ object ExtendedQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
+        |FROM b GROUP BY 1""".stripMargin,
+    "sample_temporal_split" ->
+      """SELECT CASE WHEN ts::TIMESTAMP < TIMESTAMP '2024-01-22 00:00:00'
+        |              THEN 'train'
+        |            WHEN ts::TIMESTAMP >= TIMESTAMP '2024-01-23 00:00:00'
+        |              THEN 'test' END AS split,
+        |       count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       date_trunc('second', min(ts::TIMESTAMP)) AS first_ts,
+        |       date_trunc('second', max(ts::TIMESTAMP)) AS last_ts
+        |FROM events
+        |WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-22 00:00:00'
+        |   OR ts::TIMESTAMP >= TIMESTAMP '2024-01-23 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "sample_group_split" ->
+      """WITH b AS (
+        |  SELECT *, (regexp_replace(source, '[^0-9]', '', 'g')::BIGINT
+        |             * 2654435761) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT source) AS n_sources
         |FROM b GROUP BY 1""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (

@@ -80,6 +80,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(frac == Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("leakage guards: group split is source-atomic; embargo separates") {
+    val dir = "/root/testdata/sf0.001"
+    // group split: every source lands in exactly ONE split
+    val src = regexp_replace(col("source"), "[^0-9]", "").cast("long")
+    val b = pmod(src * lit(2654435761L), lit(100))
+    val perSource = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    assert(perSource == 1L, "a source must never straddle splits")
+    // temporal split: min test ts − max train ts ≥ the 1-day embargo
+    val ev = Tables.events(spark, dir)
+    val maxTrain = ev.filter(col("ts") < lit("2024-01-22 00:00:00"))
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val minTest = ev.filter(col("ts") >= lit("2024-01-23 00:00:00"))
+      .agg(min(col("ts"))).collect()(0).getTimestamp(0).getTime
+    assert(minTest - maxTrain >= 24L * 3600 * 1000,
+      s"embargo violated: gap ${minTest - maxTrain} ms")
+  }
+
   test("approx aggregates: approx_count_distinct and percentile_approx sane") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val (exact, approx) = df.select(
