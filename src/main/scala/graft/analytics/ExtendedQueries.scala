@@ -94,7 +94,7 @@ object ExtendedQueries {
     // sample() cannot give), and exactly replayable by the oracle.
     // Map-only + one tiny 3-key aggregate.
     "sample_split_assign" -> ((s, dir) => {
-      val b = pmod(col("doc_id") * lit(2654435761L), lit(100))
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
       Tables.documents(s, dir)
         .withColumn("split",
           when(b < 80, "train").when(b < 90, "val").otherwise("test"))
@@ -126,7 +126,7 @@ object ExtendedQueries {
     // source; a per-row split would leak them across train/test.
     "sample_group_split" -> ((s, dir) => {
       val src = regexp_replace(col("source"), "[^0-9]", "").cast("long")
-      val b = pmod(src * lit(2654435761L), lit(100))
+      val b = graft.functions.Binning.knuthBucket(src)
       Tables.documents(s, dir)
         .withColumn("split",
           when(b < 80, "train").when(b < 90, "val").otherwise("test"))
@@ -365,7 +365,7 @@ object ExtendedQueries {
         |SELECT lang, doc_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "sample_split_assign" ->
       """WITH b AS (
-        |  SELECT *, (doc_id * 2654435761) % 100 AS bucket FROM documents)
+        |  SELECT *, (doc_id % 100) * 61 % 100 AS bucket FROM documents)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split,
@@ -388,7 +388,7 @@ object ExtendedQueries {
     "sample_group_split" ->
       """WITH b AS (
         |  SELECT *, (regexp_replace(source, '[^0-9]', '', 'g')::BIGINT
-        |             * 2654435761) % 100 AS bucket
+        |             % 100) * 61 % 100 AS bucket
         |  FROM documents)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val'

@@ -96,7 +96,7 @@ object Dedup {
                     n: Int): DataFrame = {
     graft.functions.TextHashing.register(df.sparkSession)
     val grams = df.select(col(id),
-      pmod(col(id) * lit(2654435761L), lit(100)).as("__b"),
+      graft.functions.Binning.knuthBucket(col(id)).as("__b"),
       explode(graft.functions.TextHashing.ngramHashes(col(text), n)).as("g"))
     val train = grams.filter(col("__b") < 80)
       .select(col(id).as("train_doc"), col("g"))

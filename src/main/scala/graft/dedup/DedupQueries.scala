@@ -185,7 +185,7 @@ object DedupQueries {
         |WHERE inter::DOUBLE / x.n >= 0.9""".stripMargin,
     "dedup_decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 100 AS b,
+        |  SELECT doc_id, (doc_id % 100) * 61 % 100 AS b,
         |         list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                     t -> t != '') AS w
         |  FROM documents),

@@ -36,4 +36,15 @@ object Binning {
     when(c < lit(lo), 0)
       .when(c >= lit(hi), n + 1)
       .otherwise((floor((c - lit(lo)) / lit((hi - lo) / n)) + 1).cast("int"))
+
+  /** Deterministic split bucket in [0, 100): the Knuth-multiplicative
+    * assignment (id·2654435761) mod 100, computed in modular space —
+    * (id mod 100)·(2654435761 mod 100 = 61) mod 100, identical for
+    * every id by modular arithmetic but free of the i64 overflow the
+    * direct product hits for ids above ~3.5·10⁹ (which ANSI mode turns
+    * into a runtime error — a real id range at 100 TB). Oracle SQL
+    * must use the same `(id % 100) * 61 % 100` form.
+    */
+  def knuthBucket(id: Column): Column =
+    pmod(pmod(id, lit(100)) * lit(61), lit(100))
 }

@@ -80,6 +80,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(frac == Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("knuthBucket: modular form matches direct product, no overflow") {
+    // identical to (id·2654435761) mod 100 wherever the product fits —
+    // and still defined at 100 TB id ranges where the direct i64
+    // product overflows (an ANSI-mode runtime error)
+    val small = (0L until 500L) ++ Seq(39L, 49L, 80L, 90L)
+    val gotSmall = small.toDF("id")
+      .select(graft.functions.Binning.knuthBucket(col("id"))).as[Long].collect()
+    small.zip(gotSmall).foreach { case (id, b) =>
+      assert(b == (id * 2654435761L) % 100, s"id $id")
+    }
+    val huge = Seq(Long.MaxValue, Long.MaxValue - 1, 4_000_000_000L,
+      987_654_321_012L)
+    val gotHuge = huge.toDF("id")
+      .select(graft.functions.Binning.knuthBucket(col("id"))).as[Long].collect()
+    huge.zip(gotHuge).foreach { case (id, b) =>
+      assert(b == ((id % 100) * 61) % 100 && b >= 0 && b < 100,
+        s"id $id -> $b")
+    }
+  }
+
   test("leakage guards: group split is source-atomic; embargo separates") {
     val dir = "/root/testdata/sf0.001"
     // group split: every source lands in exactly ONE split
