@@ -90,6 +90,31 @@ object DedupQueries {
     // per-cluster stats joined back to the corpus. The component label
     // IS the min doc id, so the canonical keeper is the row where
     // doc = component — no extra argmin pass needed.
+    // The end-to-end corpus-curation pass as ONE declarative plan —
+    // what a training-data pipeline actually ships at 100 TB: quality
+    // gate (map-only, runs inside the scan) → near-dup components over
+    // the SURVIVORS only → keep one doc per cluster (the component
+    // label IS the min id — no argmin pass; docs outside the pair
+    // graph keep themselves via the LEFT join) → growth-stable split →
+    // per-split doc and token budgets. Composing the proven operators
+    // stays a single lazy plan, so Catalyst prunes columns through the
+    // whole chain.
+    "pipeline_curation" -> ((s, dir) => {
+      val kept = Tables.documents(s, dir)
+        .filter(graft.text.Text.qualityScore(col("text")) >= 0.45)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(kept, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      kept.join(comp, kept("doc_id") === comp("doc"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.Text.tokenCount(col("text"))).as("ws_tokens"),
+          sum(graft.text.Text.bpeTokenCount(col("text"))).as("bpe_tokens"))
+    }),
     "dedup_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val comp = Dedup.connectedComponents(
@@ -104,13 +129,17 @@ object DedupQueries {
             .as("keeper_chars"))
     }))
 
-  private val jaccardOracle =
+  /** The exact-Jaccard pair SQL over an arbitrary source relation
+    * (table name or CTE) — the curation oracle feeds it the
+    * quality-filtered subset instead of the raw table.
+    */
+  private def jaccardOracleOver(src: String) =
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
        |                                   '\\s+'), t -> t != '') AS w
-       |        FROM documents)),
+       |        FROM $src)),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
        |pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -122,6 +151,8 @@ object DedupQueries {
        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin
+
+  private val jaccardOracle = jaccardOracleOver("documents")
 
   private val pagerankOracle = {
     def round(prev: String, cur: String) =
@@ -202,6 +233,38 @@ object DedupQueries {
         |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "graph_pagerank" -> pagerankOracle,
+    "pipeline_curation" -> {
+      val toksSql =
+        """list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                     t -> t != '')""".stripMargin
+      val bpePat = graft.text.Text.BpePattern.replace("'", "''")
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT * FROM documents
+         |  WHERE (${graft.text.TextQueries.qualitySql}) >= 0.45),
+         |pairs AS (${jaccardOracleOver("kept")}),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc, min(label) AS component
+         |         FROM reach GROUP BY u),
+         |keeper AS (
+         |  SELECT kept.* FROM kept
+         |  LEFT JOIN comp ON kept.doc_id = comp.doc
+         |  WHERE comp.component IS NULL OR comp.component = kept.doc_id)
+         |SELECT CASE WHEN (doc_id % 100) * 61 % 100 < 80 THEN 'train'
+         |            WHEN (doc_id % 100) * 61 % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       sum(len($toksSql))::BIGINT AS ws_tokens,
+         |       sum(len(regexp_extract_all(text, '$bpePat')))::BIGINT
+         |         AS bpe_tokens
+         |FROM keeper GROUP BY 1""".stripMargin
+    },
     "dedup_components" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),
          |cedges AS (

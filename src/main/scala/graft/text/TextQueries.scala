@@ -103,6 +103,15 @@ object TextQueries {
             Text.tokenCount(col("text")), 6)).otherwise(0.0)
           .as("bpe_per_word"))))
 
+  /** The quality-score expression as DuckDB SQL (mirrors
+    * [[Text.qualityScore]] operation-for-operation) — shared with the
+    * curation-pipeline oracle in [[graft.dedup.DedupQueries]].
+    */
+  def qualitySql: String =
+    s"""0.4 * least(1.0, len($toks) / 100.0)
+       |           + 0.3 * (1.0 - $punct)
+       |           + 0.3 * (${stopRatio(allStop)})""".stripMargin
+
   private def sqlList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -150,9 +159,7 @@ object TextQueries {
          |FROM documents""".stripMargin,
     "tx_quality" ->
       s"""SELECT doc_id,
-         |       round(0.4 * least(1.0, len($toks) / 100.0)
-         |           + 0.3 * (1.0 - $punct)
-         |           + 0.3 * (${stopRatio(allStop)}), 6) AS quality
+         |       round($qualitySql, 6) AS quality
          |FROM documents""".stripMargin,
     "tx_fingerprint" ->
       s"SELECT doc_id, $normFp AS fp FROM documents",

@@ -264,6 +264,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)), s"got $got")
   }
 
+  test("pipeline_curation keeps exactly one doc per dup cluster") {
+    val dir = "/root/testdata/sf0.01"
+    val kept = Tables.documents(spark, dir)
+      .filter(graft.text.Text.qualityScore(col("text")) >= 0.45)
+    val comp = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.jaccardPairs(kept, "doc_id", "text", 3, 0.8),
+      "doc_a", "doc_b")
+    val graphDocs = comp.count()
+    val clusters = comp.select("component").distinct().count()
+    assert(graphDocs > clusters, "test needs real dup clusters")
+    val keepers = graft.dedup.DedupQueries
+      .queries("pipeline_curation")(spark, dir)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    // every clustered doc collapses to its component keeper; every
+    // unclustered doc survives
+    assert(keepers == kept.count() - (graphDocs - clusters),
+      s"keepers $keepers, kept ${kept.count()}, graph $graphDocs/$clusters")
+  }
+
   test("decontaminate: only cross-split (train,test) 13-gram pairs") {
     // Knuth bucket (id·2654435761) mod 100 = (id·61) mod 100:
     // id 1 → 61 (train), 2 → 22 (train), 3 → 83 (val: NEITHER side),
