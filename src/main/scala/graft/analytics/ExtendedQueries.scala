@@ -263,6 +263,20 @@ object ExtendedQueries {
           col("value")),
         keys = Seq("user_id"),
         orderCols = Seq("value" -> false, "event_id" -> true), k = 2)),
+    // K2 with ties: rank()-with-ties through the SAME plan node — the
+    // hand-written rank() <= k filter rewrites to TopK's with-ties
+    // mode (tie groups straddling the cut survive whole, so the
+    // result set is deterministic without an id tiebreak). Integer
+    // quantities tie heavily, which is the point.
+    "k4_topk_ties" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+    }),
     // Band join: near-simultaneous event pairs (|Δts| <= 5 s) via
     // bucketed equi-join — no broadcast-nested-loop at any scale
     "band_join_events" -> ((s, dir) => {
@@ -494,6 +508,13 @@ object ExtendedQueries {
         |           AS rank
         |  FROM events)
         |WHERE rank <= 2""".stripMargin,
+    "k4_topk_ties" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |         rank() OVER (PARTITION BY l_returnflag
+        |                      ORDER BY l_quantity DESC)::INT AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3""".stripMargin,
     "asof_join_fwd" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(value) AS click_value

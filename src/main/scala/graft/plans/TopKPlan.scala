@@ -58,7 +58,8 @@ object TopKPlan {
   def topKPerKey(df: DataFrame, keys: Seq[String],
                  orderCols: Seq[(String, Boolean)], k: Int,
                  rankCol: String = "rank",
-                 maxHeapKeys: Int = 100000): DataFrame = {
+                 maxHeapKeys: Int = 100000,
+                 withTies: Boolean = false): DataFrame = {
     require(keys.nonEmpty && orderCols.nonEmpty && k > 0)
     val spark = df.sparkSession
     ensureStrategy(spark)
@@ -75,7 +76,8 @@ object TopKPlan {
     }
     val rankAttr = AttributeReference(rankCol, IntegerType, nullable = false)()
     GraftSqlBridge.ofRows(spark,
-      TopKNode(keys.map(resolve), order, k, maxHeapKeys, rankAttr, child))
+      TopKNode(keys.map(resolve), order, k, maxHeapKeys, rankAttr, child,
+        withTies))
   }
 
   def ensureStrategy(spark: SparkSession): Unit = synchronized {
@@ -86,11 +88,16 @@ object TopKPlan {
 }
 
 /** Logical per-key top-k: emits `child.output :+ rank` with at most k
-  * rows per distinct value of `keys`, ranked 1..k in `order`.
+  * rows per distinct value of `keys`, ranked 1..k in `order` —
+  * row_number semantics by default; `withTies` switches to rank()
+  * semantics (a row survives iff FEWER than k rows sort strictly
+  * before it, so tie groups straddling the k-th place are kept whole
+  * and the output may exceed k rows per key).
   */
 case class TopKNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                     maxHeapKeys: Int, rankAttr: Attribute,
-                    child: LogicalPlan) extends UnaryNode {
+                    child: LogicalPlan,
+                    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKNode =
@@ -102,9 +109,10 @@ case class TopKNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKNode(keys, order, k, maxHeapKeys, rankAttr, child) =>
+    case TopKNode(keys, order, k, maxHeapKeys, rankAttr, child, ties) =>
       TopKFinalExec(keys, order, k, rankAttr,
-        TopKPartialExec(keys, order, k, maxHeapKeys, planLater(child))) :: Nil
+        TopKPartialExec(keys, order, k, maxHeapKeys, planLater(child), ties),
+        ties) :: Nil
     case _ => Nil
   }
 }
@@ -118,7 +126,8 @@ object TopKStrategy extends SparkStrategy {
   */
 case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
                            k: Int, maxHeapKeys: Int,
-                           child: SparkPlan) extends UnaryExecNode {
+                           child: SparkPlan,
+                           withTies: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -136,10 +145,28 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       val passthrough = rows.flatMap { r =>
         heaps.get(keyProj(r)) match {
-          case Some(h) =>
+          case Some(h) if !withTies =>
             if (h.size < k) h.enqueue(r.copy())
             else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r.copy()) }
             Iterator.empty[InternalRow]
+          case Some(h) =>
+            // rank()-with-ties pruning: a row may be dropped ONLY when
+            // k rows sort STRICTLY before it. Rows tying the current
+            // k-th best might still rank <= k — stream them through
+            // unpruned; phase 2 ranks exactly. Same on eviction: the
+            // displaced row is dropped only if the new k-th best is
+            // strictly better, else it rides along unpruned.
+            if (h.size < k) { h.enqueue(r.copy()); Iterator.empty[InternalRow] }
+            else {
+              val c = ord.compare(r, h.head)
+              if (c > 0) Iterator.empty[InternalRow]
+              else if (c == 0) Iterator.single[InternalRow](r)
+              else {
+                val evicted = h.dequeue(); h.enqueue(r.copy())
+                if (ord.compare(h.head, evicted) < 0) Iterator.empty[InternalRow]
+                else Iterator.single[InternalRow](evicted)
+              }
+            }
           case None if heaps.size < maxHeapKeys =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             h.enqueue(r.copy())
@@ -162,7 +189,8 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
   */
 case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
                          k: Int, rankAttr: Attribute,
-                         child: SparkPlan) extends UnaryExecNode {
+                         child: SparkPlan,
+                         withTies: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -179,12 +207,25 @@ case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
       val outProj = UnsafeProjection.create(output, child.output :+ rankAttr)
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
+      val tieOrd: Ordering[InternalRow] =
+        new LazilyGeneratedOrdering(order, child.output)
       var cur: UnsafeRow = null
+      var count = 0
       var rank = 0
+      // start of the current tie group (only consulted with ties on;
+      // copied only at group changes, not per row)
+      var groupStart: InternalRow = null
       rows.flatMap { r =>
         val key = keyProj(r)
-        if (cur == null || key != cur) { cur = key.copy(); rank = 0 }
-        rank += 1
+        if (cur == null || key != cur) {
+          cur = key.copy(); count = 0; rank = 0; groupStart = null
+        }
+        count += 1
+        if (!withTies) rank = count
+        else if (rank > k) () // sorted: later rows only rank higher
+        else if (groupStart == null || tieOrd.compare(r, groupStart) != 0) {
+          rank = count; groupStart = r.copy()
+        }
         if (rank <= k) {
           rankRow.setInt(0, rank)
           Iterator.single[InternalRow](outProj(joined(r, rankRow)))

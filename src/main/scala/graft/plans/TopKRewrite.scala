@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -44,22 +44,30 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // rank() rewrites to the node's with-ties mode (a row survives iff
+    // fewer than k rows sort strictly before it — tie groups straddle
+    // the cut intact); row_number() to the exact-k mode
     case f @ Filter(cond, Window(
-        Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
+        Seq(al @ Alias(WindowExpression(rankFn, _), _)),
         parts, order, windowChild, _))
-        if parts.nonEmpty && order.nonEmpty =>
+        if parts.nonEmpty && order.nonEmpty &&
+          (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank]) =>
+      val withTies = rankFn.isInstanceOf[Rank]
       val rn = al.toAttribute
       bound(cond, rn) match {
         case Some(k) if k > 0 =>
           // a WindowGroupLimit the built-in optimizer put below the
           // Window is subsumed by TopK's partial prune — strip it as
-          // long as it cannot DROP rows TopK would keep
+          // long as it cannot DROP rows TopK would keep (Spark's
+          // rank-limit iterator keeps ties, so limit >= k is safe in
+          // both modes)
           val child = windowChild match {
             case WindowGroupLimit(p2, o2, _, limit, grandchild)
                 if limit >= k && p2 == parts && o2 == order => grandchild
             case other => other
           }
-          Filter(cond, TopKNode(parts, order, k, MaxHeapKeys, rn, child))
+          Filter(cond,
+            TopKNode(parts, order, k, MaxHeapKeys, rn, child, withTies))
         case _ => f
       }
   }

@@ -69,13 +69,47 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
-  test("rewrite rule: rank() and unbounded patterns stay untouched") {
+  test("rewrite rule: dense_rank and unbounded patterns stay untouched") {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
-    val ranked = events.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
-    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPartial"))
+    val dr = events.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    assert(!dr.queryExecution.executedPlan.toString.contains("TopKPartial"))
     val lower = events.withColumn("rn", row_number().over(w))
       .filter(col("rn") >= 3) // lower bound only: no k to prune with
     assert(!lower.queryExecution.executedPlan.toString.contains("TopKPartial"))
+  }
+
+  test("rank() filter rewrites to with-ties TopK and equals the window") {
+    // integer-cast values force heavy ties across the k-th place
+    val tied = events.withColumn("v", floor(col("value") / 100).cast("int"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
+    val q = tied.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPartial"),
+      s"rank() pattern must rewrite:\n${q.queryExecution.executedPlan}")
+    // same query with the rule excluded = the untouched window plan
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.TopKRewriteRule")
+    try {
+      val want = tied.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      assert(!want.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty,
+        "with-ties rewrite must keep tie groups whole, nothing more")
+      assert(q.count() == want.count())
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("withTies operator API equals the window rank() formulation") {
+    val tied = events.withColumn("v", floor(col("value") / 100).cast("int"))
+    val got = TopKPlan.topKPerKey(tied, Seq("event_type"),
+      Seq("v" -> false), k = 2, withTies = true)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
+    val want = tied.withColumn("rank", rank().over(w))
+      .filter(col("rank") <= 2)
+    assert(got.count() > 2 * 5, "test data must actually tie") // 5 types
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
   test("rewrite rule: residual conjuncts still apply (band 2..4)") {
