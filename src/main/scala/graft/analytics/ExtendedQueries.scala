@@ -277,6 +277,17 @@ object ExtendedQueries {
         .withColumn("rnk", rank().over(w))
         .filter(col("rnk") <= 3)
     }),
+    // dense_rank() <= k through the same node: every row of the top-3
+    // DISTINCT quantities per flag (value-group semantics)
+    "k5_topk_dense" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+    }),
     // Band join: near-simultaneous event pairs (|Δts| <= 5 s) via
     // bucketed equi-join — no broadcast-nested-loop at any scale
     "band_join_events" -> ((s, dir) => {
@@ -508,6 +519,13 @@ object ExtendedQueries {
         |           AS rank
         |  FROM events)
         |WHERE rank <= 2""".stripMargin,
+    "k5_topk_dense" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |         dense_rank() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_quantity DESC)::INT AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3""".stripMargin,
     "k4_topk_ties" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

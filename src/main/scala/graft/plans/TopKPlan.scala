@@ -47,6 +47,18 @@ import org.apache.spark.sql.types.IntegerType
   * sort). Phase 2 is a streaming group-boundary scan over the
   * planner's sort: O(1) rows of state post-shuffle.
   */
+/** Ranking semantics for [[TopKNode]]: which window function the
+  * k-bound filter mimics.
+  */
+sealed trait TopKMode
+/** Exactly k rows per key, ties broken by sort order arrival. */
+case object RowNumberMode extends TopKMode
+/** rank(): keep rows with FEWER than k rows strictly before them —
+  * tie groups straddling the cut survive whole. */
+case object RankTiesMode extends TopKMode
+/** dense_rank(): keep every row of the top k DISTINCT order values. */
+case object DenseRankMode extends TopKMode
+
 object TopKPlan {
 
   /** DataFrame API over the plan node. Registers [[TopKStrategy]] on
@@ -59,7 +71,7 @@ object TopKPlan {
                  orderCols: Seq[(String, Boolean)], k: Int,
                  rankCol: String = "rank",
                  maxHeapKeys: Int = 100000,
-                 withTies: Boolean = false): DataFrame = {
+                 mode: TopKMode = RowNumberMode): DataFrame = {
     require(keys.nonEmpty && orderCols.nonEmpty && k > 0)
     val spark = df.sparkSession
     ensureStrategy(spark)
@@ -77,7 +89,7 @@ object TopKPlan {
     val rankAttr = AttributeReference(rankCol, IntegerType, nullable = false)()
     GraftSqlBridge.ofRows(spark,
       TopKNode(keys.map(resolve), order, k, maxHeapKeys, rankAttr, child,
-        withTies))
+        mode))
   }
 
   def ensureStrategy(spark: SparkSession): Unit = synchronized {
@@ -89,15 +101,17 @@ object TopKPlan {
 
 /** Logical per-key top-k: emits `child.output :+ rank` with at most k
   * rows per distinct value of `keys`, ranked 1..k in `order` —
-  * row_number semantics by default; `withTies` switches to rank()
-  * semantics (a row survives iff FEWER than k rows sort strictly
-  * before it, so tie groups straddling the k-th place are kept whole
-  * and the output may exceed k rows per key).
+  * row_number semantics by default; [[RankTiesMode]] switches to
+  * rank() semantics (a row survives iff FEWER than k rows sort
+  * strictly before it, so tie groups straddling the k-th place are
+  * kept whole), [[DenseRankMode]] to dense_rank() (every row of the
+  * top k DISTINCT order values survives) — in both the output may
+  * exceed k rows per key.
   */
 case class TopKNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                     maxHeapKeys: Int, rankAttr: Attribute,
                     child: LogicalPlan,
-                    withTies: Boolean = false) extends UnaryNode {
+                    mode: TopKMode = RowNumberMode) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKNode =
@@ -109,10 +123,10 @@ case class TopKNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKNode(keys, order, k, maxHeapKeys, rankAttr, child, ties) =>
+    case TopKNode(keys, order, k, maxHeapKeys, rankAttr, child, mode) =>
       TopKFinalExec(keys, order, k, rankAttr,
-        TopKPartialExec(keys, order, k, maxHeapKeys, planLater(child), ties),
-        ties) :: Nil
+        TopKPartialExec(keys, order, k, maxHeapKeys, planLater(child), mode),
+        mode) :: Nil
     case _ => Nil
   }
 }
@@ -127,7 +141,7 @@ object TopKStrategy extends SparkStrategy {
 case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
                            k: Int, maxHeapKeys: Int,
                            child: SparkPlan,
-                           withTies: Boolean = false) extends UnaryExecNode {
+                           mode: TopKMode = RowNumberMode) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -145,11 +159,11 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       val passthrough = rows.flatMap { r =>
         heaps.get(keyProj(r)) match {
-          case Some(h) if !withTies =>
+          case Some(h) if mode == RowNumberMode =>
             if (h.size < k) h.enqueue(r.copy())
             else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r.copy()) }
             Iterator.empty[InternalRow]
-          case Some(h) =>
+          case Some(h) if mode == RankTiesMode =>
             // rank()-with-ties pruning: a row may be dropped ONLY when
             // k rows sort STRICTLY before it. Rows tying the current
             // k-th best might still rank <= k — stream them through
@@ -167,15 +181,38 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
                 else Iterator.single[InternalRow](evicted)
               }
             }
+          case Some(h) =>
+            // dense_rank pruning: drop a row only when k DISTINCT
+            // values sort strictly before it. The heap holds one
+            // representative row per distinct value (ties never
+            // enqueue), worst at head; every undropped row streams
+            // through immediately — phase 2 keeps whole value groups,
+            // so nothing needs buffering here.
+            val c = if (h.size < k) -1 else ord.compare(r, h.head)
+            if (c > 0) Iterator.empty[InternalRow]
+            else {
+              if (c != 0 && !h.iterator.exists(e => ord.compare(e, r) == 0)) {
+                h.enqueue(r.copy())
+                if (h.size > k) h.dequeue()
+              }
+              Iterator.single[InternalRow](r)
+            }
           case None if heaps.size < maxHeapKeys =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             h.enqueue(r.copy())
             heaps.put(keyProj(r).copy(), h)
-            Iterator.empty[InternalRow]
+            // dense mode emits inline (the heap only tracks the value
+            // threshold); buffering the first row too would re-emit it
+            // at the flush
+            if (mode == DenseRankMode) Iterator.single[InternalRow](r)
+            else Iterator.empty[InternalRow]
           case None => Iterator.single[InternalRow](r)
         }
       }
-      passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
+      // row_number/rank modes buffered their candidate rows — flush
+      // them; dense mode already emitted every surviving row inline
+      passthrough ++ (if (mode == DenseRankMode) Iterator.empty
+                      else heaps.valuesIterator.flatMap(_.iterator))
     }, preservesPartitioning = true)
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
@@ -190,7 +227,7 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
 case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
                          k: Int, rankAttr: Attribute,
                          child: SparkPlan,
-                         withTies: Boolean = false) extends UnaryExecNode {
+                         mode: TopKMode = RowNumberMode) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -221,10 +258,11 @@ case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
           cur = key.copy(); count = 0; rank = 0; groupStart = null
         }
         count += 1
-        if (!withTies) rank = count
+        if (mode == RowNumberMode) rank = count
         else if (rank > k) () // sorted: later rows only rank higher
         else if (groupStart == null || tieOrd.compare(r, groupStart) != 0) {
-          rank = count; groupStart = r.copy()
+          rank = if (mode == DenseRankMode) rank + 1 else count
+          groupStart = r.copy()
         }
         if (rank <= k) {
           rankRow.setInt(0, rank)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, Rank, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -44,15 +44,21 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // rank() rewrites to the node's with-ties mode (a row survives iff
-    // fewer than k rows sort strictly before it — tie groups straddle
-    // the cut intact); row_number() to the exact-k mode
+    // the whole ranking family plans onto the one operator:
+    // row_number() -> exact-k mode, rank() -> with-ties mode (tie
+    // groups straddle the cut intact), dense_rank() -> top-k-distinct-
+    // values mode
     case f @ Filter(cond, Window(
         Seq(al @ Alias(WindowExpression(rankFn, _), _)),
         parts, order, windowChild, _))
         if parts.nonEmpty && order.nonEmpty &&
-          (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank]) =>
-      val withTies = rankFn.isInstanceOf[Rank]
+          (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank] ||
+            rankFn.isInstanceOf[DenseRank]) =>
+      val mode: TopKMode = rankFn match {
+        case _: Rank => RankTiesMode
+        case _: DenseRank => DenseRankMode
+        case _ => RowNumberMode
+      }
       val rn = al.toAttribute
       bound(cond, rn) match {
         case Some(k) if k > 0 =>
@@ -67,7 +73,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             case other => other
           }
           Filter(cond,
-            TopKNode(parts, order, k, MaxHeapKeys, rn, child, withTies))
+            TopKNode(parts, order, k, MaxHeapKeys, rn, child, mode))
         case _ => f
       }
   }

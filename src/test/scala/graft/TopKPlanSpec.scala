@@ -54,28 +54,56 @@ class TopKPlanSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
       s"expected the rewrite to fire:\n$plan")
-    // same query with the rule excluded = the untouched window plan
+    // collect BEFORE toggling excludedRules (see the dense test)
+    val got = q.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
     val key = "spark.sql.optimizer.excludedRules"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "graft.plans.TopKRewriteRule")
     try {
-      val want = events.withColumn("rn", row_number().over(w))
+      val wantQ = events.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 4 && col("value") > 0)
-      assert(!want.queryExecution.executedPlan.toString.contains("TopKPartial"))
-      assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+      assert(!wantQ.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      val want = wantQ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      assert(got.toMap == want.toMap)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
 
-  test("rewrite rule: dense_rank and unbounded patterns stay untouched") {
+  test("rewrite rule: ntile and unbounded patterns stay untouched") {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
-    val dr = events.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
-    assert(!dr.queryExecution.executedPlan.toString.contains("TopKPartial"))
+    val nt = events.withColumn("rn", ntile(4).over(w)).filter(col("rn") <= 3)
+    assert(!nt.queryExecution.executedPlan.toString.contains("TopKPartial"))
     val lower = events.withColumn("rn", row_number().over(w))
       .filter(col("rn") >= 3) // lower bound only: no k to prune with
     assert(!lower.queryExecution.executedPlan.toString.contains("TopKPartial"))
+  }
+
+  test("dense_rank() filter rewrites and equals the window formulation") {
+    val tied = events.withColumn("v", floor(col("value") / 100).cast("int"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
+    val q = tied.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPartial"),
+      s"dense_rank pattern must rewrite:\n${q.queryExecution.executedPlan}")
+    // COLLECT while the rule is live — toggling excludedRules before
+    // the action would rebuild even q's plan without the rewrite and
+    // make the comparison vacuous (caught a real double-emit bug)
+    val got = q.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.TopKRewriteRule")
+    try {
+      val wantQ = tied.withColumn("rn", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+      assert(!wantQ.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      val want = wantQ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      assert(got.toMap == want.toMap,
+        "dense mode must keep exactly the top-3 distinct values' rows, no dupes")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("rank() filter rewrites to with-ties TopK and equals the window") {
@@ -85,16 +113,17 @@ class TopKPlanSpec extends SparkSpec {
     val q = tied.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
     assert(q.queryExecution.executedPlan.toString.contains("TopKPartial"),
       s"rank() pattern must rewrite:\n${q.queryExecution.executedPlan}")
-    // same query with the rule excluded = the untouched window plan
+    // collect BEFORE toggling excludedRules (see the dense test)
+    val got = q.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
     val key = "spark.sql.optimizer.excludedRules"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "graft.plans.TopKRewriteRule")
     try {
-      val want = tied.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
-      assert(!want.queryExecution.executedPlan.toString.contains("TopKPartial"))
-      assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty,
+      val wantQ = tied.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      assert(!wantQ.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      val want = wantQ.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      assert(got.toMap == want.toMap,
         "with-ties rewrite must keep tie groups whole, nothing more")
-      assert(q.count() == want.count())
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -104,7 +133,7 @@ class TopKPlanSpec extends SparkSpec {
   test("withTies operator API equals the window rank() formulation") {
     val tied = events.withColumn("v", floor(col("value") / 100).cast("int"))
     val got = TopKPlan.topKPerKey(tied, Seq("event_type"),
-      Seq("v" -> false), k = 2, withTies = true)
+      Seq("v" -> false), k = 2, mode = graft.plans.RankTiesMode)
     val w = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
     val want = tied.withColumn("rank", rank().over(w))
       .filter(col("rank") <= 2)
