@@ -33,6 +33,24 @@ final case class ParquetSource(path: String) extends BatchSource {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** JSON-lines batch scan (schema-declared to skip the inference pass,
+  * or inferred when absent — same contract as [[CsvSource]]).
+  */
+final case class JsonSource(path: String, schema: Option[StructType] = None)
+    extends BatchSource {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+}
+
+/** ORC batch scan — the other columnar format Spark ships natively;
+  * predicate pushdown and column pruning work as for parquet.
+  */
+final case class OrcSource(path: String) extends BatchSource {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** S2: JDBC full-table scan of a dimension, cached after load
   * (streaming_etl.py:73-85). Requires the driver jar at deploy time.
   */
@@ -89,6 +107,18 @@ final case class CsvSink(path: String, mode: String = "overwrite")
 final case class ParquetSink(path: String, mode: String = "append")
     extends BatchSink {
   def write(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+}
+
+/** JSON-lines sink (interchange with non-columnar consumers). */
+final case class JsonSink(path: String, mode: String = "overwrite")
+    extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
+}
+
+/** ORC sink — columnar alternative for ORC-native warehouses. */
+final case class OrcSink(path: String, mode: String = "overwrite")
+    extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).orc(path)
 }
 
 /** O2/O3: JDBC append (at-least-once; duplicate risk documented in

@@ -24,6 +24,21 @@ class IoMultimodalSpec extends SparkSpec {
       Set((1L, "a", 1.5), (2L, "b", -2.0)))
   }
 
+  test("JSON and ORC sink/source round-trips preserve rows and types") {
+    val tmp = Files.createTempDirectory("graft_fmt").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
+    graft.io.JsonSink(s"$tmp/j").write(df)
+    val j = graft.io.JsonSource(s"$tmp/j").load(spark)
+    assert(j.select("id", "s", "v").as[(Long, String, Double)]
+      .collect().toSet == Set((1L, "a", 1.5), (2L, "b", -2.0)))
+    graft.io.OrcSink(s"$tmp/o").write(df)
+    val o = graft.io.OrcSource(s"$tmp/o").load(spark)
+    // columnar: schema survives exactly (no inference pass)
+    assert(o.schema("id").dataType == LongType)
+    assert(o.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", -2.0)))
+  }
+
   test("file-stream source reads a drop folder with declared schema (S4)") {
     val tmp = Files.createTempDirectory("graft_drop").toString
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
