@@ -188,6 +188,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopK plan node: all three rank modes equal a plain-Scala model") {
+    // small value domain forces heavy ties; random keys and values,
+    // several partitions so the partial-prune paths all fire
+    val rows = samples(for {
+      key <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0, 4)
+    } yield (key, v), n = 300).zipWithIndex.map { case ((k, v), i) =>
+      (k, i.toLong, v)
+    }
+    val df = rows.toDF("k", "id", "v").repartition(5)
+    val byKey = rows.groupBy(_._1)
+    for ((mode, modelRank) <- Seq[(graft.plans.TopKMode,
+        (Seq[(String, Long, Int)], (String, Long, Int)) => Int)](
+      graft.plans.RankTiesMode ->
+        ((grp, r) => 1 + grp.count(_._3 > r._3)),
+      graft.plans.DenseRankMode ->
+        ((grp, r) => 1 + grp.map(_._3).distinct.count(_ > r._3)))) {
+      val k = 2
+      val got = graft.plans.TopKPlan.topKPerKey(df, Seq("k"),
+        Seq("v" -> false), k = k, mode = mode)
+        .select("k", "id", "rank").as[(String, Long, Int)]
+        .collect().toSet
+      val want = (for {
+        (key, grp) <- byKey.toSeq
+        r <- grp
+        rank = modelRank(grp, r)
+        if rank <= k
+      } yield (key, r._2, rank)).toSet
+      assert(got == want, s"mode $mode: ${got.diff(want).take(5)} extra, " +
+        s"${want.diff(got).take(5)} missing")
+    }
+  }
+
   test("saltedJoin == plain inner join on random skewed keys") {
     val rows = samples(for {
       k <- Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"))
