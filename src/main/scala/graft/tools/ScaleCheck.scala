@@ -176,6 +176,14 @@ object ScaleCheck {
       .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     val rpsecs = (System.nanoTime() - t12) / 1e9
     println(f"[scale] repeat rows=$dn%,d toks=$rp%,d secs=$rpsecs%.2f rate=${dn / rpsecs}%,.0f docs/s")
+
+    // containment: subject-prefix inverted index — replica-disjoint
+    // vocab again, so true pairs scale exactly linearly
+    val t13 = System.nanoTime()
+    val cp = graft.dedup.Dedup
+      .containmentPairs(docsRep, "doc_id", "text", 3, 0.9).count()
+    val cpsecs = (System.nanoTime() - t13) / 1e9
+    println(f"[scale] contain rows=$dn%,d pairs=$cp%,d secs=$cpsecs%.2f rate=${dn / cpsecs}%,.0f docs/s")
     spark.stop()
   }
 }
