@@ -42,6 +42,25 @@ class PipelineSpec extends SparkSpec {
     assert(row == ("a", "PIX", 42.5))
   }
 
+  test("decode: corrupt and half-schema JSON degrade to nulls, not errors") {
+    // the reference's from_json semantics (P2/P21): a corrupt payload
+    // yields a null struct -> an all-null row that flows through the
+    // scoring gates as null, never an exception; missing fields null
+    // only their columns. The pipeline must keep (and label) such
+    // rows, mirroring "every event is kept and labeled" (SURVEY 2.3)
+    val raw = Seq(
+      ("this is not json {", java.sql.Timestamp.valueOf("2024-05-05 13:00:01")),
+      ("""{"id_transacao":"b","valor_transacao":7.0}""",
+        java.sql.Timestamp.valueOf("2024-05-05 13:00:02")))
+      .toDF("value", "timestamp")
+    val got = ScoringPipeline.decode(raw)
+      .select("id_transacao", "modalidade_pagamento", "valor_transacao")
+      .as[(Option[String], Option[String], Option[Double])].collect().toSet
+    assert(got == Set(
+      (None, None, None),             // corrupt: null struct, row kept
+      (Some("b"), None, Some(7.0))))  // partial: absent fields null
+  }
+
   test("enrich+score: matched payer gets gates, t5 distance correct") {
     val out = ScoringPipeline.runDeterministic(mkTx, mkUsers, mkRegions)
     val t1 = out.filter(col("id_transacao") === "t1")
