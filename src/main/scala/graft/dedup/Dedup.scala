@@ -291,6 +291,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming admission control: near-dup-check each INCOMING
+    * document against a STATIC corpus — the operation a 100 TB
+    * training pipeline runs on every new crawl batch, without ever
+    * recomputing the corpus. Works on a streaming `incoming` frame
+    * (the joins are stream–static: STATELESS, append-mode, no
+    * watermark, state size zero at any rate) and identically on a
+    * batch frame.
+    *
+    * Shape: the corpus side is banded ONCE (same map-only MinHash
+    * band kernel as [[minhashLshPairs]], same seed — band collision
+    * probability contract carries over); each incoming doc computes
+    * its own bands map-only, probes the band index by the single
+    * band-hash long, and candidates are exact-verified against the
+    * corpus shingle arrays. Emits one row per (incoming, corpus)
+    * verified pair PER COLLIDING BAND — deduplicate at the sink
+    * (`dropDuplicates` on an append stream would add state; the
+    * pair stream is tiny, so batch-side distinct is the right cost).
+    */
+  def corpusAdmission(incoming: DataFrame, corpus: DataFrame, id: String,
+                      text: String, n: Int, threshold: Double,
+                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.TextHashing.register(corpus.sparkSession)
+    val cSh = hashedShingles(corpus, id, text, n).localCheckpoint(true)
+    val cIndex = cSh.filter(size(col("hs")) > 0)
+      .select(col("doc").as("corpus_doc"),
+        explode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L)).as("cbh"))
+    val cArr = cSh.select(col("doc").as("corpus_doc"), col("hs").as("shc"))
+    val sEx = incoming
+      .select(col(id).as("in_doc"),
+        graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("in_doc"), col("hs"),
+        explode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L)).as("bh"))
+    sEx.join(cIndex, col("bh") === col("cbh"))
+      .join(cArr, Seq("corpus_doc"))
+      .select(col("in_doc"), col("corpus_doc"),
+        (size(array_intersect(col("hs"), col("shc"))).cast("double") /
+          size(array_union(col("hs"), col("shc")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair list → dedup groups:
     * every doc in a component labels itself with the component's
     * minimum doc id (the canonical keeper). Two phases:

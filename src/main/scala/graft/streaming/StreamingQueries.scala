@@ -195,6 +195,25 @@ object StreamingQueries {
       .select(col("item"), col("cnt"))
   }
 
+  /** Streaming corpus admission end-to-end: documents with id >= 250
+    * arrive as a stream and are near-dup-checked against the static
+    * first half (MinHash band probe + exact verify, all stream–static
+    * joins — zero streaming state). Batch-side distinct collapses the
+    * per-band duplicate emissions; the oracle is the exact cross-half
+    * Jaccard join (the banding miss probability at j >= 0.8 is
+    * < 5e-8, the documented minhashLshPairs contract).
+    */
+  private def streamCorpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") < 250)
+    val incoming = Tables.documentsStream(s, dir).filter(col("doc_id") >= 250)
+    val flagged = graft.dedup.Dedup.corpusAdmission(
+      incoming, corpus, "doc_id", "text", n = 3, threshold = 0.8)
+    StreamingJob.runToMemory(flagged, mode = "append")
+      .select(col("in_doc"), col("corpus_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
+  }
+
   private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tx = TestdataAdapter.transactionsStream(s, dir)
@@ -244,6 +263,7 @@ object StreamingQueries {
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
+    "s11_stream_corpus_dedup" -> ((s, dir) => streamCorpusDedup(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -270,6 +290,25 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s11_stream_corpus_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |                                   '\s+'), t -> t != '') AS w
+        |        FROM documents)),
+        |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 250),
+        |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM inx a JOIN cx b ON a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT da AS in_doc, db AS corpus_doc,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
+        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8""".stripMargin,
     "s10_stream_heavy_hitters" ->
       """WITH ex AS (SELECT unnest(list_filter(regexp_split_to_array(
         |             trim(text), '\s+'), t -> t != '')) AS item

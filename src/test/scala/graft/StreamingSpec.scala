@@ -175,6 +175,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("corpus admission: stream flags near-dups of the static corpus, statelessly") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val flagged = graft.dedup.Dedup.corpusAdmission(
+      ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val query = flagged.writeStream.format("memory").queryName("adm")
+      .outputMode("append").start()
+    ms.addData((10L, "a b c d e f g h"))   // dup of corpus 1
+    query.processAllAvailable()
+    ms.addData((11L, "zz yy xx ww vv uu"), // novel
+      (12L, "p q r s t u v w y"))          // superset near-dup: j = 6/7
+    query.processAllAvailable()
+    // append mode with zero stateful operators: the running plan must
+    // carry NO state store (the whole point of stream-static admission)
+    assert(!query.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"expected stateless plan:\n${query.lastProgress}")
+    query.stop()
+    val got = spark.table("adm").select("in_doc", "corpus_doc")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (12L, 2L)), s"got $got")
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
