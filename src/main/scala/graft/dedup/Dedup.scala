@@ -92,15 +92,30 @@ object Dedup {
     * one long wide (2.5 s → 0.9 s at sf0.1; oracle-exact modulo 2⁻⁶⁴
     * collisions, the same contract as [[jaccardPairs]]).
     */
+  /** @param maxDf when set, grams appearing in MORE than this many
+    *               documents (across both splits) are masked before
+    *               the join — built-in boilerplate suppression: a
+    *               license header shared by thousands of docs is a
+    *               skew bomb AND a meaningless contamination signal.
+    *               The df pass is one extra map-side-combined groupBy
+    *               on the same uniform gram-hash key.
+    */
   def decontaminate(df: DataFrame, id: String, text: String,
-                    n: Int): DataFrame = {
+                    n: Int, maxDf: Option[Int] = None): DataFrame = {
     graft.functions.TextHashing.register(df.sparkSession)
     val grams = df.select(col(id),
       graft.functions.Binning.knuthBucket(col(id)).as("__b"),
       explode(graft.functions.TextHashing.ngramHashes(col(text), n)).as("g"))
-    val train = grams.filter(col("__b") < 80)
+    val kept = maxDf match {
+      case None => grams
+      case Some(cap) =>
+        val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("g").as("hg"))
+        grams.join(hot, col("g") === col("hg"), "left_anti")
+    }
+    val train = kept.filter(col("__b") < 80)
       .select(col(id).as("train_doc"), col("g"))
-    val test = grams.filter(col("__b") >= 90)
+    val test = kept.filter(col("__b") >= 90)
       .select(col(id).as("test_doc"), col("g").as("g2"))
     train.join(test, col("g") === col("g2"))
       .groupBy(col("train_doc"), col("test_doc"))

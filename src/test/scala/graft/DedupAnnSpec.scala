@@ -298,5 +298,16 @@ class DedupAnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 90L, 1L), (2L, 90L, 1L)),
       s"expected exactly the two train→test pairs, got $got")
+    // boilerplate masking: the shared gram lives in 4 docs, so a
+    // maxDf=3 cap masks it and no contamination remains
+    val masked = graft.dedup.Dedup
+      .decontaminate(docs, "doc_id", "text", 13, maxDf = Some(3))
+      .count()
+    assert(masked == 0, "df-capped gram must be masked from the join")
+    // a cap ABOVE the df changes nothing
+    val loose = graft.dedup.Dedup
+      .decontaminate(docs, "doc_id", "text", 13, maxDf = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose == got)
   }
 }
