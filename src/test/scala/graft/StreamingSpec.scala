@@ -175,6 +175,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("progress recorder captures per-batch telemetry via the listener bus") {
+    implicit val ctx = spark.sqlContext
+    val rec = new graft.streaming.ProgressRecorder(capacity = 100)
+      .attach(spark)
+    try {
+      val ms = MemoryStream[Long]
+      val q = ms.toDF().toDF("v")
+        .writeStream.format("memory").queryName("telemetry_probe")
+        .outputMode("append").start()
+      ms.addData(1L, 2L, 3L); q.processAllAvailable()
+      ms.addData(4L); q.processAllAvailable()
+      q.stop()
+      // listener events are async — give the bus a moment to drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def rows() = rec.snapshot(spark)
+        .filter(col("query") === "telemetry_probe")
+        .select("batchId", "inputRows")
+        .as[(Long, Long)].collect().toSet
+      var got = rows()
+      while (!Set((0L, 3L), (1L, 1L)).subsetOf(got) &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100); got = rows()
+      }
+      assert(Set((0L, 3L), (1L, 1L)).subsetOf(got),
+        s"expected both batches recorded, got $got")
+    } finally rec.detach(spark)
+  }
+
   test("corpus admission: stream flags near-dups of the static corpus, statelessly") {
     implicit val ctx = spark.sqlContext
     val corpus = Seq(
