@@ -293,4 +293,35 @@ object Text {
           round(topCount.cast("double") / size(col("__toks")), 6))
           .otherwise(0.0).as("top_word_frac"))
   }
+
+  // ---------------------------------------------------------------- PII
+
+  /** PII patterns, deliberately restricted to the regex dialect shared
+    * by Java (`java.util.regex`, Spark) and RE2 (DuckDB oracle): no
+    * lookaround, no backreferences. Word-boundary anchors keep an IPv4
+    * from matching inside a longer dotted number.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{1,3} \\d{2} \\d{4,5}-\\d{4}"
+
+  /** Count of matches of one PII pattern in `text` (0 for NULL text). */
+  def piiCount(text: Column, pattern: String): Column =
+    coalesce(size(regexp_extract_all(text, lit(pattern), lit(0))), lit(0))
+      .cast("int")
+
+  /** Redact emails, then IPv4s, then phone numbers with typed mask
+    * tokens. Email runs first so a TLD host with digits can't be
+    * partially bitten by the IPv4 pattern; an IP-HOST address
+    * (`root@10.2.3.4`) is outside the TLD-anchored email pattern and
+    * is scrubbed by the IP arm instead — nothing leaks either way
+    * (spec-pinned). Pure `regexp_replace` composition — map-only,
+    * codegen'd, no shuffle at any corpus size.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

@@ -101,7 +101,40 @@ object TextQueries {
         when(Text.tokenCount(col("text")) > 0,
           round(Text.bpeTokenCount(col("text")).cast("double") /
             Text.tokenCount(col("text")), 6)).otherwise(0.0)
-          .as("bpe_per_word"))))
+          .as("bpe_per_word"))),
+    // PII scan + redaction. The synthetic corpus carries no PII, so
+    // the query plants deterministic emails/IPv4s/phones derived from
+    // doc_id (the oracle rebuilds the identical augmented text) —
+    // extraction counts and the redacted fingerprint then verify
+    // non-vacuously. The operators themselves are pure regexp
+    // composition: map-only, codegen'd, shuffle-free at any scale.
+    "tx_pii_scan" -> ((s, dir) => {
+      val aug = piiAugmented
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.piiCount(aug, Text.emailRe).as("n_email"),
+        Text.piiCount(aug, Text.ipv4Re).as("n_ipv4"),
+        Text.piiCount(aug, Text.phoneRe).as("n_phone"),
+        length(Text.piiRedact(aug)).as("redacted_len"),
+        md5(Text.piiRedact(aug)).as("redacted_fp"))
+    }))
+
+  /** Deterministic PII planting for [[queries tx_pii_scan]]: ~1/3 of
+    * docs get an email, 1/4 an IPv4, 1/5 a phone (doc_id modulus), so
+    * counts span 0..3 and every redaction arm fires somewhere.
+    */
+  private def piiAugmented: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact u"), col("doc_id"), lit("@mail"),
+        col("doc_id") % 7, lit(".example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" from 10."), col("doc_id") % 200, lit(".0."),
+        col("doc_id") % 250)).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call +55 11 9"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("-1234"))).otherwise(lit("")))
 
   /** The quality-score expression as DuckDB SQL (mirrors
     * [[Text.qualityScore]] operation-for-operation) — shared with the
@@ -141,7 +174,37 @@ object TextQueries {
       |'([a-z]{3,})ing$', '\1'), '([a-z]{3,})ed$', '\1'),
       |'([a-z]{2,}[^s])s$', '\1')""".stripMargin
 
+  // The PII patterns interpolate verbatim into single-quoted SQL:
+  // they stay inside the Java∩RE2 common dialect and contain no
+  // quotes. Single line: this fragment is re-stripMargin'd inside the
+  // interpolating oracle literal, so a continuation line starting
+  // with || would lose a pipe.
+  private val augSql =
+    "text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail' " +
+      "|| (doc_id % 7) || '.example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 200) " +
+      "|| '.0.' || (doc_id % 250) ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call +55 11 9' " +
+      "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234' ELSE '' END"
+
   val oracleSql: Map[String, String] = Map(
+    "tx_pii_scan" ->
+      s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents),
+         |red AS (
+         |  SELECT doc_id, t,
+         |         regexp_replace(regexp_replace(regexp_replace(t,
+         |           '${Text.emailRe}', '<EMAIL>', 'g'),
+         |           '${Text.ipv4Re}', '<IP>', 'g'),
+         |           '${Text.phoneRe}', '<PHONE>', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '${Text.emailRe}'))::INT AS n_email,
+         |       len(regexp_extract_all(t, '${Text.ipv4Re}'))::INT AS n_ipv4,
+         |       len(regexp_extract_all(t, '${Text.phoneRe}'))::INT AS n_phone,
+         |       length(r)::INT AS redacted_len,
+         |       md5(r) AS redacted_fp
+         |FROM red""".stripMargin,
     "tx_token_stats" ->
       s"""SELECT doc_id, len($toks)::INT AS n_tokens,
          |       round($punct, 6) AS punct_ratio,

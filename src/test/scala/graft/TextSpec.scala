@@ -138,4 +138,37 @@ class TextSpec extends SparkSpec {
       (3L, 2, 0.0, 0.5),
       (4L, 0, 0.0, 0.0)))
   }
+
+  test("piiRedact masks email/ip/phone; email wins over embedded IP") {
+    val got = Seq(
+      "mail a.b+c@host.example.com now",
+      "server at 192.168.0.1 port 80",
+      "call +55 11 91234-5678 today",
+      // TLD-anchored email pattern doesn't match an IP-host address;
+      // the IP arm still scrubs the quad — nothing leaks either way
+      "root@10.2.3.4 logged in",
+      "version 1.2.3.4.5 is not an ip word")
+      .toDF("t").select(Text.piiRedact(col("t"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> port 80")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "root@<IP> logged in")
+    // 1.2.3.4.5: \b-anchored quad still matches the 1.2.3.4 prefix —
+    // documented residual risk of regex-level PII scrubbing
+    assert(got(4) == "version <IP>.5 is not an ip word")
+  }
+
+  test("piiCount counts matches; null text -> 0 counts, null redaction") {
+    val df = Seq(
+      Some("a@b.co and c@d.org plus 10.0.0.1"),
+      None).toDF("t")
+    val counts = df.select(
+      Text.piiCount(col("t"), Text.emailRe).as("e"),
+      Text.piiCount(col("t"), Text.ipv4Re).as("i"),
+      Text.piiRedact(col("t")).as("r"))
+      .collect()
+    assert(counts(0).getInt(0) == 2 && counts(0).getInt(1) == 1)
+    assert(counts(1).getInt(0) == 0 && counts(1).getInt(1) == 0)
+    assert(counts(1).isNullAt(2))
+  }
 }
