@@ -294,6 +294,44 @@ object Text {
           .otherwise(0.0).as("top_word_frac"))
   }
 
+  /** Fixed-size token chunks with overlap — the context-window prep
+    * step of a training pipeline (split each document into windows of
+    * `chunkSize` tokens, consecutive windows sharing `overlap`
+    * tokens). Map-only: one tokenize, a `sequence` of window starts,
+    * one explode; no shuffle at any corpus size, and a document's
+    * chunks land in the same partition as the document (stable for a
+    * downstream per-chunk pass).
+    *
+    * Tail windows that would contribute no new tokens (fully contained
+    * in the previous window) are dropped: window `s` survives iff
+    * `s == 1` or the doc extends past the previous window's end
+    * (`len >= s + overlap`). Empty docs emit no chunks.
+    *
+    * Emits (id, chunk_id, chunk_start (1-based), n_tok, chunk_fp).
+    */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int,
+                  overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val toks = docs.withColumn("__toks", tokens(col(textCol)))
+    val n = size(col("__toks"))
+    val starts = when(n > 0, sequence(lit(1), n, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    val chunk = slice(col("__toks"), col("chunk_start"), lit(chunkSize))
+    toks
+      .select(col(idCol), col("__toks"),
+        explode(starts).as("chunk_start"))
+      .filter(col("chunk_start") === 1 ||
+        size(col("__toks")) >= col("chunk_start") + overlap)
+      .select(col(idCol),
+        (((col("chunk_start") - 1) / step).cast("int")).as("chunk_id"),
+        col("chunk_start"),
+        size(chunk).as("n_tok"),
+        md5(concat_ws(" ", chunk)).as("chunk_fp"))
+  }
+
   // ---------------------------------------------------------------- PII
 
   /** PII patterns, deliberately restricted to the regex dialect shared

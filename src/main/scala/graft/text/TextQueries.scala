@@ -102,6 +102,35 @@ object TextQueries {
           round(Text.bpeTokenCount(col("text")).cast("double") /
             Text.tokenCount(col("text")), 6)).otherwise(0.0)
           .as("bpe_per_word"))),
+    // Context-window chunking: 64-token windows, 16-token overlap
+    "tx_chunking" -> ((s, dir) =>
+      Text.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
+    // URL parsing: per-doc host/apex/path/query-param extraction via
+    // the native parse_url expression (the oracle re-derives each part
+    // with anchored regexes over the identical rebuilt URL). Web-crawl
+    // provenance is URL-keyed; this is the decode step.
+    "tx_url_parse" -> ((s, dir) =>
+      Tables.documents(s, dir).withColumn("url", syntheticUrl).select(
+        col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        regexp_extract(expr("parse_url(url, 'HOST')"),
+          "([^.]+\\.[^.]+)$", 1).as("apex"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref"))),
+    // Domain-level crawl stats: the curation roll-up that decides
+    // which domains to keep/throttle (docs, distinct hosts and langs,
+    // char mass per apex domain). One hash aggregate, map-side
+    // combined; domain cardinality ≪ corpus so the shuffle is tiny.
+    "tx_domain_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).withColumn("url", syntheticUrl)
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .groupBy(regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1)
+          .as("apex"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))),
     // PII scan + redaction. The synthetic corpus carries no PII, so
     // the query plants deterministic emails/IPv4s/phones derived from
     // doc_id (the oracle rebuilds the identical augmented text) —
@@ -118,6 +147,18 @@ object TextQueries {
         length(Text.piiRedact(aug)).as("redacted_len"),
         md5(Text.piiRedact(aug)).as("redacted_fp"))
     }))
+
+  /** Deterministic per-doc URL (no URLs in the synthetic corpus):
+    * host fans out over source × shard × tld so apex/host/lang
+    * cardinalities are all non-trivial; path and ?ref= exercise the
+    * non-host parse_url parts.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("https://"), col("source"), col("doc_id") % 50, lit(".example."),
+    element_at(array(lit("com"), lit("org"), lit("net")),
+      ((col("doc_id") % 3) + 1).cast("int")),
+    lit("/"), col("lang"), lit("/doc-"), col("doc_id"),
+    lit("?ref=r"), col("doc_id") % 9)
 
   /** Deterministic PII planting for [[queries tx_pii_scan]]: ~1/3 of
     * docs get an email, 1/4 an IPv4, 1/5 a phone (doc_id modulus), so
@@ -188,7 +229,44 @@ object TextQueries {
       "CASE WHEN doc_id % 5 = 0 THEN ' call +55 11 9' " +
       "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234' ELSE '' END"
 
+  // single-line for the same nested-stripMargin reason as augSql
+  private val urlSql =
+    "'https://' || source || (doc_id % 50) || '.example.' || " +
+      "(['com','org','net'])[(doc_id % 3) + 1] || " +
+      "'/' || lang || '/doc-' || doc_id || '?ref=r' || (doc_id % 9)"
+
   val oracleSql: Map[String, String] = Map(
+    "tx_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+         |st AS (SELECT doc_id, w,
+         |              unnest(generate_series(1, len(w), 48)) AS s
+         |       FROM toks WHERE len(w) > 0)
+         |SELECT doc_id, ((s - 1) // 48)::INT AS chunk_id,
+         |       s::INT AS chunk_start,
+         |       len(w[s : least(s + 63, len(w))])::INT AS n_tok,
+         |       md5(array_to_string(w[s : least(s + 63, len(w))], ' '))
+         |         AS chunk_fp
+         |FROM st WHERE s = 1 OR len(w) >= s + 16""".stripMargin,
+    "tx_url_parse" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents)
+         |SELECT doc_id,
+         |       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+         |       regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+         |                      '([^.]+\\.[^.]+)$$', 1) AS apex,
+         |       regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+         |       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+         |FROM u""".stripMargin,
+    "tx_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, lang, n_chars, $urlSql AS url
+         |           FROM documents),
+         |h AS (SELECT *, regexp_extract(url, '^https://([^/]+)', 1) AS host
+         |      FROM u)
+         |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS apex,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT host) AS n_hosts,
+         |       count(DISTINCT lang) AS n_langs,
+         |       sum(n_chars)::BIGINT AS total_chars
+         |FROM h GROUP BY 1""".stripMargin,
     "tx_pii_scan" ->
       s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents),
          |red AS (

@@ -139,6 +139,30 @@ class TextSpec extends SparkSpec {
       (4L, 0, 0.0, 0.0)))
   }
 
+  test("chunkTokens: coverage, overlap, contained-tail drop, empty doc") {
+    // chunkSize 4, overlap 2 -> step 2
+    val docs = Seq(
+      (1L, "a b c"),              // shorter than chunk -> 1 chunk of 3
+      (2L, "a b c d e f"),        // starts 1,3; window@5 ⊂ window@3
+      (3L, "a b c d e"),          // same: window@5 adds nothing
+      (4L, "")                    // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Text.chunkTokens(docs, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "n_tok")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 1, 3),
+      (2L, 0, 1, 4), (2L, 1, 3, 4),
+      (3L, 0, 1, 4), (3L, 1, 3, 3)))
+    // every token index is covered by at least one chunk
+    val cover = Text.chunkTokens(docs, "doc_id", "text", 4, 2)
+      .groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_tok") - 1).as("last"))
+      .as[(Long, Int)].collect().toMap
+    assert(cover == Map(1L -> 3, 2L -> 6, 3L -> 5))
+  }
+
   test("piiRedact masks email/ip/phone; email wins over embedded IP") {
     val got = Seq(
       "mail a.b+c@host.example.com now",
