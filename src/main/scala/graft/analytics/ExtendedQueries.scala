@@ -28,6 +28,28 @@ object ExtendedQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
+    // Time-decayed (EWMA) per-user value: e_1 = x_1 and
+    // e_i = α·x_i + (1−α)·e_{i−1}, evaluated in CLOSED FORM as one
+    // weighted sum — w_i = α(1−α)^(N−i), first row (1−α)^(N−1) — so
+    // the sequential recurrence becomes two window passes plus one
+    // keyed agg: no recursion, no UDAF, no per-row state. Order is
+    // (ts, event_id) with ts at the µs grain both engines share.
+    "a34_ewma_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.25
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = row_number().over(wOrd)
+      val n = count(lit(1)).over(Window.partitionBy(col("user_id")))
+      val weight = when(r === 1, pow(lit(1 - alpha), n - 1))
+        .otherwise(lit(alpha) * pow(lit(1 - alpha), n - r))
+      Tables.events(s, dir)
+        .withColumn("__w", weight)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("__w") * col("value")), 6).as("ewma"),
+          round(avg(col("value")), 6).as("mean"))
+    }),
     // Cohort retention: users bucketed by first-seen day, distinct
     // actives per (cohort, day offset) — the standard growth-analytics
     // shape (two keyed shuffles: first-touch agg + cohort agg).
@@ -351,6 +373,19 @@ object ExtendedQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "a34_ewma_user" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts::TIMESTAMP, event_id) AS r,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(sum(CASE WHEN r = 1 THEN power(0.75, n - 1)
+        |                      ELSE 0.25 * power(0.75, n - r) END
+        |                 * value), 6) AS ewma,
+        |       round(avg(value), 6) AS mean
+        |FROM o GROUP BY 1""".stripMargin,
     "a25_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS d FROM events),

@@ -237,6 +237,83 @@ object StreamingJob {
   }
 
   // ---------------------------------------------------------------------
+  // Incremental materialized-view maintenance
+  // ---------------------------------------------------------------------
+
+  /** Merge one micro-batch of raw events into a partitioned aggregate
+    * "materialized view" at `mvPath` (per event_type: row count +
+    * exact-DECIMAL value sum). The incremental pattern, not a
+    * recompute:
+    *
+    *   1. the batch collapses to a PARTIAL aggregate first (map-side
+    *      combine; shuffle is O(groups), never O(rows));
+    *   2. only the view partitions for group keys PRESENT in the batch
+    *      are read back (left-semi prune → partition pruning on the
+    *      view scan) and re-summed with the partials;
+    *   3. the write is a DYNAMIC partition overwrite — untouched
+    *      partitions are not rewritten (spec-asserted), so per-batch
+    *      write cost tracks batch novelty, not view size.
+    *
+    * DECIMAL sums make the merge result independent of merge order —
+    * N incremental merges bit-equal one batch recompute, which is what
+    * the driver oracle checks. `localCheckpoint` materializes the
+    * merged rows before the overwrite touches the files they came
+    * from. At cluster scale the same shape lands on a transactional
+    * table format's MERGE; the partition-overwrite variant here needs
+    * no table service.
+    */
+  def mergeIntoMv(batch: DataFrame, mvPath: String): Unit = {
+    val s = batch.sparkSession
+    val partial = batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+    val existing =
+      if (new java.io.File(mvPath).exists())
+        s.read.parquet(mvPath)
+          .join(partial.select("event_type"), Seq("event_type"), "left_semi")
+          // partition column comes back last from the reader; realign
+          .select("event_type", "n", "sum_value")
+      else partial.limit(0)
+    val merged = existing.unionByName(partial)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(mvPath)
+    merged.unpersist()
+    ()
+  }
+
+  /** Drive [[mergeIntoMv]] from a file stream over the events table
+    * (split into `nFiles` single-file micro-batches), then read the
+    * maintained view back. The driver-contract query on top checks the
+    * N-merge result against the one-pass batch oracle.
+    */
+  def incrementalMv(spark: SparkSession, sfDir: String,
+                    workDir: String, nFiles: Int = 6): DataFrame = {
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    val in = s"$dir/in"
+    val mv = s"$dir/mv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val ev = graft.Tables.events(spark, sfDir).repartition(nFiles)
+    ev.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) => mergeIntoMv(batch, mv) }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    spark.read.parquet(mv).select("event_type", "n", "sum_value")
+  }
+
+  // ---------------------------------------------------------------------
   // T7: stateful late-event drop (the reference's abandoned feature).
   // ---------------------------------------------------------------------
 

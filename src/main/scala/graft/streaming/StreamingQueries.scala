@@ -259,6 +259,14 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental MV maintenance: N single-file micro-batches merged
+    // into a partitioned aggregate view via dynamic partition
+    // overwrite; DECIMAL sums make the N-merge result bit-equal the
+    // oracle's one-pass GROUP BY regardless of merge order.
+    "s12_incremental_mv" -> ((s, dir) =>
+      StreamingJob.incrementalMv(s, dir, "/tmp/graft_s12_mv")
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("total_value"))),
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
@@ -290,6 +298,10 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s12_incremental_mv" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
     "s11_stream_corpus_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

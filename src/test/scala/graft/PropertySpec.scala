@@ -394,4 +394,29 @@ class PropertySpec extends SparkSpec {
       assert(byFrom.last._5, s"key $k: last version must be current")
     }
   }
+
+  test("EWMA closed-form weights == sequential recurrence (model)") {
+    // the a34_ewma_user formulation: w_i = α(1−α)^(N−i), w_1 lifted to
+    // (1−α)^(N−1); must equal foldLeft(e_1=x_1)(e=αx+(1−α)e)
+    val alpha = 0.25
+    val seqs = samples(Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0)), 60)
+    val rows = seqs.zipWithIndex.flatMap { case (xs, k) =>
+      xs.zipWithIndex.map { case (x, i) => (k.toLong, i.toLong, x) }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("i"))
+    val r = row_number().over(wOrd)
+    val n = count(lit(1)).over(Window.partitionBy(col("k")))
+    val weight = when(r === 1, pow(lit(1 - alpha), n - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), n - r))
+    val got = rows.toDF("k", "i", "x")
+      .withColumn("__w", weight)
+      .groupBy(col("k")).agg(sum(col("__w") * col("x")).as("ewma"))
+      .as[(Long, Double)].collect().toMap
+    seqs.zipWithIndex.foreach { case (xs, k) =>
+      val model = xs.tail.foldLeft(xs.head)((e, x) => alpha * x + (1 - alpha) * e)
+      assert(math.abs(got(k.toLong) - model) < 1e-9,
+        s"seq $k: ${got(k.toLong)} vs $model")
+    }
+  }
 }

@@ -324,4 +324,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == total,
       "no event may be emitted twice across the restart")
   }
+
+  test("mergeIntoMv: exact incremental merge, untouched partition files intact") {
+    val mv = s"${Files.createTempDirectory("graft_mv")}/mv"
+    def fileNames(t: String): Set[String] =
+      new java.io.File(s"$mv/event_type=$t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    StreamingJob.mergeIntoMv(
+      Seq(("click", 1.10), ("view", 2.20), ("view", 3.30))
+        .toDF("event_type", "value"), mv)
+    val clickBefore = fileNames("click")
+    // second batch touches only `view`: click's files must survive the
+    // dynamic partition overwrite byte-identically (names are
+    // write-unique, so same names == not rewritten)
+    StreamingJob.mergeIntoMv(
+      Seq(("view", 4.40)).toDF("event_type", "value"), mv)
+    assert(fileNames("click") == clickBefore,
+      "untouched partition must not be rewritten")
+    val got = spark.read.parquet(mv)
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("string").as("s"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("click" -> ((1L, "1.10")), "view" -> ((3L, "9.90"))),
+      s"merged view must equal the exact one-pass aggregate, got $got")
+  }
 }
