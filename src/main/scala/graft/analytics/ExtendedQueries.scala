@@ -50,6 +50,29 @@ object ExtendedQueries {
           round(sum(col("__w") * col("value")), 6).as("ewma"),
           round(avg(col("value")), 6).as("mean"))
     }),
+    // Robust (median/MAD) outlier detection per event type — the
+    // anomaly-flagging shape mean/stddev z-scores get wrong under
+    // heavy tails (one huge value inflates stddev and hides itself).
+    // Two exact-median passes + a counting pass; the per-type stats
+    // join back as broadcasts (group cardinality ≪ rows). At scale
+    // swap percentile → percentile_approx, same plan shape.
+    "a35_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
     // Cohort retention: users bucketed by first-seen day, distinct
     // actives per (cohort, day offset) — the standard growth-analytics
     // shape (two keyed shuffles: first-touch agg + cohort agg).
@@ -386,6 +409,22 @@ object ExtendedQueries {
         |                 * value), 6) AS ewma,
         |       round(avg(value), 6) AS mean
         |FROM o GROUP BY 1""".stripMargin,
+    "a35_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(min(m.med), 6) AS med,
+        |       round(min(d.mad), 6) AS mad,
+        |       sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM events e
+        |JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "a25_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS d FROM events),

@@ -242,4 +242,16 @@ class PlanShapeSpec extends SparkSpec {
         s"lag predicate must not degrade to nested-loop:\n$txt")
     }
   }
+
+  test("per-doc text passes (PII scan, chunking) are map-only: no exchange") {
+    withPlainPlans {
+      val dir = "/root/testdata/sf0.001"
+      for (q <- Seq("tx_pii_scan", "tx_chunking")) {
+        val plan = graft.text.TextQueries.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        assert(shuffles(plan).isEmpty,
+          s"$q must stay a map-only pass over the corpus:\n$plan")
+      }
+    }
+  }
 }
