@@ -225,6 +225,77 @@ object Ann {
     ivfTopKWithCentroids(queries, corpus, id, vec, k,
       kmeansCentroids(corpus, id, vec, nCentroids, iters), nProbe)
 
+  /** Product-quantization codebooks: the embedding space split into
+    * `m` contiguous subspaces; per subspace, the first `k` corpus
+    * vectors' subvectors (by id) are the codes — the same
+    * deterministic, oracle-replayable seeding as [[ivfTopK]]. Returns
+    * `cbs(s)(j)` = codeword j of subspace s. Only m·k·(dim/m) doubles
+    * reach the driver, at any corpus size.
+    */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String,
+                  m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val firstK = prepared(corpus, id, vec)
+      .orderBy(col("vid")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
+    val dim = firstK.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    (0 until m).map(s => firstK.map(v => v.slice(s * w, s * w + w)))
+  }
+
+  /** Squared L2 distance in the exact 3-dot formulation the oracle
+    * replays (`a·a − 2 a·b + b·b`): same native left-fold dot on both
+    * engines ⇒ bit-equal distances ⇒ identical argmins.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** PQ top-k via asymmetric distance computation (ADC).
+    *
+    * Encode (map-only): each corpus vector becomes `m` small integer
+    * codes — the argmin-L2 codeword per subspace (ties → lower code,
+    * matching the oracle's `ORDER BY d, j`). At scale this is the
+    * memory story: dim floats compress to m bytes per vector, and the
+    * scan that ranks 10¹¹ vectors reads codes, not vectors.
+    *
+    * Search: each query precomputes its m×k distance table to the
+    * codebooks (one broadcast row per query); a corpus vector's
+    * approximate distance is then m table lookups summed in fixed
+    * subspace order. Ranking is by ROUND(dist, 6) with id tiebreak so
+    * last-ULP fold noise can't reorder the cut (the tfidf/PMI trick).
+    * Approximate by construction → recall spec in DedupAnnSpec; the
+    * driver oracle replays seeding/encode/ADC exactly.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String,
+             vec: String, topK: Int, m: Int = 4,
+             k: Int = 16): DataFrame = {
+    val cbs = pqCodebooks(corpus, id, vec, m, k)
+    val w = cbs.head.head.length
+    def sub(v: Column, s: Int): Column = slice(v, s * w + 1, w)
+    def codeExpr(v: Column, s: Int): Column =
+      array_min(array((0 until k).map { j =>
+        val cl = typedlit(cbs(s)(j))
+        struct(l2sq(sub(v, s), cl).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    val enc = prepared(corpus, id, vec)
+      .select(col("vid"),
+        array((0 until m).map(s => codeExpr(col("v"), s)): _*).as("codes"))
+    val q = prepared(queries, id, vec)
+      .select(Seq(col("vid").as("qid")) ++ (0 until m).map { s =>
+        array((0 until k).map(j =>
+          l2sq(sub(col("v"), s), typedlit(cbs(s)(j)))): _*).as(s"qt_$s")
+      }: _*)
+    val dist = (0 until m).map(s =>
+      element_at(col(s"qt_$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val ranked = enc.join(broadcast(q), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(dist, 6).as("adc_dist"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("vid").asc)
+    ranked.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+  }
+
   /** All-pairs cosine near-duplicates (ids a < b, cosine ≥ threshold).
     * Exact O(n²) baseline — the LSH bucketing above is the scale path.
     */

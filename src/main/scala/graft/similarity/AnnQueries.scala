@@ -53,7 +53,14 @@ object AnnQueries {
     }),
     "emb_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PairThreshold)))
+        PairThreshold)),
+    // Product quantization: 4 subspaces × 16 codes, first-K seeding
+    // (deterministic ⇒ the oracle replays encode + ADC exactly)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.pqTopK(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding", K)
+    }))
 
   /** DuckDB literal for a double vector. */
   private def vecLit(v: Seq[Double]): String =
@@ -98,6 +105,51 @@ object AnnQueries {
        |  FROM cand)
        |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** PQ oracle: replays codebook seeding (first-k subvectors by id),
+    * per-subspace argmin-L2 encode (same 3-dot distance formula →
+    * bit-equal doubles; ties → lower code), and the ADC rank. The ADC
+    * sum runs over an s-ORDERED list so the fold order matches Spark's
+    * fixed s=0..m−1 reduce; ranking is by the ROUNDED distance on both
+    * sides so residual last-ULP fold noise cannot reorder the cut.
+    */
+  private def pqOracle(m: Int, k: Int, dim: Int): String = {
+    val w = dim / m
+    val l2 = "list_dot_product(vs, vs) - 2 * list_dot_product(vs, c) " +
+      "+ list_dot_product(c, c)"
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ss AS (SELECT unnest(range(0, $m))::INT AS s),
+       |sub AS (
+       |  SELECT vec_id, s, v[(s*$w + 1):(s*$w + $w)] AS vs FROM n, ss),
+       |seed AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT $k),
+       |cb AS (
+       |  SELECT sub.s,
+       |         (row_number() OVER (PARTITION BY sub.s
+       |                             ORDER BY sub.vec_id) - 1)::INT AS j,
+       |         sub.vs AS c
+       |  FROM sub JOIN seed USING (vec_id)),
+       |enc AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.j,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY $l2 ASC, cb.j ASC) AS rn
+       |    FROM sub JOIN cb USING (s)) WHERE rn = 1),
+       |qt AS (
+       |  SELECT sub.vec_id AS qid, sub.s, cb.j, $l2 AS qd
+       |  FROM sub JOIN cb USING (s) WHERE sub.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT qt.qid, enc.vec_id AS vid,
+       |         round(list_sum(list(qt.qd ORDER BY qt.s)), 6) AS adc_dist
+       |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.j
+       |  WHERE enc.vec_id != qt.qid
+       |  GROUP BY qt.qid, enc.vec_id),
+       |ranked AS (
+       |  SELECT qid, vid, adc_dist,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc_dist ASC, vid ASC)::INT AS rank
+       |  FROM adc)
+       |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   /** LSH oracle: the ±1 hyperplanes are embedded as literals (same
     * seed-42 draw as [[Ann.lshTopK]]); band values are the identical
     * sign-bit sums, candidates any-band-equal pairs, then exact rerank.
@@ -133,6 +185,7 @@ object AnnQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    "ann_pq_topk" -> pqOracle(m = 4, k = 16, dim = 64),
     "ann_lsh_topk" -> lshOracle(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L),
     "ann_bruteforce_topk" ->
