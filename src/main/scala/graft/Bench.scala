@@ -25,8 +25,9 @@ object Bench {
     "w5_session_window", "w9_running_frames",
     "a10_distance_crosstab", "k2_topk_per_key", "asof_join", "join_semi",
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "tx_tfidf_topterms", "tx_collocations")
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "tx_tfidf_topterms", "tx_collocations", "tx_pii_scan", "tx_chunking",
+    "s12_incremental_mv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -296,6 +296,54 @@ object Ann {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ composition — the production ANN layout: IVF cells prune
+    * CANDIDATES (each query scans ~nProbe/nCentroids of the corpus),
+    * PQ codes compress the RANKING (candidates are scored from m byte
+    * codes via the query's ADC table, never from raw vectors). One
+    * map-only corpus pass emits (cell, codes); the probe join is keyed
+    * by cell id exactly as [[ivfTopKWithCentroids]]. Both stages keep
+    * their deterministic seeding (first-N centroids, first-N
+    * codebooks), so the full composition is oracle-replayable.
+    * Production systems encode residuals (v − centroid) for a tighter
+    * codebook; the composition shape is identical.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                vec: String, topK: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, m: Int = 4, k: Int = 16): DataFrame = {
+    val cbs = pqCodebooks(corpus, id, vec, m, k)
+    val w = cbs.head.head.length
+    val c = prepared(corpus, id, vec)
+    val cents = firstNCentroids(c, nCentroids)
+    def sub(v: Column, s: Int): Column = slice(v, s * w + 1, w)
+    def codeExpr(v: Column, s: Int): Column =
+      array_min(array((0 until k).map { j =>
+        val cl = typedlit(cbs(s)(j))
+        struct(l2sq(sub(v, s), cl).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    val enc = c.select(col("vid"),
+      array_max(centSims(cents, col("v"))).getField("idx").as("cell"),
+      array((0 until m).map(s => codeExpr(col("v"), s)): _*).as("codes"))
+    val q = prepared(queries, id, vec)
+      .select(Seq(col("vid").as("qid"),
+        slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
+          .getField("idx").as("probes")) ++
+        (0 until m).map { s =>
+          array((0 until k).map(j =>
+            l2sq(sub(col("v"), s), typedlit(cbs(s)(j)))): _*).as(s"qt_$s")
+        }: _*)
+      .withColumn("cell", explode(col("probes"))).drop("probes")
+    val dist = (0 until m).map(s =>
+      element_at(col(s"qt_$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val cand = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(dist, 6).as("adc_dist"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+  }
+
   /** All-pairs cosine near-duplicates (ids a < b, cosine ≥ threshold).
     * Exact O(n²) baseline — the LSH bucketing above is the scale path.
     */

@@ -60,6 +60,12 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       Ann.pqTopK(emb.filter(col("vec_id") < NQueries), emb,
         "vec_id", "embedding", K)
+    }),
+    // IVF-PQ composition: cells prune candidates, codes do the ranking
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfPqTopK(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding", K)
     }))
 
   /** DuckDB literal for a double vector. */
@@ -150,6 +156,72 @@ object AnnQueries {
        |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** IVF-PQ oracle: [[ivfOracle]]'s cell assignment + probing glued to
+    * [[pqOracle]]'s encode + ADC — candidates from the probed cells,
+    * scores from the codes.
+    */
+  private def ivfPqOracle(nCentroids: Int, nProbe: Int, m: Int, k: Int,
+                          dim: Int): String = {
+    val w = dim / m
+    val l2 = "list_dot_product(vs, vs) - 2 * list_dot_product(vs, c) " +
+      "+ list_dot_product(c, c)"
+    s"""WITH $nCte,
+       |cents AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+       |         v AS cv, nrm AS cn
+       |  FROM n ORDER BY vec_id LIMIT $nCentroids),
+       |csims AS (
+       |  SELECT n.vec_id, cents.idx,
+       |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims WHERE vec_id < $NQueries) WHERE rn <= $nProbe),
+       |ss AS (SELECT unnest(range(0, $m))::INT AS s),
+       |sub AS (
+       |  SELECT vec_id, s, v[(s*$w + 1):(s*$w + $w)] AS vs FROM n, ss),
+       |seed AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT $k),
+       |cb AS (
+       |  SELECT sub.s,
+       |         (row_number() OVER (PARTITION BY sub.s
+       |                             ORDER BY sub.vec_id) - 1)::INT AS j,
+       |         sub.vs AS c
+       |  FROM sub JOIN seed USING (vec_id)),
+       |enc AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.j,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY $l2 ASC, cb.j ASC) AS rn
+       |    FROM sub JOIN cb USING (s)) WHERE rn = 1),
+       |qt AS (
+       |  SELECT sub.vec_id AS qid, sub.s, cb.j, $l2 AS qd
+       |  FROM sub JOIN cb USING (s) WHERE sub.vec_id < $NQueries),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p JOIN assigned a
+       |    ON a.cell = p.cell AND a.vec_id != p.qid),
+       |adc AS (
+       |  SELECT cand.qid, cand.vid,
+       |         round(list_sum(list(qt.qd ORDER BY qt.s)), 6) AS adc_dist
+       |  FROM cand
+       |  JOIN enc ON enc.vec_id = cand.vid
+       |  JOIN qt ON qt.qid = cand.qid AND qt.s = enc.s AND qt.j = enc.code
+       |  GROUP BY cand.qid, cand.vid),
+       |ranked AS (
+       |  SELECT qid, vid, adc_dist,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc_dist ASC, vid ASC)::INT AS rank
+       |  FROM adc)
+       |SELECT * FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   /** LSH oracle: the ±1 hyperplanes are embedded as literals (same
     * seed-42 draw as [[Ann.lshTopK]]); band values are the identical
     * sign-bit sums, candidates any-band-equal pairs, then exact rerank.
@@ -186,6 +258,8 @@ object AnnQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
     "ann_pq_topk" -> pqOracle(m = 4, k = 16, dim = 64),
+    "ann_ivfpq_topk" -> ivfPqOracle(nCentroids = 16, nProbe = 4,
+      m = 4, k = 16, dim = 64),
     "ann_lsh_topk" -> lshOracle(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L),
     "ann_bruteforce_topk" ->

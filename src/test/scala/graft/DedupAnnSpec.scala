@@ -372,4 +372,22 @@ class DedupAnnSpec extends SparkSpec {
       s"product grid must beat plain VQ: $recall <= $recallVq")
     assert(pq.size == exact.size, "k rows per query")
   }
+
+  test("ivfPqTopK: probing all cells reduces to pure PQ") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 4)
+    val pure = Ann.pqTopK(q, emb, "vec_id", "embedding", 3, m = 4, k = 8)
+      .select("qid", "vid", "rank").as[(Long, Long, Int)].collect().toSet
+    val full = Ann.ivfPqTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 8, m = 4, k = 8)
+      .select("qid", "vid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == pure,
+      "full-probe IVF-PQ must rank the whole corpus exactly like PQ")
+    // fewer probes: a subset of candidates, so every returned rank-1
+    // result must also appear in pure PQ's candidate ranking order
+    val probed = Ann.ivfPqTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 4, m = 4, k = 8)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty && probed.size <= pure.size)
+  }
 }
