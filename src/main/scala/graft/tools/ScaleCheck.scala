@@ -184,6 +184,40 @@ object ScaleCheck {
       .containmentPairs(docsRep, "doc_id", "text", 3, 0.9).count()
     val cpsecs = (System.nanoTime() - t13) / 1e9
     println(f"[scale] contain rows=$dn%,d pairs=$cp%,d secs=$cpsecs%.2f rate=${dn / cpsecs}%,.0f docs/s")
+
+    // ---- round-4 late additions ----
+
+    // context-window chunking: map-only explode — chunk count must
+    // scale exactly ×factor, rate must track the scan
+    val t14 = System.nanoTime()
+    val ch = graft.text.Text
+      .chunkTokens(docsRep, "doc_id", "text", 64, 16).count()
+    val chsecs = (System.nanoTime() - t14) / 1e9
+    println(f"[scale] chunk  rows=$dn%,d chunks=$ch%,d secs=$chsecs%.2f rate=${dn / chsecs}%,.0f docs/s")
+
+    // PII scan + redaction: three regex passes, map-only
+    val t15 = System.nanoTime()
+    val pi = docsRep.select(
+      graft.text.Text.piiCount(col("text"), graft.text.Text.emailRe).as("e"),
+      length(graft.text.Text.piiRedact(col("text"))).as("l"))
+      .agg(sum(col("e") + col("l"))).collect()(0).get(0)
+    val pisecs = (System.nanoTime() - t15) / 1e9
+    println(f"[scale] pii    rows=$dn%,d sig=$pi secs=$pisecs%.2f rate=${dn / pisecs}%,.0f docs/s")
+
+    // PQ: factor× corpus vectors; encode is map-only, the ranking
+    // shuffle carries only (qid, vid, rounded dist) per candidate
+    val embRep2 = graft.Tables.embeddings(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        col("embedding"))
+      .repartition(32).localCheckpoint(true)
+    val en2 = embRep2.count()
+    val t16 = System.nanoTime()
+    val pqn = graft.similarity.Ann.pqTopK(
+      embRep2.filter(col("vec_id") < 8), embRep2,
+      "vec_id", "embedding", 5).count()
+    val pqsecs = (System.nanoTime() - t16) / 1e9
+    println(f"[scale] pq     rows=$en2%,d topk=$pqn%,d secs=$pqsecs%.2f rate=${en2 / pqsecs}%,.0f vecs/s")
     spark.stop()
   }
 }
