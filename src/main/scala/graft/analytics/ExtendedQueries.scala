@@ -50,6 +50,17 @@ object ExtendedQueries {
           round(sum(col("__w") * col("value")), 6).as("ewma"),
           round(avg(col("value")), 6).as("mean"))
     }),
+    // Z-order (Morton) clustering key — the write-side layout
+    // expression behind multi-column file skipping (OPTIMIZE ZORDER):
+    // sort by this single value and min/max stats become selective
+    // for range predicates on BOTH inputs. Pure bit arithmetic,
+    // map-only; LayoutSpec proves the two-dimensional pruning.
+    "p24_zorder_key" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        hour(col("ts")).as("hr"),
+        graft.functions.Layout.zValue(col("user_id"), hour(col("ts")), 8)
+          .as("z"))),
     // Robust (median/MAD) outlier detection per event type — the
     // anomaly-flagging shape mean/stddev z-scores get wrong under
     // heavy tails (one huge value inflates stddev and hides itself).
@@ -409,6 +420,15 @@ object ExtendedQueries {
         |                 * value), 6) AS ewma,
         |       round(avg(value), 6) AS mean
         |FROM o GROUP BY 1""".stripMargin,
+    "p24_zorder_key" -> {
+      val bits = 8
+      val z = (0 until bits).map(i =>
+        s"((((user_id & 255) >> $i) & 1) << ${2 * i}) | " +
+          s"((((hour(ts) & 255) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""SELECT event_id, user_id, hour(ts)::INT AS hr, ($z) AS z
+         |FROM events""".stripMargin
+    },
     "a35_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
