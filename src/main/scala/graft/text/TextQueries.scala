@@ -102,6 +102,23 @@ object TextQueries {
           round(Text.bpeTokenCount(col("text")).cast("double") /
             Text.tokenCount(col("text")), 6)).otherwise(0.0)
           .as("bpe_per_word"))),
+    // Quality-weighted downsampling — the data-mixing step: keep each
+    // doc with probability equal to its quality score, but
+    // DETERMINISTICALLY (u = hashed doc_id as a pseudo-uniform in
+    // [0,1); keep iff u < quality). Reproducible across runs and
+    // engines, unlike sample(); growth-stable (a doc's fate never
+    // changes as the corpus grows). Map-only + one small aggregate.
+    "sample_quality_weighted" -> ((s, dir) => {
+      val q = Text.qualityScore(col("text"))
+      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
+        .cast("double") / 1000003.0
+      Tables.documents(s, dir)
+        .withColumn("keep", u < q)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          round(avg(when(col("keep"), q)), 6).as("kept_avg_quality"))
+    }),
     // Context-window chunking: 64-token windows, 16-token overlap
     "tx_chunking" -> ((s, dir) =>
       Text.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
@@ -236,6 +253,18 @@ object TextQueries {
       "'/' || lang || '/doc-' || doc_id || '?ref=r' || (doc_id % 9)"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_quality_weighted" ->
+      s"""WITH k AS (
+         |  SELECT source,
+         |         (doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0
+         |           AS u,
+         |         $qualitySql AS q
+         |  FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |       sum(CASE WHEN u < q THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       round(avg(CASE WHEN u < q THEN q END), 6)
+         |         AS kept_avg_quality
+         |FROM k GROUP BY 1""".stripMargin,
     "tx_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
          |st AS (SELECT doc_id, w,
