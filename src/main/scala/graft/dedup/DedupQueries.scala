@@ -115,6 +115,34 @@ object DedupQueries {
           sum(graft.text.Text.tokenCount(col("text"))).as("ws_tokens"),
           sum(graft.text.Text.bpeTokenCount(col("text"))).as("bpe_tokens"))
     }),
+    // The full training-data path as ONE declarative plan: quality
+    // gate -> near-dup keeper -> PII redaction (planted PII, so the
+    // scrub is non-vacuous) -> 64/16 context-window chunking ->
+    // per-split chunk/token budgets + chunk-level dup signal. Every
+    // stage is an operator proven by its own oracle; composition adds
+    // no new shuffle beyond the dedup join and the final aggregate.
+    "pipeline_curation_v2" -> ((s, dir) => {
+      val kept = Tables.documents(s, dir)
+        .filter(graft.text.Text.qualityScore(col("text")) >= 0.45)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(kept, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      val keeper = kept
+        .join(comp, kept("doc_id") === comp("doc"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+        .select(kept("doc_id"), kept("text"))
+      val red = keeper.withColumn("text",
+        graft.text.Text.piiRedact(graft.text.TextQueries.piiAugmented))
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      graft.text.Text.chunkTokens(red, "doc_id", "text", 64, 16)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("chunk_tokens"),
+          countDistinct(col("chunk_fp")).as("n_uniq_chunks"))
+    }),
     "dedup_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val comp = Dedup.connectedComponents(
@@ -232,6 +260,53 @@ object DedupQueries {
         |WHERE tr.b < 80 AND te.b >= 90
         |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "pipeline_curation_v2" -> {
+      import graft.text.{Text, TextQueries}
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT * FROM documents
+         |  WHERE (${TextQueries.qualitySql}) >= 0.45),
+         |pairs AS (${jaccardOracleOver("kept")}),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc, min(label) AS component
+         |         FROM reach GROUP BY u),
+         |keeper AS (
+         |  SELECT kept.doc_id, kept.text FROM kept
+         |  LEFT JOIN comp ON kept.doc_id = comp.doc
+         |  WHERE comp.component IS NULL OR comp.component = kept.doc_id),
+         |red AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(
+         |           ${TextQueries.augSql},
+         |           '${Text.emailRe}', '<EMAIL>', 'g'),
+         |           '${Text.ipv4Re}', '<IP>', 'g'),
+         |           '${Text.phoneRe}', '<PHONE>', 'g') AS rt
+         |  FROM keeper),
+         |toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(rt),
+         |           '\\s+'), t -> t != '') AS w
+         |  FROM red),
+         |st AS (SELECT doc_id, w,
+         |              unnest(generate_series(1, len(w), 48)) AS s
+         |       FROM toks WHERE len(w) > 0),
+         |ch AS (SELECT doc_id, s, w[s : least(s + 63, len(w))] AS c
+         |       FROM st WHERE s = 1 OR len(w) >= s + 16)
+         |SELECT CASE WHEN (doc_id % 100) * 61 % 100 < 80 THEN 'train'
+         |            WHEN (doc_id % 100) * 61 % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_chunks,
+         |       sum(len(c))::BIGINT AS chunk_tokens,
+         |       count(DISTINCT md5(array_to_string(c, ' ')))
+         |         AS n_uniq_chunks
+         |FROM ch GROUP BY 1""".stripMargin
+    },
     "graph_pagerank" -> pagerankOracle,
     "pipeline_curation" -> {
       val toksSql =

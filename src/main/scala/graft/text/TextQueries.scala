@@ -181,7 +181,7 @@ object TextQueries {
     * docs get an email, 1/4 an IPv4, 1/5 a phone (doc_id modulus), so
     * counts span 0..3 and every redaction arm fires somewhere.
     */
-  private def piiAugmented: org.apache.spark.sql.Column = concat(
+  private[graft] def piiAugmented: org.apache.spark.sql.Column = concat(
     col("text"),
     when(col("doc_id") % 3 === 0,
       concat(lit(" contact u"), col("doc_id"), lit("@mail"),
@@ -237,7 +237,7 @@ object TextQueries {
   // quotes. Single line: this fragment is re-stripMargin'd inside the
   // interpolating oracle literal, so a continuation line starting
   // with || would lose a pipe.
-  private val augSql =
+  private[graft] val augSql =
     "text || " +
       "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail' " +
       "|| (doc_id % 7) || '.example.com' ELSE '' END || " +
