@@ -526,7 +526,8 @@ object ExtendedQueries {
         |       date_trunc('second', p.ts) AS ts_s, p.value,
         |       c.click_value AS asof_click_value
         |FROM purch p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+        |  ON p.user_id = c.user_id
+        |  AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP""".stripMargin,
     "a19_max_by" ->
       """SELECT event_type,
         |       (max({'value': value, 'event_id': event_id})).value AS max_value,
