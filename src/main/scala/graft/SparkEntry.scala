@@ -47,6 +47,7 @@ object SparkEntry {
       graft.analytics.ExtendedQueries.queries ++
       graft.analytics.RelationalOpsQueries.queries ++
       graft.analytics.StarQueries.queries ++
+      graft.analytics.SketchQueries.queries ++
       graft.similarity.EmbeddingQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
@@ -134,6 +135,7 @@ object SparkEntry {
       graft.analytics.ExtendedQueries.oracleSql ++
       graft.analytics.RelationalOpsQueries.oracleSql ++
       graft.analytics.StarQueries.oracleSql ++
+      graft.analytics.SketchQueries.oracleSql ++
       graft.similarity.EmbeddingQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++

@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable-sketch surface: Datasketches HLL (distinct count), Theta
+  * (distinct-set algebra) and the frequent-items top-k sketch, all via
+  * Spark's native sketch aggregates (`hll_sketch_agg`,
+  * `theta_sketch_agg` / `theta_union` / `theta_intersection` /
+  * `theta_difference`, `approx_top_k_accumulate/_combine/_estimate`).
+  *
+  * Why sketches are a first-class 100 TB operator and not a toy:
+  * a `count(DISTINCT k)` over 100 TB shuffles every distinct key; the
+  * sketch computes a few-KB summary per partition, map-side combines,
+  * and merges summaries — fixed memory, one narrow shuffle, and the
+  * summary is STORABLE: per-day sketches persisted once answer any
+  * later union/rollup without rescanning the fact table. Theta set
+  * algebra goes further — |A ∩ B| / |A \ B| over two distinct-sets
+  * that would otherwise need a distinct-distinct join happens on two
+  * 4 KB sketches. (The reference has no sketch surface at all; its
+  * dashboard recomputes exact distincts per refresh — `dashboard.py`
+  * full-table scans. At its 10k-user scale that is fine; at ours it
+  * is not.)
+  *
+  * Oracle design: sketch estimates are approximate, so hash-matching
+  * the raw estimate against DuckDB is meaningless. Instead each query
+  * emits the EXACT value (computed in the same Spark plan) plus a
+  * boolean `*_ok` = "estimate within the sketch's documented error
+  * bound of exact"; the DuckDB oracle computes the same exact values
+  * and emits literal TRUE. The hash compare then verifies the error
+  * CONTRACT — the actual semantic guarantee a sketch ships with.
+  * Datasketches estimates are deterministic for a given input set
+  * (fixed default seed, order-insensitive retained-hash sets), so the
+  * booleans are stable run-over-run.
+  *
+  * Bounds used: HLL lgK=12 → RSE ≈ 1.04/√2¹² ≈ 1.6%, bound 5%.
+  * Theta k=4096 → RSE ≈ 1/√4096 ≈ 1.6% on the union; intersection
+  * and difference errors scale with |A ∪ B| / |result|, so their
+  * bounds widen to 10% and 15% (set sizes here: see the oracle).
+  */
+object SketchQueries {
+
+  private def lineitemSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_orderkey"))
+
+  /** Per-returnflag distinct order count: HLL sketch per group, then
+    * the group sketches UNION-MERGED into a global 'ALL' row — the
+    * two-level (partial → reuse) pattern: the global answer is
+    * computed from the per-group summaries, not by rescanning.
+    */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitemSets(s, dir)
+    val per = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"),
+        countDistinct(col("l_orderkey")).as("n_exact"))
+    // global row: merge the 3 group sketches (never touches lineitem
+    // again); exact global distinct for the bound check rides a
+    // separate scan only because the oracle needs the true value
+    val allRow = per.agg(expr("hll_union_agg(sk)").as("sk"))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
+      .select(lit("ALL").as("grp"), col("sk"), col("n_exact"))
+    per.select(col("grp"), col("sk"), col("n_exact"))
+      .unionByName(allRow)
+      .select(col("grp"), col("n_exact"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
+          lit(0.05) * col("n_exact")).as("sk_ok"))
+  }
+
+  /** Distinct-set algebra on Theta sketches: the sets of order keys
+    * with returned ('R') vs regular ('N') lineitems — |R|, |N|,
+    * |R ∩ N|, |R ∪ N|, |R \ N| — estimated from two 4 KB sketches
+    * built in ONE scan (conditional inputs; the agg skips NULLs),
+    * checked against exact values from a per-key flag rollup. At
+    * sf0.01 the sets are ~11k keys — past Theta's 4096-entry exact
+    * mode, so true estimation is exercised.
+    */
+  private def thetaSetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitemSets(s, dir)
+    val sks = li.agg(
+      expr("theta_sketch_agg(CASE WHEN l_returnflag = 'R' " +
+        "THEN l_orderkey END)").as("skr"),
+      expr("theta_sketch_agg(CASE WHEN l_returnflag = 'N' " +
+        "THEN l_orderkey END)").as("skn"))
+    val exact = li
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"),
+        max(when(col("l_returnflag") === "N", 1).otherwise(0)).as("n"))
+      .agg(sum(col("r")).as("n_r"), sum(col("n")).as("n_n"),
+        sum(col("r") * col("n")).as("n_inter"),
+        sum(greatest(col("r"), col("n"))).as("n_union"),
+        sum(col("r") * (lit(1) - col("n"))).as("n_diff"))
+    def ok(est: String, exact: String, bound: Double) =
+      (abs(expr(est) - col(exact)) <= lit(bound) * col(exact)).as(s"ok_$exact")
+    sks.crossJoin(exact).select(
+      col("n_r"), col("n_n"), col("n_inter"), col("n_union"), col("n_diff"),
+      ok("theta_sketch_estimate(skr)", "n_r", 0.05),
+      ok("theta_sketch_estimate(skn)", "n_n", 0.05),
+      ok("theta_sketch_estimate(theta_intersection(skr, skn))", "n_inter", 0.10),
+      ok("theta_sketch_estimate(theta_union(skr, skn))", "n_union", 0.05),
+      ok("theta_sketch_estimate(theta_difference(skr, skn))", "n_diff", 0.15))
+  }
+
+  /** Distributed frequency table via the mergeable frequent-items
+    * sketch: per-returnflag partial sketches (`_accumulate`), merged
+    * centrally (`_combine`), then read out (`_estimate`). Capacity
+    * (50k tracked items) exceeds the part-key domain at every test
+    * SF, so the sketch is in its exact regime and the counts must
+    * hash-match a plain GROUP BY — the bounded-domain-exact /
+    * unbounded-approx contract (the approximate regime is pinned in
+    * SketchSpec with a deliberately undersized sketch). Emitted: part
+    * keys seen on ≥ 40 lineitems.
+    */
+  private def topkMerge(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_top_k_accumulate(l_partkey, 50000)").as("st"))
+    st.agg(expr("approx_top_k_combine(st, 50000)").as("st"))
+      .select(explode(expr("approx_top_k_estimate(st, 50000)")).as("e"))
+      .select(col("e.item").as("l_partkey"), col("e.count").as("n"))
+      .filter(col("n") >= 40)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_hll_distinct" -> ((s, dir) => hllDistinct(s, dir)),
+    "sk_theta_set_ops" -> ((s, dir) => thetaSetOps(s, dir)),
+    "sk_topk_merge" -> ((s, dir) => topkMerge(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+    "sk_hll_distinct" ->
+      """SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS n_exact,
+        |       TRUE AS sk_ok
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem""".stripMargin,
+    "sk_theta_set_ops" ->
+      """WITH f AS (
+        |  SELECT l_orderkey,
+        |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r,
+        |         max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sum(r)::BIGINT AS n_r, sum(n)::BIGINT AS n_n,
+        |       sum(r * n)::BIGINT AS n_inter,
+        |       sum(greatest(r, n))::BIGINT AS n_union,
+        |       sum(r * (1 - n))::BIGINT AS n_diff,
+        |       TRUE AS ok_n_r, TRUE AS ok_n_n, TRUE AS ok_n_inter,
+        |       TRUE AS ok_n_union, TRUE AS ok_n_diff
+        |FROM f""".stripMargin,
+    "sk_topk_merge" ->
+      """SELECT l_partkey, count(*) AS n
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40""".stripMargin)
+}
