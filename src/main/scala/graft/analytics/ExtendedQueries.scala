@@ -159,6 +159,16 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // Deterministic weighted sample (Efraimidis–Spirakis): inclusion
+    // odds proportional to document length, key derived from a Knuth
+    // hash of the id — reproducible, growth-stable, oracle-replayable.
+    // Plans as TakeOrderedAndProject: bounded per-partition heaps, no
+    // corpus shuffle (see functions/Sampling.scala for the 100 TB shape)
+    "sample_weighted" -> ((s, dir) =>
+      graft.functions.Sampling.weightedSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 20)),
     // Walk-forward temporal split with an embargo gap: train strictly
     // before T, test at-or-after T+gap, rows inside the embargo DROPPED
     // — the leakage guard for autocorrelated event data (a model must
@@ -491,6 +501,17 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    "sample_weighted" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         (((doc_id % 4294967296) * 40503 % 4294967296) * 65536
+        |          + (doc_id % 4294967296) * 31153) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       round(ln((h + 1) / 4294967296.0) / n_chars, 9) AS es_key
+        |FROM u
+        |ORDER BY ln((h + 1) / 4294967296.0) / n_chars DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "sample_temporal_split" ->
       """SELECT CASE WHEN ts::TIMESTAMP < TIMESTAMP '2024-01-22 00:00:00'
         |              THEN 'train'
