@@ -159,6 +159,19 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // CDC between two snapshots: per-user daily activity rollups a
+    // week apart diffed into the minimal insert/delete/update change
+    // set (operators/Cdc.scala — one pk-keyed join, no broadcast)
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      def day(d: String, next: String) = Tables.events(s, dir)
+        .filter(col("ts") >= lit(s"$d 00:00:00") &&
+          col("ts") < lit(s"$next 00:00:00"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("val"))
+      graft.operators.Cdc.snapshotDiff(
+        day("2024-01-10", "2024-01-11"), day("2024-01-17", "2024-01-18"),
+        Seq("user_id"))
+    }),
     // Deterministic weighted sample (Efraimidis–Spirakis): inclusion
     // odds proportional to document length, key derived from a Knuth
     // hash of the id — reproducible, growth-stable, oracle-replayable.
@@ -501,6 +514,33 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT user_id, count(*) AS n, round(sum(value), 4) AS val
+        |  FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts::TIMESTAMP <  TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, count(*) AS n, round(sum(value), 4) AS val
+        |  FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-17 00:00:00'
+        |    AND ts::TIMESTAMP <  TIMESTAMP '2024-01-18 00:00:00'
+        |  GROUP BY 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |       CASE WHEN a.user_id IS NULL THEN 'insert'
+        |            WHEN b.user_id IS NULL THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |       concat_ws(',',
+        |         CASE WHEN a.n IS DISTINCT FROM b.n THEN 'n' END,
+        |         CASE WHEN a.val IS DISTINCT FROM b.val THEN 'val' END)
+        |         AS changed,
+        |       a.n AS old_n, b.n AS new_n,
+        |       a.val AS old_val, b.val AS new_val
+        |FROM a FULL JOIN b ON a.user_id = b.user_id
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL
+        |   OR a.n IS DISTINCT FROM b.n OR a.val IS DISTINCT FROM b.val"""
+        .stripMargin,
     "sample_weighted" ->
       """WITH u AS (
         |  SELECT doc_id, lang, n_chars,
