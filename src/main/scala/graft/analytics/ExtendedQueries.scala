@@ -159,6 +159,25 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // Data-quality gate: five expectations over orders in ONE scan
+    // (functions/Expectations.scala) — pk uniqueness, non-null ratio,
+    // positive amounts, date range, categorical domain
+    "dq_expectations" -> ((s, dir) => {
+      import graft.functions.Expectations.{Check, report}
+      val n = count(lit(1)).cast("double")
+      report(Tables.orders(s, dir), Seq(
+        Check("pk_unique",
+          countDistinct(col("o_orderkey")) / n, 1.0, 1.0),
+        Check("custkey_nonnull",
+          sum(col("o_custkey").isNotNull.cast("int")) / n, 1.0, 1.0),
+        Check("price_positive", min(col("o_totalprice")), 1e-9, 1e12),
+        Check("date_in_range",
+          sum(col("o_orderdate").between("1995-01-01", "2001-12-31")
+            .cast("int")) / n, 1.0, 1.0),
+        Check("priority_domain",
+          sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW").cast("int")) / n, 1.0, 1.0)))
+    }),
     // CDC between two snapshots: per-user daily activity rollups a
     // week apart diffed into the minimal insert/delete/update change
     // set (operators/Cdc.scala — one pk-keyed join, no broadcast)
@@ -514,6 +533,29 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    "dq_expectations" ->
+      """WITH m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |         count(DISTINCT o_orderkey)::DOUBLE AS d,
+        |         sum(CASE WHEN o_custkey IS NOT NULL
+        |                  THEN 1 ELSE 0 END)::DOUBLE AS nn,
+        |         min(o_totalprice)::DOUBLE AS mp,
+        |         sum(CASE WHEN o_orderdate BETWEEN '1995-01-01'
+        |                  AND '2001-12-31' THEN 1 ELSE 0 END)::DOUBLE AS dr,
+        |         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+        |                  '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |                  THEN 1 ELSE 0 END)::DOUBLE AS pd
+        |  FROM orders)
+        |SELECT 'pk_unique' AS expectation, round(d / n, 6) AS metric,
+        |       d / n BETWEEN 1.0 AND 1.0 AS pass FROM m
+        |UNION ALL SELECT 'custkey_nonnull', round(nn / n, 6),
+        |       nn / n BETWEEN 1.0 AND 1.0 FROM m
+        |UNION ALL SELECT 'price_positive', round(mp, 6),
+        |       mp BETWEEN 1e-9 AND 1e12 FROM m
+        |UNION ALL SELECT 'date_in_range', round(dr / n, 6),
+        |       dr / n BETWEEN 1.0 AND 1.0 FROM m
+        |UNION ALL SELECT 'priority_domain', round(pd / n, 6),
+        |       pd / n BETWEEN 1.0 AND 1.0 FROM m""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH a AS (
         |  SELECT user_id, count(*) AS n, round(sum(value), 4) AS val
