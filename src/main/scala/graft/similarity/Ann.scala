@@ -253,6 +253,22 @@ object Ann {
   private def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** PQ code of a subvector: argmin-L2 codeword index (ties → lower
+    * code). The codebook embeds as ONE nested-array literal probed by
+    * a transform lambda — the same tree-size fix as [[centSims]]; the
+    * per-codeword arithmetic is expression-identical, so codes stay
+    * bit-equal to the oracle.
+    */
+  private def pqCode(cbsS: Seq[Seq[Double]], sv: Column): Column =
+    array_min(transform(typedlit(cbsS), (c, j) =>
+      struct(l2sq(sv, c).as("d"), j.as("j")))).getField("j")
+
+  /** A query's ADC table for one subspace: L2² to each of the k
+    * codewords, in codeword order (same nested-literal shape).
+    */
+  private def pqAdcTable(cbsS: Seq[Seq[Double]], sv: Column): Column =
+    transform(typedlit(cbsS), c => l2sq(sv, c))
+
   /** PQ top-k via asymmetric distance computation (ADC).
     *
     * Encode (map-only): each corpus vector becomes `m` small integer
@@ -275,18 +291,13 @@ object Ann {
     val cbs = pqCodebooks(corpus, id, vec, m, k)
     val w = cbs.head.head.length
     def sub(v: Column, s: Int): Column = slice(v, s * w + 1, w)
-    def codeExpr(v: Column, s: Int): Column =
-      array_min(array((0 until k).map { j =>
-        val cl = typedlit(cbs(s)(j))
-        struct(l2sq(sub(v, s), cl).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
     val enc = prepared(corpus, id, vec)
       .select(col("vid"),
-        array((0 until m).map(s => codeExpr(col("v"), s)): _*).as("codes"))
+        array((0 until m).map(s =>
+          pqCode(cbs(s), sub(col("v"), s))): _*).as("codes"))
     val q = prepared(queries, id, vec)
       .select(Seq(col("vid").as("qid")) ++ (0 until m).map { s =>
-        array((0 until k).map(j =>
-          l2sq(sub(col("v"), s), typedlit(cbs(s)(j)))): _*).as(s"qt_$s")
+        pqAdcTable(cbs(s), sub(col("v"), s)).as(s"qt_$s")
       }: _*)
     val dist = (0 until m).map(s =>
       element_at(col(s"qt_$s"), element_at(col("codes"), s + 1) + 1))
@@ -318,21 +329,16 @@ object Ann {
     val c = prepared(corpus, id, vec)
     val cents = firstNCentroids(c, nCentroids)
     def sub(v: Column, s: Int): Column = slice(v, s * w + 1, w)
-    def codeExpr(v: Column, s: Int): Column =
-      array_min(array((0 until k).map { j =>
-        val cl = typedlit(cbs(s)(j))
-        struct(l2sq(sub(v, s), cl).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
     val enc = c.select(col("vid"),
       array_max(centSims(cents, col("v"))).getField("idx").as("cell"),
-      array((0 until m).map(s => codeExpr(col("v"), s)): _*).as("codes"))
+      array((0 until m).map(s =>
+        pqCode(cbs(s), sub(col("v"), s))): _*).as("codes"))
     val q = prepared(queries, id, vec)
       .select(Seq(col("vid").as("qid"),
         slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
           .getField("idx").as("probes")) ++
         (0 until m).map { s =>
-          array((0 until k).map(j =>
-            l2sq(sub(col("v"), s), typedlit(cbs(s)(j)))): _*).as(s"qt_$s")
+          pqAdcTable(cbs(s), sub(col("v"), s)).as(s"qt_$s")
         }: _*)
       .withColumn("cell", explode(col("probes"))).drop("probes")
     val dist = (0 until m).map(s =>

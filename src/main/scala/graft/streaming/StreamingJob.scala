@@ -299,7 +299,11 @@ object StreamingJob {
     val in = s"$dir/in"
     val mv = s"$dir/mv"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    val ev = graft.Tables.events(spark, sfDir).repartition(nFiles)
+    // only the columns the MV consumes: staging the wide events row
+    // (the props JSON string dominates its bytes) tripled the cost of
+    // an exercise that is about merge mechanics, not scan width
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).repartition(nFiles)
     ev.write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
