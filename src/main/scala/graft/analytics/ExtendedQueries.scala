@@ -159,6 +159,18 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // Label-noise triage: near-identical category labels by edit
+    // distance. The pair search runs over the DISTINCT label domain
+    // (map-side-combined distinct, |domain| ≪ |facts|), never the
+    // fact table; at larger domains add length blocking via BandJoin
+    "fuzzy_label_pairs" -> ((s, dir) => {
+      val d = Tables.part(s, dir).select(col("p_brand")).distinct()
+      d.select(col("p_brand").as("brand_a"))
+        .join(d.select(col("p_brand").as("brand_b")),
+          col("brand_a") < col("brand_b"))
+        .withColumn("dist", levenshtein(col("brand_a"), col("brand_b")))
+        .filter(col("dist") <= 1)
+    }),
     // Data-quality gate: five expectations over orders in ONE scan
     // (functions/Expectations.scala) — pk uniqueness, non-null ratio,
     // positive amounts, date range, categorical domain
@@ -533,6 +545,12 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    "fuzzy_label_pairs" ->
+      """WITH d AS (SELECT DISTINCT p_brand FROM part)
+        |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |       levenshtein(a.p_brand, b.p_brand)::INT AS dist
+        |FROM d a JOIN d b ON a.p_brand < b.p_brand
+        |WHERE levenshtein(a.p_brand, b.p_brand) <= 1""".stripMargin,
     "dq_expectations" ->
       """WITH m AS (
         |  SELECT count(*)::DOUBLE AS n,

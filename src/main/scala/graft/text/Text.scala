@@ -362,4 +362,36 @@ object Text {
         regexp_replace(text, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  // -------------------------------------------------------------------
+  // Encoding sanity (mojibake / corruption triage). A crawled corpus
+  // carries decode failures: U+FFFD replacement chars (a decoder gave
+  // up), stray C0 control bytes (binary mis-sniffed as text), and
+  // double-encoded runs. These counters are the triage signals a
+  // curation pipeline gates on before any tokenizer sees the text.
+  // All are strip-and-measure (`length - length(regexp_replace(...))`
+  // counts CODE POINTS, which Spark's length and DuckDB's length both
+  // use) — map-only, codegen'd, no shuffle.
+  // -------------------------------------------------------------------
+
+  private def countMatching(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /** Number of U+FFFD replacement characters (decoder-failure marks). */
+  def replacementChars(text: Column): Column =
+    countMatching(text, "�")
+
+  /** Number of C0 control characters other than tab/newline/CR. */
+  def controlChars(text: Column): Column =
+    countMatching(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+
+  /** Fraction of code points outside ASCII (0.0 for empty text). */
+  def nonAsciiRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      countMatching(text, "[^\\x00-\\x7F]").cast("double") / length(text))
+
+  /** Fraction of code points that are ASCII digits (0.0 for empty). */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      countMatching(text, "[0-9]").cast("double") / length(text))
 }

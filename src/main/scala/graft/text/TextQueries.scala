@@ -163,6 +163,33 @@ object TextQueries {
         Text.piiCount(aug, Text.phoneRe).as("n_phone"),
         length(Text.piiRedact(aug)).as("redacted_len"),
         md5(Text.piiRedact(aug)).as("redacted_fp"))
+    }),
+    // Encoding sanity triage. The synthetic corpus is clean ASCII, so
+    // deterministic corruption is planted per doc_id (replacement
+    // chars, C0 controls, CJK runs — the oracle rebuilds the identical
+    // augmented text) and the per-lang rollup counts what a curation
+    // gate would act on. Strip-and-measure counters: map-only,
+    // codegen'd, one tiny keyed aggregate.
+    "tx_encoding_qa" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0, " �caf�").otherwise(""),
+        when(col("doc_id") % 5 === 0, "\u0007ctl\u0002").otherwise(""),
+        when(col("doc_id") % 11 === 0, " 汉字テス")
+          .otherwise(""))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          Text.replacementChars(aug).as("repl"),
+          Text.controlChars(aug).as("ctrl"),
+          Text.nonAsciiRatio(aug).as("na"),
+          Text.digitRatio(aug).as("dg"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("repl") === 0 && col("ctrl") === 0).cast("int"))
+            .as("clean_docs"),
+          sum(col("repl")).as("repl_chars"),
+          sum(col("ctrl")).as("ctrl_chars"),
+          round(avg(col("na")), 6).as("avg_nonascii"),
+          round(avg(col("dg")), 6).as("avg_digit"))
     }))
 
   /** Deterministic per-doc URL (no URLs in the synthetic corpus):
@@ -312,6 +339,35 @@ object TextQueries {
          |       length(r)::INT AS redacted_len,
          |       md5(r) AS redacted_fp
          |FROM red""".stripMargin,
+    "tx_encoding_qa" ->
+      """WITH aug AS (
+        |  SELECT lang,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' �caf�' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN chr(7) || 'ctl' || chr(2) ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' 汉字テス' ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |         length(t) - length(regexp_replace(t, '�', '', 'g')) AS repl,
+        |         length(t) - length(regexp_replace(t,
+        |           '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
+        |         CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |           (length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '',
+        |            'g')))::DOUBLE / length(t) END AS na,
+        |         CASE WHEN length(t) = 0 THEN 0.0 ELSE
+        |           (length(t) - length(regexp_replace(t, '[0-9]', '',
+        |            'g')))::DOUBLE / length(t) END AS dg
+        |  FROM aug)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(CASE WHEN repl = 0 AND ctrl = 0
+        |                THEN 1 ELSE 0 END)::BIGINT AS clean_docs,
+        |       sum(repl)::BIGINT AS repl_chars,
+        |       sum(ctrl)::BIGINT AS ctrl_chars,
+        |       round(avg(na), 6) AS avg_nonascii,
+        |       round(avg(dg), 6) AS avg_digit
+        |FROM m GROUP BY 1""".stripMargin,
     "tx_token_stats" ->
       s"""SELECT doc_id, len($toks)::INT AS n_tokens,
          |       round($punct, 6) AS punct_ratio,

@@ -195,4 +195,27 @@ class TextSpec extends SparkSpec {
     assert(counts(1).getInt(0) == 0 && counts(1).getInt(1) == 0)
     assert(counts(1).isNullAt(2))
   }
+
+  test("encoding QA counters: mojibake, controls, non-ASCII, digits") {
+    val rows = Seq(
+      "clean ascii 42",            // 2 digits / 14 chars
+      "caf� m�nch",      // 2 replacement chars
+      "bell\u0007 and\u0002null",  // 2 control chars (not \t\n\r)
+      "tab\tok\nline\rend",        // whitelisted controls: clean
+      "汉字 text",                  // 2 non-ASCII of 7 chars
+      "")
+    val got = rows.toDF("t").select(
+      Text.replacementChars(col("t")).as("r"),
+      Text.controlChars(col("t")).as("c"),
+      Text.nonAsciiRatio(col("t")).as("na"),
+      Text.digitRatio(col("t")).as("dg"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2),
+        x.getDouble(3)))
+    assert(got(0) == ((0, 0, 0.0, 2.0 / 14)))
+    assert(got(1)._1 == 2 && got(1)._2 == 0)
+    assert(got(2)._1 == 0 && got(2)._2 == 2)
+    assert(got(3) == ((0, 0, 0.0, 0.0)))
+    assert(got(4)._3 == 2.0 / 7 && got(4)._1 == 0)
+    assert(got(5) == ((0, 0, 0.0, 0.0)), "empty text is clean, ratios 0")
+  }
 }
