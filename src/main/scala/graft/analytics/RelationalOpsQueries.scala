@@ -193,6 +193,17 @@ object RelationalOpsQueries {
         .groupBy(col("r_name"))
         .agg(array_sort(collect_set(col("n_name"))).as("nations"),
           countDistinct(col("n_name")).as("n"))),
+    // LISTAGG surface (string-valued aggregate output): deterministic
+    // because the list is sorted before joining — order-insensitive
+    // to partial-aggregation merge order
+    "a36_listagg" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_set(col("n_name"))))
+          .as("nations"),
+          count(lit(1)).as("n"))),
     // Time-series gap fill: the (type × hour) grid comes from
     // sequence() over the broadcast 1-row bounds, sparse actuals
     // left-join onto it, absent cells coalesce to 0 — the standard
@@ -351,6 +362,12 @@ object RelationalOpsQueries {
     "a31_nations_per_region" ->
       """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
         |       count(DISTINCT n_name) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "a36_listagg" ->
+      """SELECT r_name,
+        |       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
     "a32_gapfill_hourly" ->

