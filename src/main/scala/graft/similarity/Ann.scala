@@ -129,6 +129,16 @@ object Ann {
       struct((dot(v, c) / (norm(v) * norm(c))).as("sim"),
         i.as("idx")))
 
+  /** Max-cosine cell id — the native JIT-loop twin of
+    * `array_max(centSims(...)).getField("idx")` (bit-identical
+    * including tie/NaN order; differential-spec-pinned). Used on the
+    * CORPUS side, where the HOF lambda's interpreted per-centroid
+    * tree-walk would be the per-row hot path at scale; the query side
+    * keeps the expression form its nProbe ranking needs anyway.
+    */
+  private def cellOf(cents: Seq[Seq[Double]], v: Column): Column =
+    graft.functions.VectorExprs.argmaxCell(v, typedlit(cents))
+
   /** Deterministic IVF seeding: the first `nCentroids` corpus vectors
     * by id (replayable in the oracle SQL).
     */
@@ -159,7 +169,7 @@ object Ann {
     var cents = firstNCentroids(c, nCentroids)
     for (_ <- 1 to iters) {
       val sums = unit
-        .withColumn("cell", array_max(centSims(cents, col("u"))).getField("idx"))
+        .withColumn("cell", cellOf(cents, col("u")))
         .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
         .collect()
@@ -186,7 +196,7 @@ object Ann {
                            nProbe: Int): DataFrame = {
     val c = prepared(corpus, id, vec)
     val assigned = c.withColumn("cell",
-      array_max(centSims(cents, col("v"))).getField("idx"))
+      cellOf(cents, col("v")))
     val q = prepared(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
@@ -330,7 +340,7 @@ object Ann {
     val cents = firstNCentroids(c, nCentroids)
     def sub(v: Column, s: Int): Column = slice(v, s * w + 1, w)
     val enc = c.select(col("vid"),
-      array_max(centSims(cents, col("v"))).getField("idx").as("cell"),
+      cellOf(cents, col("v")).as("cell"),
       array((0 until m).map(s =>
         pqCode(cbs(s), sub(col("v"), s))): _*).as("codes"))
     val q = prepared(queries, id, vec)

@@ -174,6 +174,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(diffs.forall(_ == 0.0))
   }
 
+  test("native argmax cell equals array_max over centSims, ties and NaNs") {
+    VectorExprs.register(spark)
+    val r = new scala.util.Random(11)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(16)(Seq.fill(8)(r.nextDouble() - 0.5)) ++
+        // duplicated centroid -> every vector ties cells 16 and 17
+        Seq(Seq.fill(8)(0.25), Seq.fill(8)(0.25))
+    val rows = Seq.fill(200)(Seq.fill(8)(r.nextDouble() - 0.5))
+    val got = rows.toDF("v").select(
+        VectorExprs.argmaxCell(col("v"), typedlit(cents)).as("native"),
+        array_max(transform(typedlit(cents), (c, i) => struct(
+          (Ann.dot(col("v"), c) /
+            (sqrt(Ann.dot(col("v"), col("v"))) * sqrt(Ann.dot(c, c))))
+            .as("sim"), i.as("idx")))).getField("idx").as("hof"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    // a zero vector makes every cosine 0/0: the HOF form THROWS under
+    // ANSI, the native follows NaN ordering (all-equal -> last idx) —
+    // deterministic where the composable twin cannot even evaluate
+    val z = Seq(Seq.fill(8)(0.0)).toDF("v")
+      .select(VectorExprs.argmaxCell(col("v"), typedlit(cents)))
+      .as[Int].head()
+    assert(z == cents.size - 1)
+  }
+
   test("bruteForceTopK ranks by cosine with self excluded") {
     val top = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 1),
       vecs, "vec_id", "embedding", 3)
