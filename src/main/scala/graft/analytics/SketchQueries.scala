@@ -122,10 +122,55 @@ object SketchQueries {
       .filter(col("n") >= 40)
   }
 
+  /** Sketch-based benchmark decontamination: |distinct 13-gram sets|
+    * of the train and test splits and their OVERLAP, from two Theta
+    * sketches built in one pass over the gram stream — where the
+    * exact form ([[graft.dedup.Dedup.decontaminate]]) is an
+    * inverted-index join across the corpus. This is the triage mode:
+    * a few-KB-per-split summary answers "is this benchmark
+    * contaminated, roughly how badly" before anyone pays for the
+    * exact pair listing; stored per-corpus-shard sketches make the
+    * check incremental (union partials; nothing rescans).
+    *
+    * Bounds: set sizes 5% (past exact mode at sf0.1). The
+    * intersection bound is 40% — deliberately wide and stated
+    * honestly: theta intersection RSE scales ~rse·√(|A∪B| / |A∩B|),
+    * and the cross-split overlap is small against two big gram sets
+    * (measured: +0.5% at sf0.01, +14% at sf0.1 with lgK=14, i.e.
+    * ~1.6σ of the theory bound; 40% ≈ 4.6σ). When the estimate says
+    * "non-trivial overlap", the exact join names the pairs.
+    */
+  private def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashing.register(s)
+    val g = Tables.documents(s, dir).select(
+      graft.functions.Binning.knuthBucket(col("doc_id")).as("b"),
+      explode(graft.functions.TextHashing.ngramHashes(col("text"), 13))
+        .as("g"))
+    val sks = g.agg(
+      expr("theta_sketch_agg(CASE WHEN b < 80 THEN g END, 14)").as("str"),
+      expr("theta_sketch_agg(CASE WHEN b >= 90 THEN g END, 14)").as("ste"),
+      countDistinct(when(col("b") < 80, col("g"))).as("n_train"),
+      countDistinct(when(col("b") >= 90, col("g"))).as("n_test"))
+    val ex = g.filter(col("b") < 80 || col("b") >= 90)
+      .groupBy(col("g"))
+      .agg(max(when(col("b") < 80, 1).otherwise(0)).as("tr"),
+        max(when(col("b") >= 90, 1).otherwise(0)).as("te"))
+      .agg(sum(col("tr") * col("te")).as("n_overlap"))
+    def ok(est: String, exact: String, bound: Double) =
+      (abs(expr(est) - col(exact)) <= lit(bound) * col(exact)).as(s"ok_$exact")
+    sks.crossJoin(ex).select(
+      col("n_train"), col("n_test"), col("n_overlap"),
+      ok("theta_sketch_estimate(str)", "n_train", 0.05),
+      ok("theta_sketch_estimate(ste)", "n_test", 0.05),
+      ok("theta_sketch_estimate(theta_intersection(str, ste))",
+        "n_overlap", 0.40))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hll_distinct" -> ((s, dir) => hllDistinct(s, dir)),
     "sk_theta_set_ops" -> ((s, dir) => thetaSetOps(s, dir)),
-    "sk_topk_merge" -> ((s, dir) => topkMerge(s, dir)))
+    "sk_topk_merge" -> ((s, dir) => topkMerge(s, dir)),
+    "sk_decontam_overlap" -> ((s, dir) => decontamOverlap(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "sk_hll_distinct" ->
@@ -149,5 +194,28 @@ object SketchQueries {
         |FROM f""".stripMargin,
     "sk_topk_merge" ->
       """SELECT l_partkey, count(*) AS n
-        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40""".stripMargin)
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40""".stripMargin,
+    // exact side re-derived over gram STRINGS (the engine streams
+    // 64-bit gram hashes; equal counts modulo 2^-64 collisions — the
+    // same contract as the dedup oracles)
+    "sk_decontam_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (doc_id % 100) * 61 % 100 AS b,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     t -> t != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT b, unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(w) - 11, 1)),
+        |           i -> list_aggregate(w[i:i+12], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 13),
+        |f AS (
+        |  SELECT g, max(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS tr,
+        |         max(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS te
+        |  FROM grams WHERE b < 80 OR b >= 90 GROUP BY 1)
+        |SELECT sum(tr)::BIGINT AS n_train, sum(te)::BIGINT AS n_test,
+        |       sum(tr * te)::BIGINT AS n_overlap,
+        |       TRUE AS ok_n_train, TRUE AS ok_n_test,
+        |       TRUE AS ok_n_overlap
+        |FROM f""".stripMargin)
 }
