@@ -218,6 +218,59 @@ object ScaleCheck {
       "vec_id", "embedding", 5).count()
     val pqsecs = (System.nanoTime() - t16) / 1e9
     println(f"[scale] pq     rows=$en2%,d topk=$pqn%,d secs=$pqsecs%.2f rate=${en2 / pqsecs}%,.0f vecs/s")
+
+    // ---- round-4 additions at factor× rows ----
+
+    // sketches: factor× rows AND factor× distinct keys (re-keyed), so
+    // the estimate tracks a growing cardinality while sketch memory
+    // stays lgK-bounded; time must scale with rows only
+    import spark.implicits._
+    val evRep4 = graft.Tables.events(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("event_id") * factor + col("rep")).as("k"),
+        col("event_type"))
+      .repartition(32).localCheckpoint(true)
+    val skr = evRep4.count()
+    val t17 = System.nanoTime()
+    val (skEst, skExact) = evRep4
+      .groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(k)").as("sk"),
+        countDistinct(col("k")).as("nd"))
+      .agg(expr("theta_sketch_estimate(theta_union_agg(sk))"),
+        sum(col("nd")))
+      .as[(Long, Long)].head()
+    val sksecs = (System.nanoTime() - t17) / 1e9
+    assert(math.abs(skEst - skExact) <= 0.05 * skExact,
+      s"theta estimate $skEst vs exact $skExact out of bound at ${factor}x")
+    println(f"[scale] sketch rows=$skr%,d distinct=$skExact%,d secs=$sksecs%.2f rate=${skr / sksecs}%,.0f rows/s")
+
+    // weighted sample: factor× docs, k fixed — TakeOrderedAndProject
+    // keeps driver traffic at k rows per partition regardless of rows
+    val docRep = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        col("n_chars"))
+      .repartition(32).localCheckpoint(true)
+    val dwn = docRep.count()
+    val t18 = System.nanoTime()
+    val wsn = graft.functions.Sampling.weightedSample(
+      docRep, "doc_id", "n_chars", k = 20).count()
+    val wssecs = (System.nanoTime() - t18) / 1e9
+    println(f"[scale] wsampl rows=$dwn%,d kept=$wsn%,d secs=$wssecs%.2f rate=${dwn / wssecs}%,.0f rows/s")
+
+    // CDC: factor× keys on both snapshots — one co-partitioned join,
+    // change set scales with changed keys, never |snapshot|²
+    val snapA = evRep4.groupBy((col("k") % 100000L).as("uid"))
+      .agg(count(lit(1)).as("n"))
+    val snapB = snapA.withColumn("n",
+      when(col("uid") % 3 === 0, col("n") + 1).otherwise(col("n")))
+      .filter(col("uid") % 17 =!= 0)
+    val t19 = System.nanoTime()
+    val cdcn = graft.operators.Cdc.snapshotDiff(snapA, snapB,
+      Seq("uid")).count()
+    val cdcsecs = (System.nanoTime() - t19) / 1e9
+    println(f"[scale] cdc    rows=$skr%,d changes=$cdcn%,d secs=$cdcsecs%.2f rate=${skr / cdcsecs}%,.0f rows/s")
     spark.stop()
   }
 }
