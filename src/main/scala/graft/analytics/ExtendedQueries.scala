@@ -159,6 +159,43 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // Error-tolerant coercion under ANSI (reference P21: pandas
+    // errors="coerce"). Spark 4 defaults to ANSI mode where a plain
+    // cast/divide THROWS on bad input — one dirty row kills a 100 TB
+    // job; try_cast/try_divide restore null-on-error semantics
+    // row-locally. Dirty values planted deterministically; integer
+    // payloads only (float→string formatting differs across engines)
+    "p26_try_cast" -> ((s, dir) => {
+      val dirty = when(col("event_id") % 7 === 0, "N/A")
+        .when(col("event_id") % 11 === 0, "")
+        .otherwise((col("event_id") % 1000).cast("string"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("value"), dirty.as("amt_s"))
+        .select(col("value"), col("event_id"),
+          expr("try_cast(amt_s AS BIGINT)").as("amt"),
+          expr("try_divide(value, event_id % 5)").as("per"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("amt")).as("n_parsed"),
+          sum(col("amt")).as("sum_amt"),
+          count(col("per")).as("n_div"),
+          round(sum(col("per")), 4).as("sum_per"))
+    }),
+    // XML decode (crawl-corpus shape): doc fields serialized to XML
+    // then parsed back with from_xml — the oracle reads the ORIGINAL
+    // columns, so a hash match proves the round-trip is lossless
+    // (attribute + element extraction, typed fields)
+    "p25_xml_roundtrip" -> ((s, dir) => {
+      val xml = concat(lit("<doc id=\""), col("doc_id"), lit("\"><lang>"),
+        col("lang"), lit("</lang><chars>"), col("n_chars"),
+        lit("</chars></doc>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), xml.as("x"))
+        .select(col("doc_id"),
+          expr("from_xml(x, '_id BIGINT, lang STRING, chars BIGINT')")
+            .as("p"))
+        .select(col("doc_id"), col("p._id").as("parsed_id"),
+          col("p.lang").as("lang"), col("p.chars").as("n_chars"))
+    }),
     // Label-noise triage: near-identical category labels by edit
     // distance. The pair search runs over the DISTINCT label domain
     // (map-side-combined distinct, |domain| ≪ |facts|), never the
@@ -545,6 +582,24 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    "p26_try_cast" ->
+      """WITH d AS (
+        |  SELECT event_id, value,
+        |         CASE WHEN event_id % 7 = 0 THEN 'N/A'
+        |              WHEN event_id % 11 = 0 THEN ''
+        |              ELSE (event_id % 1000)::VARCHAR END AS amt_s
+        |  FROM events),
+        |p AS (
+        |  SELECT TRY_CAST(amt_s AS BIGINT) AS amt,
+        |         value / nullif(event_id % 5, 0) AS per
+        |  FROM d)
+        |SELECT count(*) AS n_rows, count(amt) AS n_parsed,
+        |       sum(amt)::BIGINT AS sum_amt, count(per) AS n_div,
+        |       round(sum(per), 4) AS sum_per
+        |FROM p""".stripMargin,
+    "p25_xml_roundtrip" ->
+      """SELECT doc_id, doc_id AS parsed_id, lang, n_chars
+        |FROM documents""".stripMargin,
     "fuzzy_label_pairs" ->
       """WITH d AS (SELECT DISTINCT p_brand FROM part)
         |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
