@@ -52,6 +52,33 @@ object StreamingQueries {
       .select(col("window.start").as("hora"), col("n"), col("avg_value"))
   }
 
+  /** Streaming sketch aggregation: per-type distinct users via an HLL
+    * sketch INSIDE the streaming aggregate. Streaming forbids exact
+    * `countDistinct` outright (unbounded per-group state); the sketch
+    * is the at-scale answer — per-group state is lgK-bounded (~KB)
+    * no matter how long the stream runs, and the stored state is
+    * itself mergeable across restarts/groups. The driver check joins
+    * the streamed estimates against the batch EXACT distinct and
+    * hash-compares the error-bound boolean (same oracle design as the
+    * batch sketch suite).
+    */
+  private def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.eventsStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("n_events"))
+    val est = StreamingJob.runToMemory(agg, mode = "complete")
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est"), col("n_events"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("est") - col("n_users")) <= lit(0.05) * col("n_users"))
+          .as("sk_ok"))
+  }
+
   /** Stream–stream inner interval join (beyond the reference's
     * stream–static joins): same-user event pairs within 2 hours, both
     * sides watermarked, time-range condition on the event-time columns
@@ -268,6 +295,7 @@ object StreamingQueries {
         .select(col("event_type"), col("n"),
           col("sum_value").cast("double").as("total_value"))),
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
+    "s13_stream_sketch" -> ((s, dir) => streamSketch(s, dir)),
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
@@ -359,6 +387,10 @@ object StreamingQueries {
          |FROM base
          |WHERE transacao_aprovada IS NOT NULL
          |GROUP BY 1""".stripMargin,
+    "s13_stream_sketch" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users, TRUE AS sk_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "s4_stream_pipeline" ->
       s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
          |SELECT id_transacao, id_usuario_pagador, id_regiao,
