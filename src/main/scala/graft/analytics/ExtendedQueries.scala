@@ -196,6 +196,26 @@ object ExtendedQueries {
         .select(col("doc_id"), col("p._id").as("parsed_id"),
           col("p.lang").as("lang"), col("p.chars").as("n_chars"))
     }),
+    // Record linkage at scale: match a deterministically-corrupted
+    // name table back to its canonical rows via the SymSpell
+    // deletion-neighborhood equi-join (operators/FuzzyJoin.scala —
+    // linear variant explode + one shuffle). The oracle runs the
+    // QUADRATIC cross join + levenshtein and must produce the
+    // identical pair set: lossless-blocking proof, not just a spot
+    // check
+    "fuzzy_join_sym" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+      val p = pmod(col("c_custkey"), length(col("c_name"))) + 1
+      val corrupted = cust.select(col("c_custkey").as("dirty_id"),
+        concat(col("c_name").substr(lit(1), p - 1),
+          col("c_name").substr(p + 1, length(col("c_name"))))
+          .as("dirty_name"))
+      graft.operators.FuzzyJoin.symDeleteJoin(
+        corrupted, "dirty_id", "dirty_name", cust, "c_custkey", "c_name")
+        .select(col("a_id").as("dirty_id"), col("b_id").as("c_custkey"),
+          col("dist"))
+    }),
     // Label-noise triage: near-identical category labels by edit
     // distance. The pair search runs over the DISTINCT label domain
     // (map-side-combined distinct, |domain| ≪ |facts|), never the
@@ -582,6 +602,19 @@ object ExtendedQueries {
         |       count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM b GROUP BY 1""".stripMargin,
+    // quadratic reference formulation: equality with the linear
+    // sym-delete join proves the blocking lossless
+    "fuzzy_join_sym" ->
+      """WITH corrupted AS (
+        |  SELECT c_custkey AS dirty_id,
+        |         substr(c_name, 1, (c_custkey % length(c_name))) ||
+        |         substr(c_name, (c_custkey % length(c_name)) + 2)
+        |           AS dirty_name
+        |  FROM customer)
+        |SELECT d.dirty_id, c.c_custkey,
+        |       levenshtein(d.dirty_name, c.c_name)::INT AS dist
+        |FROM corrupted d JOIN customer c
+        |  ON levenshtein(d.dirty_name, c.c_name) <= 1""".stripMargin,
     "p26_try_cast" ->
       """WITH d AS (
         |  SELECT event_id, value,
