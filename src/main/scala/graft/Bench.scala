@@ -28,7 +28,8 @@ object Bench {
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "tx_tfidf_topterms", "tx_collocations", "tx_pii_scan", "tx_chunking",
     "s12_incremental_mv", "sk_hll_distinct", "sk_theta_set_ops",
-    "sample_weighted", "cdc_snapshot_diff", "dq_expectations")
+    "sample_weighted", "cdc_snapshot_diff", "dq_expectations",
+    "fuzzy_join_sym", "s13_stream_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -159,6 +159,20 @@ object ExtendedQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // MapType surface: per-user event-type→count maps built with
+    // map_from_entries (entries sorted so map construction is
+    // merge-order insensitive), then exploded back to rows — the
+    // map-as-value round trip feature stores use for per-entity
+    // feature bundles. Oracle = the flat two-key GROUP BY
+    "p27_map_roundtrip" -> ((s, dir) => {
+      val inner = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      inner.groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+    }),
     // Error-tolerant coercion under ANSI (reference P21: pandas
     // errors="coerce"). Spark 4 defaults to ANSI mode where a plain
     // cast/divide THROWS on bad input — one dirty row kills a 100 TB
@@ -615,6 +629,9 @@ object ExtendedQueries {
         |       levenshtein(d.dirty_name, c.c_name)::INT AS dist
         |FROM corrupted d JOIN customer c
         |  ON levenshtein(d.dirty_name, c.c_name) <= 1""".stripMargin,
+    "p27_map_roundtrip" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "p26_try_cast" ->
       """WITH d AS (
         |  SELECT event_id, value,

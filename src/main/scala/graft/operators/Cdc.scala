@@ -40,8 +40,12 @@ object Cdc {
     val valueCols = newDf.columns.filterNot(keys.contains).toSeq
     for (c <- valueCols)
       require(oldDf.columns.contains(c), s"old snapshot lacks column '$c'")
-    require(!valueCols.contains("__present"),
-      "snapshotDiff reserves column name '__present'")
+    for (c <- valueCols ++ keys)
+      require(!c.startsWith("__present"),
+        s"snapshotDiff reserves the '__present*' names; rename '$c'")
+    for (v <- valueCols; p <- Seq("old_", "new_"))
+      require(!keys.contains(p + v),
+        s"key '${p + v}' collides with the renamed output of value column '$v'")
     def tag(df: DataFrame, side: String) =
       df.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"${side}_$c")) :+
         lit(true).as(s"__present_$side"): _*)

@@ -271,6 +271,31 @@ object ScaleCheck {
       Seq("uid")).count()
     val cdcsecs = (System.nanoTime() - t19) / 1e9
     println(f"[scale] cdc    rows=$skr%,d changes=$cdcn%,d secs=$cdcsecs%.2f rate=${skr / cdcsecs}%,.0f rows/s")
+
+    // fuzzy join: factor× names with DISJOINT name spaces — the rep
+    // suffix is DOUBLED so replicas sit at ED 2 from each other (a
+    // single suffix char would put every replica pair at ED 1 and
+    // inflate matches quadratically by construction); matches scale
+    // ×factor, work scales with the variant stream, never the
+    // quadratic cross product
+    val custRep = graft.Tables.customer(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("c_custkey") * factor + col("rep")).as("c_custkey"),
+        concat(col("c_name"), lit("#"), col("rep"), col("rep"))
+          .as("c_name"))
+      .repartition(32).localCheckpoint(true)
+    val fzn = custRep.count()
+    val fp = pmod(col("c_custkey"), length(col("c_name"))) + 1
+    val dirtyRep = custRep.select(col("c_custkey").as("dirty_id"),
+      concat(col("c_name").substr(lit(1), fp - 1),
+        col("c_name").substr(fp + 1, length(col("c_name"))))
+        .as("dirty_name"))
+    val t20 = System.nanoTime()
+    val fzp = graft.operators.FuzzyJoin.symDeleteJoin(
+      dirtyRep, "dirty_id", "dirty_name",
+      custRep, "c_custkey", "c_name").count()
+    val fzsecs = (System.nanoTime() - t20) / 1e9
+    println(f"[scale] fuzzy  rows=$fzn%,d pairs=$fzp%,d secs=$fzsecs%.2f rate=${fzn / fzsecs}%,.0f rows/s")
     spark.stop()
   }
 }
