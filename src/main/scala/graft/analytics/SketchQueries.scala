@@ -104,20 +104,21 @@ object SketchQueries {
 
   /** Distributed frequency table via the mergeable frequent-items
     * sketch: per-returnflag partial sketches (`_accumulate`), merged
-    * centrally (`_combine`), then read out (`_estimate`). Capacity
-    * (50k tracked items) exceeds the part-key domain at every test
-    * SF, so the sketch is in its exact regime and the counts must
-    * hash-match a plain GROUP BY — the bounded-domain-exact /
-    * unbounded-approx contract (the approximate regime is pinned in
-    * SketchSpec with a deliberately undersized sketch). Emitted: part
-    * keys seen on ≥ 40 lineitems.
+    * centrally (`_combine`), then read out (`_estimate`). The
+    * exact-counts contract holds only while capacity ≥ |part-key
+    * domain|: 262,144 tracked items covers TPC-H part up to sf1
+    * (200k keys); PAST that the sketch is honestly approximate
+    * (overcount ≤ n/capacity) and this oracle would need the
+    * bound-boolean design of the other sk_* queries. The approximate
+    * regime is pinned in SketchSpec with a deliberately undersized
+    * sketch. Emitted: part keys seen on ≥ 40 lineitems.
     */
   private def topkMerge(s: SparkSession, dir: String): DataFrame = {
     val st = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_top_k_accumulate(l_partkey, 50000)").as("st"))
-    st.agg(expr("approx_top_k_combine(st, 50000)").as("st"))
-      .select(explode(expr("approx_top_k_estimate(st, 50000)")).as("e"))
+      .agg(expr("approx_top_k_accumulate(l_partkey, 262144)").as("st"))
+    st.agg(expr("approx_top_k_combine(st, 262144)").as("st"))
+      .select(explode(expr("approx_top_k_estimate(st, 262144)")).as("e"))
       .select(col("e.item").as("l_partkey"), col("e.count").as("n"))
       .filter(col("n") >= 40)
   }
@@ -142,10 +143,14 @@ object SketchQueries {
     */
   private def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashing.register(s)
+    // one kernel pass: the exploded gram stream feeds BOTH the sketch
+    // row and the exact rollup (self-referenced plans get no exchange
+    // reuse — same localCheckpoint convention as dedup/Dedup.scala)
     val g = Tables.documents(s, dir).select(
       graft.functions.Binning.knuthBucket(col("doc_id")).as("b"),
       explode(graft.functions.TextHashing.ngramHashes(col("text"), 13))
         .as("g"))
+      .localCheckpoint(true)
     val sks = g.agg(
       expr("theta_sketch_agg(CASE WHEN b < 80 THEN g END, 14)").as("str"),
       expr("theta_sketch_agg(CASE WHEN b >= 90 THEN g END, 14)").as("ste"),

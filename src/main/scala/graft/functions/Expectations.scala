@@ -47,8 +47,11 @@ object Expectations {
       when(col("expectation") === c.name, c.lo).otherwise(acc) }
     val hi = checks.foldLeft(lit(null).cast("double")) { (acc, c) =>
       when(col("expectation") === c.name, c.hi).otherwise(acc) }
+    // fail-closed: a NULL metric (e.g. min/avg over an all-null
+    // column) must read as a FAILED check, not a NULL that slips
+    // through `filter(pass === false)` on the admitting side
     stacked.select(col("expectation"),
       round(col("metric"), 6).as("metric"),
-      col("metric").between(lo, hi).as("pass"))
+      coalesce(col("metric").between(lo, hi), lit(false)).as("pass"))
   }
 }

@@ -51,11 +51,15 @@ object Sampling {
   /** Weighted sample without replacement: the k rows with the largest
     * [[esKey]], deterministic tiebreak on id. Appends the key as
     * `es_key` (rounded for cross-engine comparability; the SELECTION
-    * uses the unrounded key).
+    * uses the unrounded key). Rows with weight ≤ 0 or NULL are
+    * dropped — zero inclusion probability semantically, and the
+    * filter is what keeps one dirty row from raising ANSI
+    * DIVIDE_BY_ZERO across the whole job.
     */
   def weightedSample(df: DataFrame, id: String, weight: String,
                      k: Int): DataFrame =
-    df.withColumn("es_key", esKey(col(id), col(weight)))
+    df.filter(col(weight) > 0)
+      .withColumn("es_key", esKey(col(id), col(weight)))
       .orderBy(col("es_key").desc, col(id))
       .limit(k)
       .withColumn("es_key", round(col("es_key"), 9))

@@ -100,6 +100,9 @@ case class CosineArgmaxCell(left: Expression, right: Expression)
   @transient private lazy val cents: Array[Array[Double]] = {
     require(right.foldable, "centroid table must be foldable (a literal)")
     val ad = right.eval().asInstanceOf[ArrayData]
+    // empty table would silently return cell 0 (the HOF twin yields
+    // NULL); a nonsensical config should fail loudly instead
+    require(ad.numElements() > 0, "centroid table must be non-empty")
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
   @transient private lazy val norms: Array[Double] = cents.map { c =>

@@ -48,12 +48,27 @@ object Compaction {
     val bytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new File(dir.getParentFile, dir.getName + ".compact.tmp")
+    val aside = new File(dir.getParentFile, dir.getName + ".compact.old")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    val df = spark.read.parquet(path)
-    df.coalesce(nOut).write.mode("overwrite").parquet(tmp.getPath)
-    val rows = spark.read.parquet(tmp.getPath).count()
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    require(tmp.renameTo(dir), s"rename ${tmp.getPath} -> $path failed")
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
+    // row count rides the write as an observed metric — no second
+    // scan of the output just to fill the report
+    val obs = new org.apache.spark.sql.Observation()
+    spark.read.parquet(path)
+      .coalesce(nOut)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmp.getPath)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    // two renames, never a delete-then-rename: if the swap dies
+    // between them the data still exists (at the .compact.old path)
+    // instead of being gone — the recoverable failure mode
+    require(dir.renameTo(aside), s"rename $path -> ${aside.getPath} failed")
+    if (!tmp.renameTo(dir)) {
+      aside.renameTo(dir) // roll back
+      throw new IllegalStateException(s"rename ${tmp.getPath} -> $path failed")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(aside)
     Report(before.size, parquetFiles(dir).size, bytes, rows)
   }
 }

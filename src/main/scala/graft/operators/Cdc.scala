@@ -46,6 +46,11 @@ object Cdc {
     for (v <- valueCols; p <- Seq("old_", "new_"))
       require(!keys.contains(p + v),
         s"key '${p + v}' collides with the renamed output of value column '$v'")
+    // value columns named op/changed are fine (they emit as old_op/
+    // new_op); only a KEY would clash with the op/changed outputs
+    for (r <- Seq("op", "changed"))
+      require(!keys.contains(r),
+        s"snapshotDiff reserves output column name '$r'; rename the key")
     def tag(df: DataFrame, side: String) =
       df.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"${side}_$c")) :+
         lit(true).as(s"__present_$side"): _*)

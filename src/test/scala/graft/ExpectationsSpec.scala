@@ -36,6 +36,16 @@ class ExpectationsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("LocalTableScan")) == 1, plan)
   }
 
+  test("NULL metric fails closed, never passes as NULL") {
+    val allNull = Seq((1L, None: Option[Double]), (2L, None))
+      .toDF("id", "v")
+    val got = report(allNull, Seq(
+      Check("v_min", min(col("v")), -10.0, 10.0)))
+      .as[(String, Option[Double], Boolean)].head()
+    assert(got._2.isEmpty && !got._3,
+      "min over all-null column must report pass = false, not null")
+  }
+
   test("bad check definitions are rejected") {
     intercept[IllegalArgumentException] {
       report(df, Seq(Check("dup", count(lit(1)), 0, 1),

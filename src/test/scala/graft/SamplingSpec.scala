@@ -56,6 +56,15 @@ class SamplingSpec extends SparkSpec {
       s"expected heavy dominance near 9:1, got $heavy/600 heavy")
   }
 
+  test("zero/negative/null weights are dropped, not fatal (ANSI-safe)") {
+    val rows = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None: Option[Double]), (5L, Some(2.0)))
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 5L),
+      "only strictly-positive-weight rows are sampleable")
+  }
+
   test("plan is TakeOrderedAndProject: no corpus shuffle, no global sort") {
     val df = Sampling.weightedSample(
       (1L to 100L).map(i => (i, 2.0)).toDF("id", "w"), "id", "w", k = 5)
