@@ -670,15 +670,16 @@ object ExtendedQueries {
         |                  THEN 1 ELSE 0 END)::DOUBLE AS pd
         |  FROM orders)
         |SELECT 'pk_unique' AS expectation, round(d / n, 6) AS metric,
-        |       d / n BETWEEN 1.0 AND 1.0 AS pass FROM m
+        |       coalesce(d / n BETWEEN 1.0 AND 1.0, FALSE) AS pass FROM m
         |UNION ALL SELECT 'custkey_nonnull', round(nn / n, 6),
-        |       nn / n BETWEEN 1.0 AND 1.0 FROM m
+        |       coalesce(nn / n BETWEEN 1.0 AND 1.0, FALSE) FROM m
         |UNION ALL SELECT 'price_positive', round(mp, 6),
-        |       mp BETWEEN 1e-9 AND 1e12 FROM m
+        |       coalesce(mp BETWEEN 1e-9 AND 1e12, FALSE) FROM m
         |UNION ALL SELECT 'date_in_range', round(dr / n, 6),
-        |       dr / n BETWEEN 1.0 AND 1.0 FROM m
+        |       coalesce(dr / n BETWEEN 1.0 AND 1.0, FALSE) FROM m
         |UNION ALL SELECT 'priority_domain', round(pd / n, 6),
-        |       pd / n BETWEEN 1.0 AND 1.0 FROM m""".stripMargin,
+        |       coalesce(pd / n BETWEEN 1.0 AND 1.0, FALSE) FROM m"""
+        .stripMargin,
     "cdc_snapshot_diff" ->
       """WITH a AS (
         |  SELECT user_id, count(*) AS n, round(sum(value), 4) AS val
@@ -711,7 +712,8 @@ object ExtendedQueries {
         |  SELECT doc_id, lang, n_chars,
         |         (((doc_id % 4294967296) * 40503 % 4294967296) * 65536
         |          + (doc_id % 4294967296) * 31153) % 4294967296 AS h
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE n_chars > 0)
         |SELECT doc_id, lang, n_chars,
         |       round(ln((h + 1) / 4294967296.0) / n_chars, 9) AS es_key
         |FROM u

@@ -17,12 +17,16 @@ import org.apache.spark.sql.SparkSession
   * row-reordering, so the rewrite cost is one read + one write of the
   * data regardless of cluster size. (Splitting oversized files, the
   * rare other direction, needs `repartition`'s shuffle — out of scope
-  * here.) The new files land in a sibling temp dir first and replace
-  * the input atomically-enough for a single writer (rename), so a
-  * concurrent reader sees the old layout or the new one, not a
-  * half-written mix. Readers of a transactional table format get this
-  * from OPTIMIZE/rewrite actions; this is the no-table-service
-  * equivalent, same shape.
+  * here.) The new files land in a sibling temp dir first, are
+  * VALIDATED (row-count readback — a zero-column parquet count, so
+  * footer-weight, not a data scan), and replace the input via two
+  * renames: old→aside, tmp→live. The data therefore exists complete
+  * on disk at every instant — a crash mid-swap is recoverable from
+  * the `.compact.old` / `.compact.tmp` siblings — though a concurrent
+  * reader can hit a brief not-found window between the renames
+  * (single-writer, scheduled-maintenance semantics; a transactional
+  * table format's OPTIMIZE is the concurrent-reader answer, same
+  * shape).
   */
 object Compaction {
 
@@ -60,13 +64,22 @@ object Compaction {
         org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(tmp.getPath)
     val rows = obs.get("rows").asInstanceOf[Long]
+    // validate the OUTPUT before anything touches the original: a
+    // zero-column parquet count reads footers/page headers, not data,
+    // so this is cheap insurance against a corrupt/truncated write
+    val outRows = spark.read.parquet(tmp.getPath).count()
+    require(outRows == rows,
+      s"compacted output has $outRows rows, input had $rows — aborting swap")
     // two renames, never a delete-then-rename: if the swap dies
     // between them the data still exists (at the .compact.old path)
     // instead of being gone — the recoverable failure mode
     require(dir.renameTo(aside), s"rename $path -> ${aside.getPath} failed")
     if (!tmp.renameTo(dir)) {
-      aside.renameTo(dir) // roll back
-      throw new IllegalStateException(s"rename ${tmp.getPath} -> $path failed")
+      val rolledBack = aside.renameTo(dir)
+      throw new IllegalStateException(
+        s"rename ${tmp.getPath} -> $path failed; " +
+          (if (rolledBack) "original restored"
+           else s"ROLLBACK ALSO FAILED — data is at ${aside.getPath}"))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(aside)
     Report(before.size, parquetFiles(dir).size, bytes, rows)
