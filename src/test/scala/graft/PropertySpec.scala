@@ -419,4 +419,56 @@ class PropertySpec extends SparkSpec {
         s"seq $k: ${got(k.toLong)} vs $model")
     }
   }
+
+  test("cdc: diff(a,b) replayed onto a reproduces b, for generated snapshots") {
+    import graft.operators.Cdc
+    // random keyed states for both sides: overlapping + disjoint keys,
+    // random value changes and nulls
+    val pairs = samples(for {
+      k <- Gen.chooseNum(1L, 60L)
+      inA <- Gen.oneOf(true, true, false)
+      inB <- Gen.oneOf(true, true, false)
+      va <- Gen.option(Gen.chooseNum(0, 5))
+      vb0 <- Gen.option(Gen.chooseNum(0, 5))
+      same <- Gen.oneOf(true, true, false)
+    } yield (k, inA, inB, va, if (same) va else vb0), n = 120)
+      .groupBy(_._1).map(_._2.head).toSeq // unique pk per side
+    val aRows = pairs.collect { case (k, true, _, va, _) => (k, va) }
+    val bRows = pairs.collect { case (k, _, true, _, vb) => (k, vb) }
+    val a = aRows.toDF("k", "v")
+    val b = bRows.toDF("k", "v")
+    val d = Cdc.snapshotDiff(a, b, Seq("k")).cache()
+    val replayed = a
+      .join(d.select(col("k")), Seq("k"), "left_anti")
+      .unionByName(d.filter(col("op") =!= "delete")
+        .select(col("k"), col("new_v").as("v")))
+    val got = replayed.as[(Long, Option[Int])].collect().toSet
+    assert(got == bRows.toSet)
+    // and the diff is MINIMAL: keys present in both snapshots with
+    // equal values never appear in the change set
+    val aMap = aRows.toMap
+    val unchangedKeys = bRows.collect {
+      case (k, v) if aMap.get(k).contains(v) => k
+    }.toSet
+    val diffKeys = d.select(col("k")).as[Long].collect().toSet
+    assert(diffKeys.intersect(unchangedKeys).isEmpty,
+      "diff contains keys whose value did not change")
+  }
+
+  test("weightedSample is invariant to row order and partitioning") {
+    import graft.functions.Sampling
+    val rows = samples(for {
+      id <- Gen.chooseNum(1L, 100000L)
+      w <- Gen.chooseNum(1.0, 5000.0)
+    } yield (id, w), n = 300).groupBy(_._1).map(_._2.head).toSeq
+    def sampleOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.weightedSample(df, "id", "w", k = 25)
+        .select(col("id")).as[Long].collect().sorted.toSeq
+    val base = sampleOf(rows.toDF("id", "w"))
+    val shuffled = sampleOf(new scala.util.Random(7).shuffle(rows)
+      .toDF("id", "w").repartition(13))
+    assert(base == shuffled,
+      "the sample must be a pure function of (id, w), not layout")
+    assert(base.size == 25)
+  }
 }
