@@ -472,6 +472,63 @@ object StreamingJob {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class WsIn(shard: Int, id: Long, es_key: Double)
+  case class WsOut(shard: Int, id: Long, es_key: Double, seen: Long)
+  case class WsHeap(items: Seq[(Long, Double)])
+
+  /** Streaming weighted reservoir (deterministic A-ES): each shard
+    * holds the k rows with the largest pre-computed
+    * [[graft.functions.Sampling.esKey]] values as a bounded
+    * `transformWithState` ValueState — O(k) per shard forever, any
+    * stream length. Because every row lives in exactly one shard, the
+    * global top-k is a subset of the union of shard top-ks, so the
+    * batch-side merge (take the rows stamped with each shard's final
+    * `seen`, re-rank, cut at k) reproduces EXACTLY the batch
+    * [[graft.functions.Sampling.weightedSample]] — the key is a pure
+    * function of (id, weight), so streaming vs batch is bit-equal and
+    * the same DuckDB oracle checks both.
+    */
+  class WeightedSampleProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, WsIn, WsOut] {
+    @transient private var heap:
+      org.apache.spark.sql.streaming.ValueState[WsHeap] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      heap = getHandle.getValueState[WsHeap]("heap",
+        org.apache.spark.sql.Encoders.product[WsHeap],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[WsIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[WsOut] = {
+      val prev = if (heap.exists()) heap.get().items else Seq.empty
+      var n = if (seen.exists()) seen.get() else 0L
+      val batch = rows.map { r => n += 1; (r.id, r.es_key) }.toSeq
+      val kept = (prev ++ batch)
+        .sortBy { case (id, key) => (-key, id) }.take(k)
+      heap.update(WsHeap(kept))
+      seen.update(n)
+      kept.iterator.map { case (id, key) => WsOut(shard, id, key, n) }
+    }
+  }
+
+  /** Update-mode sharded streaming weighted sample; merge batch-side
+    * by final `seen` per shard, then global re-rank + cut.
+    */
+  def streamingWeightedSample(in: Dataset[WsIn], k: Int): Dataset[WsOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.shard)
+      .transformWithState(new WeightedSampleProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drop events that arrive with an event time older than the user's
     * last APPROVED transaction (report p.8 business rule). State per
     * user = max approved event-time millis. Works identically on batch

@@ -79,6 +79,39 @@ object StreamingQueries {
           .as("sk_ok"))
   }
 
+  /** Streaming weighted reservoir: documents arrive as a stream, each
+    * shard keeps its k best A-ES keys as O(k) transformWithState
+    * state, and the batch-side merge reproduces the batch sampler
+    * EXACTLY (deterministic hash-derived keys) — checked by the same
+    * oracle SQL as `sample_weighted`.
+    */
+  private def streamWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val in = Tables.documentsStream(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+        col("doc_id").as("id"),
+        graft.functions.Sampling.esKey(col("doc_id"), col("n_chars"))
+          .as("es_key"))
+      .as[StreamingJob.WsIn]
+    val out = StreamingJob.runToMemory(
+      StreamingJob.streamingWeightedSample(in, k).toDF(), mode = "update",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    // final shard states only (seen is monotone per shard), then the
+    // global re-rank and cut; join back for the oracle's columns
+    val finals = out
+      .withColumn("mx", max(col("seen"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+      .filter(col("seen") === col("mx"))
+      .select(col("id").as("doc_id"), col("es_key")).distinct()
+    finals.orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      .join(Tables.documents(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("es_key"), 9).as("es_key"))
+  }
+
   /** Stream–stream inner interval join (beyond the reference's
     * stream–static joins): same-user event pairs within 2 hours, both
     * sides watermarked, time-range condition on the event-time columns
@@ -296,6 +329,7 @@ object StreamingQueries {
           col("sum_value").cast("double").as("total_value"))),
     "s4_stream_pipeline" -> ((s, dir) => streamScore(s, dir)),
     "s13_stream_sketch" -> ((s, dir) => streamSketch(s, dir)),
+    "s14_stream_weighted_sample" -> ((s, dir) => streamWeightedSample(s, dir)),
     "s8_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
@@ -387,6 +421,8 @@ object StreamingQueries {
          |FROM base
          |WHERE transacao_aprovada IS NOT NULL
          |GROUP BY 1""".stripMargin,
+    "s14_stream_weighted_sample" ->
+      graft.analytics.ExtendedQueries.oracleSql("sample_weighted"),
     "s13_stream_sketch" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users, TRUE AS sk_ok
