@@ -247,6 +247,44 @@ object RelationalOpsQueries {
     // validity intervals — change-detection drops runs of identical
     // statuses, lead() closes each interval. One shuffle on user_id;
     // both window passes share the same sort.
+    // Bucketed-layout co-located join: both fact tables are written
+    // ONCE bucketed by the join key (8 buckets, hash-partitioned at
+    // write time), and the join then reads co-located buckets — the
+    // executed plan has NO exchange under the join (PlanShapeSpec
+    // asserts it; the only shuffle left is the final 5-group agg).
+    // This is the layout story for a 100 TB fact table that is joined
+    // on the same key every day: the shuffle is paid once at write
+    // time, not per query — at 1000 executors the per-query saving is
+    // the entire fact-table network transfer. The oracle runs the same
+    // join from the PLAIN parquet, proving layout changes nothing
+    // about results (bucket count stays a layout knob: any number
+    // divides the key space losslessly).
+    "layout_bucketed_join" -> ((s, dir) => {
+      val wh = "/tmp/graft_warehouse"
+      def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode("overwrite")
+          .option("path", s"$wh/$table")
+          .bucketBy(8, key).sortBy(key)
+          .format("parquet").saveAsTable(table)
+      }
+      writeBucketed(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_orders_bkt", "o_orderkey")
+      writeBucketed(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_lineitem_bkt", "l_orderkey")
+      val o = s.table("graft_orders_bkt")
+      val li = s.table("graft_lineitem_bkt")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"))
+    }),
+
     "scd2_user_history" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -260,6 +298,13 @@ object RelationalOpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |       round(sum(l_extendedprice::DECIMAL(18,2)
+        |                 * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -171,13 +171,61 @@ object SketchQueries {
         "n_overlap", 0.40))
   }
 
+  /** Point-frequency estimates from Count–Min sketches, probed and
+    * MERGED via the native read-out expressions (functions/Cms.scala —
+    * Spark ships the `count_min_sketch` aggregate but no probe/combine
+    * surface). Two sketches are built in one scan over a disjoint
+    * user-id split of the event stream, each probed for every
+    * event-type's frequency, and their cell-wise merge is probed for
+    * the global count — the stored-per-shard-summaries pattern: shard
+    * sketches built once answer later frequency questions (and compose
+    * across shards) without rescanning facts.
+    *
+    * Error contract (the oracle-checked booleans): CMS never
+    * undercounts, and overcounts by ≤ eps·N with probability ≥ the
+    * confidence argument; eps = 5·10⁻⁴ (width 4096 counters) against
+    * a 5-value key domain means the estimates are exact here, and the
+    * booleans assert the full two-sided bound. Deterministic for the
+    * fixed seed: counter cells are commutative sums, so estimates are
+    * partitioning/order-insensitive.
+    */
+  private def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Cms.register(s)
+    import graft.functions.Cms
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val sks = ev.agg(
+      expr("count_min_sketch(CASE WHEN user_id % 2 = 0 THEN event_type END," +
+        " 0.0005d, 0.99d, 42)").as("sk_even"),
+      expr("count_min_sketch(CASE WHEN user_id % 2 = 1 THEN event_type END," +
+        " 0.0005d, 0.99d, 42)").as("sk_odd"),
+      count(lit(1)).as("n_total"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"))
+    def within(est: Column, ex: Column) =
+      est >= ex && est <= ex + ceil(lit(0.0005) * col("n_total")).cast("long")
+    exact.crossJoin(broadcast(sks)).select(
+      col("event_type"), col("n_all"), col("n_even"),
+      within(Cms.estimate(col("sk_even"), col("event_type")), col("n_even"))
+        .as("ok_shard"),
+      within(Cms.estimate(Cms.merge(col("sk_even"), col("sk_odd")),
+        col("event_type")), col("n_all")).as("ok_merged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_cms_freq" -> ((s, dir) => cmsFreq(s, dir)),
     "sk_hll_distinct" -> ((s, dir) => hllDistinct(s, dir)),
     "sk_theta_set_ops" -> ((s, dir) => thetaSetOps(s, dir)),
     "sk_topk_merge" -> ((s, dir) => topkMerge(s, dir)),
     "sk_decontam_overlap" -> ((s, dir) => decontamOverlap(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "sk_cms_freq" ->
+      """SELECT event_type, count(*)::BIGINT AS n_all,
+        |       sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_even,
+        |       TRUE AS ok_shard, TRUE AS ok_merged
+        |FROM events GROUP BY 1""".stripMargin,
     "sk_hll_distinct" ->
       """SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS n_exact,
         |       TRUE AS sk_ok

@@ -103,4 +103,42 @@ class SketchSpec extends SparkSpec {
     assert(l >= 1L && l <= 1L + (eps * n).toLong,
       s"light-item estimate $l outside CMS bounds")
   }
+
+  test("cms expressions: merge-then-probe equals one-pass probe, " +
+    "string hashing matches the aggregate") {
+    graft.functions.Cms.register(spark)
+    import graft.functions.Cms
+    val df = (1 to 2000)
+      .map(i => (i.toLong, if (i % 3 == 0) "fee" else if (i % 3 == 1) "fie" else "foe"))
+      .toDF("id", "w")
+    val sks = df.agg(
+      expr("count_min_sketch(CASE WHEN id % 2 = 0 THEN w END, 0.001d, 0.99d, 7)")
+        .as("a"),
+      expr("count_min_sketch(CASE WHEN id % 2 = 1 THEN w END, 0.001d, 0.99d, 7)")
+        .as("b"),
+      expr("count_min_sketch(w, 0.001d, 0.99d, 7)").as("whole"))
+    val probes = Seq("fee", "fie", "foe", "fum").toDF("w")
+      .crossJoin(sks)
+      .select(col("w"),
+        Cms.estimate(Cms.merge(col("a"), col("b")), col("w")).as("merged"),
+        Cms.estimate(col("whole"), col("w")).as("onepass"))
+      .collect()
+    val exact = df.groupBy("w").count().as[(String, Long)].collect().toMap
+    for (r <- probes) {
+      assert(r.getLong(1) == r.getLong(2),
+        s"merge-of-shards must probe identically to the one-pass sketch: $r")
+      // ample width (2000 counters) vs 4 keys: estimates are exact,
+      // proving the probe path hashes strings like the agg's update
+      assert(r.getLong(2) == exact.getOrElse(r.getString(0), 0L), s"$r")
+    }
+  }
+
+  test("cms expression probes integral items (agg addLong parity)") {
+    graft.functions.Cms.register(spark)
+    import graft.functions.Cms
+    val sk = (1L to 100L).toDF("v")
+      .agg(expr("count_min_sketch(v, 0.001d, 0.99d, 7)").as("sk"))
+    val got = sk.select(Cms.estimate(col("sk"), lit(42L))).as[Long].head()
+    assert(got == 1L)
+  }
 }
