@@ -243,6 +243,33 @@ object RelationalOpsQueries {
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
           round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2)
             .as("p90_price_disc"))),
+    // The AT-SCALE percentile path, exercised with its error contract
+    // (a14/a21/a30/a35 compute exact percentiles and note
+    // percentile_approx as the 100 TB swap-in; this query proves the
+    // swap-in's guarantee). percentile_approx (Greenwald–Khanna) is a
+    // HARD bound, not probabilistic: the returned value's rank r
+    // satisfies |r − p·n| ≤ n/accuracy, i.e. the value lies between
+    // the exact discrete (p−ε) and (p+ε) quantiles — asserted as
+    // oracle-checked booleans with ε = 1/2000, per group. Exact
+    // percentiles buffer every group value (the reason they don't
+    // scale); GK summaries are bounded-size and mergeable, so the
+    // map-side partials stay O(accuracy) per group at any n.
+    "a37_approx_quantile_bound" -> ((s, dir) => {
+      val eps = 0.0005 // accuracy 2000
+      def ok(p: Double, c: String) =
+        (expr(s"approx_percentile($c, $p, 2000)") >=
+          expr(s"percentile_disc(${p - eps}) WITHIN GROUP (ORDER BY $c)") &&
+         expr(s"approx_percentile($c, $p, 2000)") <=
+          expr(s"percentile_disc(${p + eps}) WITHIN GROUP (ORDER BY $c)"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_exact"),
+          ok(0.5, "l_extendedprice").as("ok_p50"),
+          ok(0.95, "l_extendedprice").as("ok_p95"))
+    }),
+
     // SCD2: version the per-user "status" (event_type) stream into
     // validity intervals — change-detection drops runs of identical
     // statuses, lead() closes each interval. One shuffle on user_id;
@@ -433,6 +460,12 @@ object RelationalOpsQueries {
         |FROM grid
         |LEFT JOIN actual ON grid.event_type = actual.et
         |                AND grid.hora = actual.ha""".stripMargin,
+    "a37_approx_quantile_bound" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+        |       TRUE AS ok_p50, TRUE AS ok_p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "a30_percentile_family" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(median(l_quantity), 4) AS med_qty,
