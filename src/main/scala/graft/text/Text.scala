@@ -140,17 +140,26 @@ object Text {
     // bigram-less docs drop at the explode.
     val tk = col("tk")
     val n1 = greatest(size(tk) - 1, lit(0))
-    val bg = docs
+    // tokenize ONCE and truncate lineage: base feeds the bigram stream
+    // and the vocab count, and the bigram stream itself is consumed
+    // three times (c12, c1, the scoring join) — without the
+    // checkpoints each consumer would re-tokenize and re-explode the
+    // corpus (self-referenced plans get no exchange reuse; same
+    // convention as collocations/dedup)
+    val base = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .localCheckpoint(true)
+    val bg = base
       .select(col("doc_id"),
         explode(arrays_zip(slice(tk, lit(1), n1), slice(tk, lit(2), n1)))
           .as("b"))
       .select(col("doc_id"), col("b").getField("0").as("w1"),
         col("b").getField("1").as("w2"))
+      .localCheckpoint(true)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = docs
-      .select(explode(tokens(col(textCol))).as("t"))
+    val vocab = base
+      .select(explode(col("tk")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     bg.join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
