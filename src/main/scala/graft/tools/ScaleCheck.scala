@@ -296,6 +296,67 @@ object ScaleCheck {
       custRep, "c_custkey", "c_name").count()
     val fzsecs = (System.nanoTime() - t20) / 1e9
     println(f"[scale] fuzzy  rows=$fzn%,d pairs=$fzp%,d secs=$fzsecs%.2f rate=${fzn / fzsecs}%,.0f rows/s")
+
+    // count-min: factor× rows through the codegen'd aggregate (the
+    // fact-side cost; the probe side is a handful of read-out rows) —
+    // scan-bound, state fixed at width×depth counters per shard. The
+    // error contract is asserted inside the audit like the theta one.
+    graft.functions.Cms.register(spark)
+    val t21 = System.nanoTime()
+    val cmsRow = evRep4.agg(
+      expr("count_min_sketch(event_type, 0.0005d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("n_click"))
+      .select(graft.functions.Cms.estimate(col("sk"), lit("click")),
+        col("n"), col("n_click"))
+      .as[(Long, Long, Long)].head()
+    val cmssecs = (System.nanoTime() - t21) / 1e9
+    val (cmsEst, cmsN, cmsClick) = cmsRow
+    assert(cmsEst >= cmsClick && cmsEst <= cmsClick + (0.0005 * cmsN).toLong,
+      s"cms estimate $cmsEst vs exact $cmsClick out of bound at ${factor}x")
+    println(f"[scale] cms    rows=$cmsN%,d est=$cmsEst%,d secs=$cmssecs%.2f rate=${cmsN / cmssecs}%,.0f rows/s")
+
+    // bucketed layout: factor× lineitem joined to orders from plain
+    // parquet (shuffles BOTH sides) vs from bucketBy(8, key) tables
+    // (zero exchanges under the join). The write is the amortized
+    // one-time cost; the join speedup is what every subsequent query
+    // on the key pockets. Keys are re-keyed per replica so the join
+    // fans out 1:1, never multiplying.
+    val liRepB = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("l_orderkey") * factor + col("rep")).as("l_orderkey"),
+        col("l_extendedprice"))
+    val oRepB = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("o_orderkey") * factor + col("rep")).as("o_orderkey"),
+        col("o_orderpriority"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def joinAgg(li: org.apache.spark.sql.DataFrame,
+                o: org.apache.spark.sql.DataFrame): Long = {
+      val t = System.nanoTime()
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)), sum(col("l_extendedprice"))).count()
+      System.nanoTime() - t
+    }
+    val liNB = liRepB.count()
+    val plainNs = joinAgg(liRepB.localCheckpoint(true), oRepB.localCheckpoint(true))
+    spark.sql("DROP TABLE IF EXISTS scale_li_bkt")
+    spark.sql("DROP TABLE IF EXISTS scale_o_bkt")
+    val t22 = System.nanoTime()
+    liRepB.write.mode("overwrite").option("path", "/tmp/graft_warehouse/scale_li_bkt")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("scale_li_bkt")
+    oRepB.write.mode("overwrite").option("path", "/tmp/graft_warehouse/scale_o_bkt")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("scale_o_bkt")
+    val writeNs = System.nanoTime() - t22
+    val bktNs = joinAgg(spark.table("scale_li_bkt"), spark.table("scale_o_bkt"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(f"[scale] bucket rows=$liNB%,d plain=${plainNs / 1e9}%.2f s " +
+      f"bucketed=${bktNs / 1e9}%.2f s write-once=${writeNs / 1e9}%.2f s " +
+      f"speedup=${plainNs.toDouble / bktNs}%.1fx")
     spark.stop()
   }
 }
