@@ -9,6 +9,31 @@ import graft.multimodal.Multimodal
 class IoMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("schema evolution: mixed-schema parquet reads with mergeSchema") {
+    // a long-lived sink accretes columns over its lifetime; files
+    // written before a column existed must read as NULL for it, and
+    // the footer-level merge must not rewrite or reorder old data
+    val dir = Files.createTempDirectory("graft_evolve").resolve("t").toString
+    (1L to 100L).map(i => (i, s"v1_$i")).toDF("id", "a")
+      .write.parquet(dir) // epoch 1: (id, a)
+    (101L to 200L).map(i => (i, s"v2_$i", i * 10))
+      .toDF("id", "a", "b")
+      .write.mode("append").parquet(dir) // epoch 2: adds b
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("id", "a", "b"))
+    assert(df.count() == 200)
+    // pre-evolution rows surface NULL for the new column; new rows
+    // carry it — and the filter still prunes at the scan (nulls are
+    // row-group-stat prunable, not a full-scan penalty)
+    assert(df.filter(col("b").isNull).count() == 100)
+    assert(df.filter(col("b").isNotNull).agg(sum(col("b")))
+      .head().getLong(0) == (101L to 200L).map(_ * 10).sum)
+    // default (no mergeSchema) picks one footer — documents WHY the
+    // option matters: without it the new column may silently vanish
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() == 200)
+  }
+
   test("CSV sink/source round-trip preserves rows (S3/O7)") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
