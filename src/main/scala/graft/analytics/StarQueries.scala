@@ -436,13 +436,20 @@ object StarQueries {
         .join(promoSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
     }),
-    // TPC-H Q21 shape: suppliers who kept orders waiting — EXISTS and
-    // NOT EXISTS over the same fact become one LEFT SEMI (another
-    // supplier shares the order) + one LEFT ANTI (no OTHER supplier
-    // was late on it) over a lateness relation computed ONCE
-    // (lateness = shipped >60 days after order). The relation is
-    // (orderkey, suppkey, flag)-narrow, so the self-joins shuffle a
-    // tiny projection of the fact, not the fact itself
+    // TPC-H Q21 shape: suppliers who kept orders waiting. The EXISTS
+    // (another supplier shares the order) and NOT EXISTS (no OTHER
+    // supplier was late on it) correlated pair collapses into ONE
+    // per-order aggregate over a lateness relation computed once
+    // (lateness = shipped >60 days after order): a late supplier
+    // "kept the order waiting" iff the order has >1 distinct
+    // suppliers and exactly 1 distinct LATE supplier (itself). The
+    // aggregate form replaces semi/anti self-joins with
+    // `supp <> supp2` residuals — those multiply each order's
+    // supplier group inside the join, quadratic in per-order
+    // suppliers (wall-clock parity at sf0.1's ~4 suppliers/order;
+    // the quadratic residual is what bites at skewed scale) — and
+    // shuffles the narrow relation once on the key both sides of the
+    // probe join already share.
     "q21_waiting_supplier" -> ((s, dir) => {
       val l = Tables.lineitemTs(s, dir)
       val o = Tables.ordersTs(s, dir)
@@ -450,15 +457,14 @@ object StarQueries {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
             .as("is_late"))
-        .localCheckpoint(true) // three consumers: l1 probe, l2, l3
-      val l2 = late.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val l3 = late.filter(col("is_late"))
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        .localCheckpoint(true) // two consumers: per-order agg + probe
+      val perOrder = late.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("l_orderkey"))
       late.filter(col("is_late"))
-        .join(l2, col("l_orderkey") === col("k2") &&
-          col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("k3") &&
-          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(perOrder, Seq("l_orderkey"))
         .join(broadcast(Tables.supplier(s, dir)),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
