@@ -126,9 +126,10 @@ class StarQuerySpec extends SparkSpec {
   }
 
   test("q21: a late supplier in a solo-supplier order never appears") {
-    // numwait counts only late lines in orders that HAVE another
-    // supplier but have NO OTHER late supplier: recompute via
-    // per-order supplier censuses and compare totals
+    // production runs the per-order census aggregate; recompute via
+    // the literal EXISTS/NOT-EXISTS machinery (SEMI + ANTI self-joins
+    // with supp <> supp2 residuals) and compare totals — different
+    // execution paths, same semantics
     val rows = StarQueries.queries("q21_waiting_supplier")(spark, dir)
       .agg(sum(col("numwait"))).collect()(0).getLong(0)
     val l = Tables.lineitem(spark, dir)
@@ -137,13 +138,15 @@ class StarQuerySpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("is_late"))
-    val census = late.groupBy(col("l_orderkey").as("k"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    val l2 = late.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = late.filter(col("is_late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
     val expected = late.filter(col("is_late"))
-      .join(census, col("l_orderkey") === col("k"))
-      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
       .count()
-    assert(rows == expected, s"got $rows, census formulation $expected")
+    assert(rows == expected, s"got $rows, semi/anti formulation $expected")
   }
 }
