@@ -37,6 +37,10 @@ object Jobs {
     sessionBuilder(appName, s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // catalog writes (bucketed tables) must never land in the
+      // process cwd; external-path tables put their DATA where the
+      // caller says, this pins the catalog default too
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   /** Streaming scoring job: decoded transaction stream → enrich →
     * score → shape → foreachBatch fan-out (facts + scores + keyed
