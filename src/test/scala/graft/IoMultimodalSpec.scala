@@ -34,6 +34,27 @@ class IoMultimodalSpec extends SparkSpec {
     assert(plain.count() == 200)
   }
 
+  test("corrupt file among good ones: fail-closed default, opt-in skip") {
+    // at millions of files a truncated write eventually happens; the
+    // engine's posture is a deliberate choice, pinned here: default
+    // FAILS the job (correctness first — a silent skip is data loss),
+    // ignoreCorruptFiles=true is the explicit triage mode that reads
+    // past it and keeps every healthy row
+    val dir = Files.createTempDirectory("graft_corrupt").resolve("t")
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(dir.toString)
+    Files.write(dir.resolve("part-zzz.parquet"),
+      "not a parquet file".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).parquet(dir.toString).collect()
+    }
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val rows = spark.read.schema(schema).parquet(dir.toString).count()
+      assert(rows == 100, s"healthy rows must survive the skip: $rows")
+    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
+
   test("CSV sink/source round-trip preserves rows (S3/O7)") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
