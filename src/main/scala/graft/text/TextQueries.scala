@@ -119,6 +119,31 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_kept"),
           round(avg(when(col("keep"), q)), 6).as("kept_avg_quality"))
     }),
+    // Temperature-scaled source mixing (T=2, the multilingual
+    // sqrt-scaling rebalance): target proportions ∝ share^(1/T), so
+    // the acceptance rate per source is sqrt(n_min/n_s) — the
+    // smallest source is kept whole, larger sources subsample toward
+    // a flatter mix. Same deterministic per-doc uniform as the
+    // quality sampler; the rate is ONE sqrt of an integer ratio, so
+    // both engines compute it bit-equal (no pow(), whose last-ULP
+    // behavior differs across libm implementations). Two tiny aggs +
+    // a broadcast join — the corpus never shuffles.
+    "sample_temperature_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val acc = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+        .select(col("source").as("src"),
+          sqrt(col("n_min").cast("double") / col("n_s")).as("acc"))
+      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
+        .cast("double") / 1000003.0
+      d.join(broadcast(acc), col("source") === col("src"))
+        .withColumn("keep", u < col("acc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          round(max(col("acc")), 6).as("acc_rate"))
+    }),
     // Context-window chunking: 64-token windows, 16-token overlap
     "tx_chunking" -> ((s, dir) =>
       Text.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
@@ -292,6 +317,19 @@ object TextQueries {
          |       round(avg(CASE WHEN u < q THEN q END), 6)
          |         AS kept_avg_quality
          |FROM k GROUP BY 1""".stripMargin,
+    "sample_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_s) AS n_min FROM s),
+        |a AS (SELECT source, sqrt(n_min::DOUBLE / n_s) AS acc FROM s, m),
+        |k AS (SELECT d.source,
+        |             (d.doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0
+        |               AS u,
+        |             a.acc
+        |      FROM documents d JOIN a USING (source))
+        |SELECT source, count(*) AS n_total,
+        |       sum(CASE WHEN u < acc THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       round(max(acc), 6) AS acc_rate
+        |FROM k GROUP BY 1""".stripMargin,
     "tx_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
          |st AS (SELECT doc_id, w,
