@@ -458,9 +458,15 @@ object StarQueries {
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
             .as("is_late"))
         .localCheckpoint(true) // two consumers: per-order agg + probe
-      val perOrder = late.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      // two plain aggs instead of two countDistinct in one: the
+      // distinct-agg form plans an Expand that doubles the relation
+      // through the aggregate; dedup to (order, supplier) grain first
+      // and the census is a cheap second-stage count/sum
+      val perOrder = late
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("is_late").cast("int")).as("supp_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
         .select(col("l_orderkey"))
       late.filter(col("is_late"))

@@ -219,14 +219,15 @@ class PlanShapeSpec extends SparkSpec {
       // equi probe join carry the semantics
       assert(!txt.contains("LeftAnti"),
         s"census rewrite must not anti-join:\n$txt")
-      assert(txt.contains("Expand"),
-        s"two countDistinct per group plan via Expand:\n$txt")
-      // exchange budget: the two-distinct aggregate re-keys
-      // (orderkey, supplier-id grid) then orderkey, the probe side
-      // shuffles once on orderkey, and the final per-supplier agg
-      // adds one — anything above 4 means the rewrite re-shuffled
+      // the census dedups to (order, supplier) grain with a plain agg
+      // (NOT countDistinct, whose Expand doubles the relation through
+      // the aggregate) then counts per order: two keyed exchanges +
+      // the probe side's orderkey exchange + the final per-supplier
+      // agg = 4; anything above means the rewrite re-shuffled
+      assert(!txt.contains("Expand"),
+        s"census must dedup with a plain agg, not countDistinct:\n$txt")
       assert(shuffles(plan).size <= 4,
-        s"expected <= 4 exchanges (census + probe + final agg):\n$plan")
+        s"expected <= 4 exchanges (census x2 + probe + final agg):\n$plan")
     }
   }
 
