@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g beats 24g for the 170+-query bench JVM (123 s vs 161 s,
+  // back-to-back at sf0.1): local-mode shuffles want a small hot
+  // heap; at 24g G1's region geometry turns shuffle buffers into
+  // humongous allocations and the slow queries are the shuffle-heavy
+  // ones. Override via SPARK_DRIVER_MEM if a workload truly needs it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
