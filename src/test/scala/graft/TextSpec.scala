@@ -218,4 +218,43 @@ class TextSpec extends SparkSpec {
     assert(got(4)._3 == 2.0 / 7 && got(4)._1 == 0)
     assert(got(5) == ((0, 0, 0.0, 0.0)), "empty text is clean, ratios 0")
   }
+
+  test("pipeline_pack_sequences: per-shard streams are gapless and " +
+    "boundary flags match the arithmetic") {
+    import graft.text.TextQueries.{PackCapacity => C}
+    val rows = SparkEntry.queries("pipeline_pack_sequences")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"),
+        r.getAs[Boolean]("crosses")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // gapless concatenation: each doc starts where the previous ended
+      val expectedStarts = inOrder.scanLeft(0L)(_ + _._3).init
+      assert(inOrder.map(_._4).toSeq == expectedStarts.toSeq)
+      inOrder.foreach { case (_, _, n, off, f, l, x) =>
+        assert(f == off / C && l == (off + n - 1) / C && x == (l > f))
+      }
+    }
+  }
+
+  test("tx_vocab_coverage: rates bounded, counts consistent, all splits present") {
+    val rows = SparkEntry.queries("tx_vocab_coverage")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("oov_rate"), r.getAs[Long]("oov_types")))
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    rows.foreach { case (_, n, oov, rate, types) =>
+      assert(oov >= 0 && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert((types > 0) == (oov > 0),
+        "oov type count must agree with the token count")
+    }
+    // the 16-of-31 vocab must leave SOME split with out-of-vocab mass —
+    // a vacuously-zero query would prove nothing
+    assert(rows.exists(_._3 > 0))
+  }
 }
