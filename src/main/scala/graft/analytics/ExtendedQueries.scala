@@ -284,6 +284,19 @@ object ExtendedQueries {
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("n_chars")),
         "doc_id", "n_chars", k = 20)),
+    // Shard manifest for the sharded corpus export
+    // (io/Export.shardedWrite): per-shard doc counts, id range and
+    // char mass under the same growth-stable Knuth routing the writer
+    // uses — the manifest a loader checks before trusting a shard set.
+    // One map-only hash + one 8-key aggregate.
+    "sample_export_shards" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(graft.io.Export.shardOf(col("doc_id"), 8).as("shard"),
+          col("doc_id"), col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("char_mass"))),
     // Walk-forward temporal split with an embargo gap: train strictly
     // before T, test at-or-after T+gap, rows inside the embargo DROPPED
     // — the leakage guard for autocorrelated event data (a model must
@@ -719,6 +732,17 @@ object ExtendedQueries {
         |FROM u
         |ORDER BY ln((h + 1) / 4294967296.0) / n_chars DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "sample_export_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         ((((doc_id % 4294967296) * 40503 % 4294967296) * 65536
+        |           + (doc_id % 4294967296) * 31153) % 4294967296 % 8)::INT
+        |           AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       sum(n_chars)::BIGINT AS char_mass
+        |FROM h GROUP BY 1""".stripMargin,
     "sample_temporal_split" ->
       """SELECT CASE WHEN ts::TIMESTAMP < TIMESTAMP '2024-01-22 00:00:00'
         |              THEN 'train'

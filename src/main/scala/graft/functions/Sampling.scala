@@ -34,12 +34,18 @@ object Sampling {
     * where the direct product overflows for ids above ~3.5·10⁹.
     * Oracle SQL must use the same split-multiplier form.
     */
-  def hashUniform(id: Column): Column = {
+  def hashUniform(id: Column): Column =
+    (knuthHash(id) + lit(1L)) / lit(4294967296.0)
+
+  /** The integer form of [[hashUniform]]: h ∈ [0, 2³²), same
+    * overflow-free split-multiplier arithmetic. The routing primitive
+    * for growth-stable shard/bucket assignment ([[graft.io.Export]]).
+    */
+  def knuthHash(id: Column): Column = {
     val m = pmod(id, lit(4294967296L))
-    val h = pmod(
+    pmod(
       pmod(m * lit(40503L), lit(4294967296L)) * lit(65536L) + m * lit(31153L),
       lit(4294967296L))
-    (h + lit(1L)) / lit(4294967296.0)
   }
 
   /** A-ES ranking key ln(u)/w; rows with the k LARGEST keys form the
