@@ -216,6 +216,19 @@ object TextQueries {
           round(avg(col("na")), 6).as("avg_nonascii"),
           round(avg(col("dg")), 6).as("avg_digit"))
     }),
+    // BPE tokenizer TRAINING: learn the merge table from the corpus
+    // (one corpus pass builds the weighted word vocabulary; each of
+    // the 12 merge iterations runs over distinct words only — see
+    // text/Bpe.scala for the 100 TB shape). Deterministic tiebreaks ⇒
+    // reproducible table; correctness is pinned by BpeSpec's
+    // in-memory reference differential (rows-only at the driver gate:
+    // the sequential merge recursion is not SQL-expressible).
+    "tx_bpe_train" -> ((s, dir) => {
+      val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", 12)
+      import s.implicits._
+      merges.toDF().select(col("rank"), col("left"), col("right"),
+        col("count").as("pair_count"))
+    }),
     // Tokenizer-vocabulary build + OOV coverage: the vocab is the
     // top-V train-split tokens (total order (freq DESC, token ASC) so
     // the boundary cut is deterministic), then every split's tokens

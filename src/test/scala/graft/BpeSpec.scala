@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Bpe, Text}
+
+/** BPE training correctness: the distributed trainer must equal a
+  * plain-collections reference implementation of the same algorithm
+  * (greedy left-to-right merges, (count DESC, left ASC, right ASC)
+  * tiebreak, `</w>` end-of-word symbol) — the sequential merge
+  * recursion has no SQL oracle, so the differential IS the gate.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE over a weighted word vocab, same tiebreak rules. */
+  private def referenceTrain(words: Map[String, Long], merges: Int)
+  : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    var vocab: Map[String, (Long, Seq[String])] = words.map { case (w, n) =>
+      w -> (n, w.split("").filter(_.nonEmpty).toSeq :+ Bpe.EndOfWord)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to merges if !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((_, (n, syms)) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((a, b, c))
+        vocab = vocab.map { case (w, (n, syms)) =>
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms)
+            if (merged.nonEmpty && merged.last == a && s == b) {
+              merged.remove(merged.size - 1); merged += (a + b)
+            } else merged += s
+          w -> (n, merged.toSeq)
+        }
+      }
+    }
+    (out.result(), vocab.map { case (w, (_, s)) => w -> s })
+  }
+
+  test("hand-checked classic corpus: low/lower/lowest") {
+    val docs = Seq("low low low", "lower lowest").toDF("text")
+    val (merges, _) = Bpe.train(docs, "text", 3)
+    val (ref, _) = referenceTrain(Map("low" -> 3L, "lower" -> 1L, "lowest" -> 1L), 3)
+    assert(merges.map(m => (m.left, m.right, m.count)) == ref)
+    // first merge must be the most frequent adjacent pair: l+o (5 words)
+    assert((merges.head.left, merges.head.right) == ("l", "o"))
+    assert(merges.head.count == 5L)
+  }
+
+  test("distributed trainer equals the reference on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = docs
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (got, finalVocab) = Bpe.train(docs, "text", 12)
+    val (ref, refVocab) = referenceTrain(words, 12)
+    assert(got.map(m => (m.left, m.right, m.count)) == ref)
+    assert(got.map(_.rank) == (1 to got.size))
+    // final symbol state agrees word-for-word
+    val gotSyms = finalVocab.select(col("w"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(gotSyms == refVocab)
+  }
+
+  test("mergePair is greedy left-to-right: a consumed symbol can't restart") {
+    val got = Seq(Seq("a", "a", "a"), Seq("x", "a", "a", "y"))
+      .toDF("s").select(Bpe.mergePair(col("s"), "a", "a"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("aa", "a"))
+    assert(got(1) == Seq("x", "aa", "y"))
+  }
+
+  test("encode replays the learned merges: every training word round-trips") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, finalVocab) = Bpe.train(docs, "text", 8)
+    val bad = finalVocab
+      .withColumn("enc", Bpe.encode(col("w"), merges))
+      .filter(col("enc") =!= col("syms")).count()
+    assert(bad == 0L, "encode(word, merges) must equal the trained symbols")
+  }
+}

@@ -17,10 +17,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     // count pin: a refactor that silently drops a registration (e.g. a
     // ++ collision between two query maps) fails here, not at judging
-    assert(q.size == 175, s"expected 175 registered queries, got ${q.size}")
+    assert(q.size == 176, s"expected 176 registered queries, got ${q.size}")
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("dedup_simhash", "mm_features",
+    assert(rowsOnly == Set("dedup_simhash", "mm_features", "tx_bpe_train",
       "ann_ivf_kmeans_topk", "a24_approx_distinct", "emb_pca_project"),
       s"unexpected rows-only queries: $rowsOnly")
   }
