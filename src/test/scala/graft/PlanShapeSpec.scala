@@ -256,4 +256,29 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("vocab coverage probes via broadcast: the corpus token stream " +
+    "never shuffles before the vocab join") {
+    withPlainPlans {
+      val plan = graft.text.TextQueries.queries("tx_vocab_coverage")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val txt = plan.toString
+      assert(txt.contains("BroadcastHashJoin"),
+        s"vocab must broadcast to the probe side:\n$txt")
+      // the V-row cut is a bounded-heap TakeOrdered, not a global sort
+      assert(txt.contains("TakeOrderedAndProject"),
+        s"vocab cut must plan as TakeOrderedAndProject:\n$txt")
+      assert(!txt.contains("SortMergeJoin"), s"no sort-merge join:\n$txt")
+    }
+  }
+
+  test("sequence packing pays exactly one exchange: the shard repartition") {
+    withPlainPlans {
+      val plan = graft.text.TextQueries.queries("pipeline_pack_sequences")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      assert(shuffles(plan).size == 1,
+        s"packing is one per-shard window pass — expected exactly one " +
+          s"exchange:\n$plan")
+    }
+  }
 }
