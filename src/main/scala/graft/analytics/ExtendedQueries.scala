@@ -116,11 +116,17 @@ object ExtendedQueries {
     // Sketch estimates are engine-specific → rows-only driver check;
     // the ≤5%-relative-error bound is spec-asserted instead
     // (ExtensionsSpec).
+    // Oracle design per the sketch suite: the estimate itself is
+    // engine-specific, so the hashed output is (exact, within-bound
+    // boolean) — HLL++'s documented default error is 5% rsd; 3×rsd is
+    // a practically-certain envelope for a deterministic sketch
     "a24_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          (abs(approx_count_distinct(col("user_id")) -
+            countDistinct(col("user_id"))) <=
+            lit(0.15) * countDistinct(col("user_id"))).as("within_bound"))),
     // Skew: salted two-phase count == plain groupBy count
     "skew_salted_count" -> ((s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("event_type"))),
@@ -583,6 +589,11 @@ object ExtendedQueries {
         |FROM events e
         |JOIN med m USING (event_type) JOIN mad d USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "a24_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id)::BIGINT AS exact_users,
+        |       TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
     "a25_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS d FROM events),

@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("dedup_simhash", "mm_features", "tx_bpe_train",
-      "ann_ivf_kmeans_topk", "a24_approx_distinct", "emb_pca_project"),
+      "ann_ivf_kmeans_topk", "emb_pca_project"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
