@@ -312,6 +312,27 @@ object RelationalOpsQueries {
             .cast("double").as("revenue"))
     }),
 
+    // Parquet AGGREGATE pushdown: global MIN/MAX/COUNT answered from
+    // footer statistics — `PushedAggregation` in the scan, no row
+    // group decoded (operators/ScanPushdown has the full posture; the
+    // plan guard is in PlanShapeSpec). At 100 TB this query costs
+    // thousands of footer reads instead of a full-table scan. Footer
+    // stats equal row-scan answers exactly, so it oracle-checks like
+    // any other query. Int columns only: Spark refuses the pushdown
+    // for float/double min/max (parquet stats order NaN differently
+    // than SQL), and one refused aggregate falls the whole query back
+    // to rows.
+    "layout_agg_pushdown" -> ((s, dir) => {
+      val s2 = graft.operators.ScanPushdown.session(s)
+      Tables.lineitem(s2, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_keys"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_linenumber")).as("min_line"),
+          max(col("l_linenumber")).as("max_line"))
+    }),
+
     "scd2_user_history" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -325,6 +346,12 @@ object RelationalOpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "layout_agg_pushdown" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       count(l_orderkey)::BIGINT AS n_keys,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       min(l_linenumber) AS min_line, max(l_linenumber) AS max_line
+        |FROM lineitem""".stripMargin,
     "layout_bucketed_join" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
         |       round(sum(l_extendedprice::DECIMAL(18,2)

@@ -160,6 +160,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.collect().toSet == plain.collect().toSet)
   }
 
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footers") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.analytics.RelationalOpsQueries
+      .queries("layout_agg_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregates must push into the parquet scan:\n$plan")
+    // footer stats equal row-scan answers exactly
+    val viaRows = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)), count(col("l_orderkey")),
+        min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_linenumber")), max(col("l_linenumber")))
+    assert(df.collect().toSeq == viaRows.collect().toSeq)
+    // the fallback contract: adding a row filter silently reverts to a
+    // row scan (lossless, never wrong) — the pushdown must NOT appear
+    val s2 = graft.operators.ScanPushdown.session(spark)
+    val filtered = Tables.lineitem(s2, dir)
+      .filter(col("l_quantity") > 10).agg(min(col("l_orderkey")))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [MIN"),
+      "residual filter must disable aggregate pushdown")
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true)") {
     import org.apache.spark.sql.functions._
     // scoped child session: AQE skew thresholds shrunk so the hot key
