@@ -62,6 +62,14 @@ object DedupQueries {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           N, Threshold), "doc_a", "doc_b")),
+    // SemDeDup-shaped semantic dedup: cosine near-dup search bounded
+    // to Voronoi cells of the embedding space (the clusters cap the
+    // quadratic; emb_cosine_pairs is the all-pairs exact form).
+    // Deterministic first-N seeding ⇒ the oracle replays cell
+    // assignment and the within-cell pair scan exactly.
+    "dedup_semantic" -> ((s, dir) =>
+      graft.similarity.Ann.semanticDedup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = 16, threshold = 0.35)),
     // PageRank over the near-dup graph (3 deterministic iterations —
     // the oracle unrolls them as CTE stages)
     "graph_pagerank" -> ((s, dir) =>
@@ -212,6 +220,41 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // replays semanticDedup: first-16 centroid seeding, max-cosine
+    // cell assignment (ties → larger index, matching Spark's
+    // struct-max), within-cell pairs at cos >= 0.35, keeper = min
+    // lower-id collision (same CTE skeleton as the ann_ivf oracle)
+    "dedup_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+        |         v AS cv, nrm AS cn
+        |  FROM n ORDER BY vec_id LIMIT 16),
+        |csims AS (
+        |  SELECT n.vec_id, cents.idx,
+        |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+        |  FROM n, cents),
+        |assigned AS (
+        |  SELECT vec_id, idx AS cell FROM (
+        |    SELECT vec_id, idx, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+        |  FROM assigned a
+        |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n y ON y.vec_id = b.vec_id)
+        |SELECT id_b AS doc, any_value(cell)::INT AS cell,
+        |       min(id_a) AS keeper, max(cos) AS max_cosine,
+        |       count(*)::BIGINT AS n_collisions
+        |FROM pairs WHERE cos >= 0.35
+        |GROUP BY id_b""".stripMargin,
     "dedup_common_ngrams" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text),

@@ -377,4 +377,49 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered into `nCells` Voronoi
+    * cells and near-duplicate search runs only WITHIN each cell — the
+    * clusters are what bound the quadratic. [[cosinePairs]] is the
+    * all-pairs exact form this approximates: at 10⁸ docs all-pairs is
+    * 10¹⁶ dot products, while cells sized ~|corpus|/nCells keep the
+    * per-cell product tractable and embarrassingly parallel (one
+    * shuffle on cell id co-partitions both sides of the self-join;
+    * nCells grows with the corpus so cell size stays bounded).
+    *
+    * Returns one row per DROPPED document: its keeper (the smallest
+    * lower id it collides with — deterministic, unlike the paper's
+    * random representative), the evidence (max cosine, collision
+    * count), and its cell. A doc is dropped iff some lower-id doc in
+    * its cell has cosine ≥ `threshold` with it, so the keep set is
+    * stable under corpus growth ordered by id (appending docs never
+    * un-drops an old doc).
+    *
+    * Same deterministic first-N centroid seeding and max-cosine cell
+    * assignment as [[ivfTopK]] — fully oracle-replayable (the cheap
+    * stand-in for trained k-means centroids, whose float-sum
+    * accumulation is engine-specific; `ann_ivf_kmeans_topk` covers
+    * that trade).
+    */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String,
+                    nCells: Int, threshold: Double): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    val cents = firstNCentroids(c, nCells)
+    val assigned = c.withColumn("cell", cellOf(cents, col("v")))
+    val a = assigned.select(col("cell"), col("vid").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vid").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("doc"))
+      .agg(first(col("cell")).as("cell"),
+        min(col("id_a")).as("keeper"),
+        max(col("cos")).as("max_cosine"),
+        count(lit(1)).as("n_collisions"))
+  }
 }

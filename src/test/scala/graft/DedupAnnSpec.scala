@@ -213,6 +213,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup: one cell ≡ all-pairs; cells only prune; keeper is min id") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val thr = 0.35
+    // the all-pairs truth, reduced under the same keep-lowest-id policy
+    val exact = Ann.cosinePairs(emb, "vec_id", "embedding", thr)
+      .groupBy(col("id_b").as("doc"))
+      .agg(min(col("id_a")).as("keeper"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // nCells = 1: every doc shares the single cell -> identical result
+    val oneCell = Ann.semanticDedup(emb, "vec_id", "embedding", 1, thr)
+      .select(col("doc"), col("keeper"), col("n_collisions"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(oneCell == exact)
+    // real cells: dropped set is a subset (cells only remove pairs),
+    // and each surviving collision is a true >=thr pair
+    val cells = Ann.semanticDedup(emb, "vec_id", "embedding", 8, thr)
+      .select(col("doc"), col("keeper")).as[(Long, Long)].collect()
+    val exactPairs = Ann.cosinePairs(emb, "vec_id", "embedding", thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cells.map(_._1).toSet.subsetOf(exact.keySet))
+    cells.foreach { case (doc, keeper) =>
+      assert(keeper < doc && exactPairs.contains((keeper, doc)),
+        s"keeper $keeper of $doc must be a lower-id true near-dup")
+    }
+  }
+
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)
