@@ -312,6 +312,45 @@ object RelationalOpsQueries {
             .cast("double").as("revenue"))
     }),
 
+    // Range-partitioned write layout: `repartitionByRange(ts)` +
+    // in-partition sort gives a TOTAL order across files for one key
+    // — the layout for time-windowed scans (every ts-range predicate
+    // prunes to the few files whose [min,max] it overlaps; LayoutSpec
+    // measures it) and the third point of the layout triangle next to
+    // bucketing (equi-join keys, layout_bucketed_join) and Z-order
+    // (multi-dim ranges, p24). The query writes the layout, then
+    // derives a per-file manifest from `input_file_name()` and emits
+    // layout INVARIANTS (file count pinned by the explicit partition
+    // count; pairwise-disjoint file ranges = total ordering) beside
+    // exact row-fidelity aggregates — DuckDB can't replay file
+    // routing, but the invariants hold for ANY sampled range bounds,
+    // so the whole row is oracle-checkable. Integer checksum, not a
+    // double sum: file-grouped FP addition would reassociate.
+    "layout_range_manifest" -> ((s, dir) => {
+      val out = s"/tmp/graft_layout_range-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(out))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.parquet(out)
+      val perFile = s.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uchk"),
+          min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      val w = Window.orderBy(col("lo"), col("f"))
+      perFile
+        .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n")).as("n_rows"),
+          sum(col("uchk")).as("user_checksum"),
+          date_trunc("second", min(col("lo"))).as("first_ts"),
+          date_trunc("second", max(col("hi"))).as("last_ts"),
+          (count(lit(1)) === 8).as("file_count_pinned"),
+          (sum(when(col("prev_hi") > col("lo"), 1).otherwise(0)) === 0)
+            .as("ranges_disjoint"))
+    }),
     // Parquet AGGREGATE pushdown: global MIN/MAX/COUNT answered from
     // footer statistics — `PushedAggregation` in the scan, no row
     // group decoded (operators/ScanPushdown has the full posture; the
@@ -346,6 +385,15 @@ object RelationalOpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // file count + ordering invariants are literals (they hold for any
+    // sampled range bounds); fidelity aggregates replay exactly
+    "layout_range_manifest" ->
+      """SELECT 8::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+        |       sum(user_id)::BIGINT AS user_checksum,
+        |       date_trunc('second', min(ts::TIMESTAMP)) AS first_ts,
+        |       date_trunc('second', max(ts::TIMESTAMP)) AS last_ts,
+        |       TRUE AS file_count_pinned, TRUE AS ranges_disjoint
+        |FROM events""".stripMargin,
     "layout_agg_pushdown" ->
       """SELECT count(*)::BIGINT AS n_rows,
         |       count(l_orderkey)::BIGINT AS n_keys,

@@ -29,6 +29,36 @@ class LayoutSpec extends SparkSpec {
     assert(got(4) == 27L)
   }
 
+  test("range-partitioned layout: total order across files, ~1-file probes") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val base = Files.createTempDirectory("graft_range").toString
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.parquet(s"$base/range")
+    // unclustered control: same rows, ts scattered across every file
+    ev.repartition(8).write.parquet(s"$base/shuffled")
+    def filesRead(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    val total = filesRead(s"$base/range", lit(true))
+    assert(total == 8, s"explicit partition count pins the file count: $total")
+    // file ranges are pairwise disjoint -> a narrow ts probe hits ~1 file
+    val perFile = spark.read.parquet(s"$base/range")
+      .groupBy(input_file_name()).agg(min(col("ts")).as("lo"),
+        max(col("ts")).as("hi"))
+      .orderBy(col("lo")).collect()
+    perFile.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(!w(0).getTimestamp(2).after(w(1).getTimestamp(1)),
+          "file time ranges must not interleave")
+    }
+    val probe = col("ts").between("2024-01-05 00:00:00", "2024-01-05 06:00:00")
+    val pruned = filesRead(s"$base/range", probe)
+    assert(pruned <= 2, s"narrow ts probe must prune to ~1 file, read $pruned")
+    assert(filesRead(s"$base/shuffled", probe) == 8,
+      "the unclustered layout cannot prune any file")
+  }
+
   test("z-clustered layout prunes files on BOTH dimensions") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
       .select(col("event_id"), col("user_id"), hour(col("ts")).as("hr"),
