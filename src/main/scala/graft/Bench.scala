@@ -30,7 +30,8 @@ object Bench {
     "s12_incremental_mv", "sk_hll_distinct", "sk_theta_set_ops",
     "sample_weighted", "cdc_snapshot_diff", "dq_expectations",
     "fuzzy_join_sym", "s13_stream_sketch", "sk_cms_freq",
-    "layout_bucketed_join")
+    "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
+    "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

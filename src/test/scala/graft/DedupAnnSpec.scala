@@ -239,6 +239,22 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup is append-stable: growing the corpus never rewrites old rows") {
+    // centroids are the first-N ids and a doc's fate depends only on
+    // LOWER-id cellmates, so appending higher-id docs must leave every
+    // existing output row byte-identical — the property that keeps an
+    // incremental curation pipeline from churning its keep set
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = 300L
+    val prefix = Ann.semanticDedup(emb.filter(col("vec_id") < cut),
+        "vec_id", "embedding", 8, 0.35)
+      .as[(Long, Int, Long, Double, Long)].collect().toSet
+    val full = Ann.semanticDedup(emb, "vec_id", "embedding", 8, 0.35)
+      .as[(Long, Int, Long, Double, Long)].collect()
+      .filter(_._1 < cut).toSet
+    assert(prefix == full)
+  }
+
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)
