@@ -357,6 +357,30 @@ object ScaleCheck {
     println(f"[scale] bucket rows=$liNB%,d plain=${plainNs / 1e9}%.2f s " +
       f"bucketed=${bktNs / 1e9}%.2f s write-once=${writeNs / 1e9}%.2f s " +
       f"speedup=${plainNs.toDouble / bktNs}%.1fx")
+
+    // aggregate pushdown: the defining property is that cost tracks
+    // FILE COUNT, not row count — factor× the rows in the same number
+    // of files answers MIN/MAX/COUNT from the same number of footers.
+    // Compared against the row-scan fallback (same session, pushdown
+    // off) whose cost DOES grow with rows; answers asserted equal.
+    val pdDir = "/tmp/graft_scale_aggpd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdDir))
+    liRepB.repartition(16).write.parquet(pdDir)
+    val s2 = graft.operators.ScanPushdown.session(spark)
+    def minMaxCount(s: SparkSession, pushdown: Boolean): (Seq[Any], Double) = {
+      s.conf.set("spark.sql.parquet.aggregatePushdown", pushdown.toString)
+      val t = System.nanoTime()
+      val r = s.read.parquet(pdDir)
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+        .collect()(0).toSeq
+      (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (viaFooters, pdSecs) = minMaxCount(s2, pushdown = true)
+    val (viaRows, rowSecs) = minMaxCount(s2, pushdown = false)
+    assert(viaFooters == viaRows,
+      s"footer answers $viaFooters != row-scan answers $viaRows")
+    println(f"[scale] aggpd  rows=$liNB%,d footers=$pdSecs%.2f s " +
+      f"rowscan=$rowSecs%.2f s speedup=${rowSecs / pdSecs}%.1fx")
     spark.stop()
   }
 }
