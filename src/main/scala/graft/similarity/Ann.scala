@@ -422,4 +422,36 @@ object Ann {
         max(col("cos")).as("max_cosine"),
         count(lit(1)).as("n_collisions"))
   }
+
+  /** Streaming admission control in embedding space — the
+    * [[semanticDedup]] check run on every INCOMING vector against a
+    * STATIC corpus, without recomputing the corpus (the per-crawl-batch
+    * form of SemDeDup; [[graft.dedup.Dedup.corpusAdmission]] is the
+    * MinHash twin). The corpus is cell-assigned once; each incoming
+    * vector computes its own cell map-only and probes only that cell's
+    * corpus vectors by an equi-join on cell id. Works identically on a
+    * streaming `incoming` frame — both joins are stream–static:
+    * STATELESS, append-mode, zero streaming state at any rate — and on
+    * a batch frame (how the oracle replays it). Each corpus vector
+    * lives in exactly one cell, so every (incoming, corpus) pair is
+    * emitted at most once — no sink-side dedup needed.
+    */
+  def semanticAdmission(incoming: DataFrame, corpus: DataFrame, id: String,
+                        vec: String, nCells: Int,
+                        threshold: Double): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    val cents = firstNCentroids(c, nCells)
+    val cIdx = c.withColumn("cell", cellOf(cents, col("v")))
+      .select(col("cell"), col("vid").as("corpus_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val inP = incoming
+      .select(col(id).as("in_id"), col(vec).cast("array<double>").as("iv"))
+      .withColumn("inrm", norm(col("iv")))
+      .withColumn("cell", cellOf(cents, col("iv")))
+    inP.join(cIdx, Seq("cell"))
+      .select(col("in_id"), col("corpus_id"), col("cell"),
+        round(dot(col("iv"), col("cv")) / (col("inrm") * col("cn")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -274,6 +274,23 @@ object StreamingQueries {
       .distinct()
   }
 
+  /** Streaming semantic admission: embedding vectors with id < 100
+    * arrive as a stream and are SemDeDup-checked against the static
+    * id >= 100 corpus (cell probe + within-cell cosine — all
+    * stream–static joins, zero streaming state; the embedding twin of
+    * [[streamCorpusDedup]]). Deterministic corpus-side seeding makes
+    * the whole composition oracle-replayable; each corpus vector
+    * lives in one cell, so no per-band duplicate emissions to
+    * collapse.
+    */
+  private def streamSemanticAdmission(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 100)
+    val incoming = Tables.embeddingsStream(s, dir).filter(col("vec_id") < 100)
+    val flagged = graft.similarity.Ann.semanticAdmission(
+      incoming, corpus, "vec_id", "embedding", nCells = 16, threshold = 0.35)
+    StreamingJob.runToMemory(flagged, mode = "append")
+  }
+
   private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tx = TestdataAdapter.transactionsStream(s, dir)
@@ -334,6 +351,8 @@ object StreamingQueries {
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "s11_stream_corpus_dedup" -> ((s, dir) => streamCorpusDedup(s, dir)),
+    "s15_stream_semantic_admission" -> ((s, dir) =>
+      streamSemanticAdmission(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -360,6 +379,39 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))))
 
   val oracleSql: Map[String, String] = Map(
+    // replays semanticAdmission batch-side: corpus-seeded centroids
+    // (first 16 of vec_id >= 100), max-cosine cells on both halves
+    // (ties → larger index), cross-half within-cell cosine pairs
+    "s15_stream_semantic_admission" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+        |         v AS cv, nrm AS cn
+        |  FROM n WHERE vec_id >= 100 ORDER BY vec_id LIMIT 16),
+        |csims AS (
+        |  SELECT n.vec_id, cents.idx,
+        |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+        |  FROM n, cents),
+        |assigned AS (
+        |  SELECT vec_id, idx AS cell FROM (
+        |    SELECT vec_id, idx, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+        |    FROM csims) WHERE rn = 1)
+        |SELECT i.vec_id AS in_id, c.vec_id AS corpus_id,
+        |       i.cell::INT AS cell,
+        |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+        |         AS cosine
+        |FROM assigned i
+        |JOIN assigned c ON i.cell = c.cell
+        |JOIN n x ON x.vec_id = i.vec_id
+        |JOIN n y ON y.vec_id = c.vec_id
+        |WHERE i.vec_id < 100 AND c.vec_id >= 100
+        |  AND round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+        |      >= 0.35""".stripMargin,
     "s12_incremental_mv" ->
       """SELECT event_type, count(*) AS n,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS total_value

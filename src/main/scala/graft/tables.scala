@@ -83,4 +83,16 @@ object Tables {
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
     s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
   }
+
+  /** Streaming file-source variant of [[embeddings]] (S4 drop-location
+    * semantics) — the arrival shape of a vector-ingest pipeline.
+    */
+  def embeddingsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    s.readStream.schema(schema).parquet(s"$d/embeddings.parque[t]")
+  }
 }
