@@ -197,6 +197,16 @@ object Ann {
     val c = prepared(corpus, id, vec)
     val assigned = c.withColumn("cell",
       cellOf(cents, col("v")))
+    probeAssigned(queries, id, vec, assigned, cents, k, nProbe)
+  }
+
+  /** The probe side of IVF search, against an already cell-assigned
+    * corpus — shared by the recompute path and the persisted-index
+    * path.
+    */
+  private def probeAssigned(queries: DataFrame, id: String, vec: String,
+                            assigned: DataFrame, cents: Seq[Seq[Double]],
+                            k: Int, nProbe: Int): DataFrame = {
     val q = prepared(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
@@ -213,6 +223,69 @@ object Ann {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ---- persisted IVF index: build once, append deltas, probe forever ----
+  //
+  // The production framing of IVF on a data platform: the index is a
+  // TABLE — (cell, vid, v, nrm) rows plus a tiny centroid table — not
+  // a process-lifetime object. Build pays the one assignment pass;
+  // ingesting new vectors is an assign-only APPEND against the stored
+  // centroids (no rebuild, no touch of existing rows — the same
+  // append-stability argument as semanticDedup: assignment depends
+  // only on the frozen centroids); queries probe the stored cells
+  // directly. Partitioning the assigned table BY cell would make each
+  // probe a partition-pruned read — the layout dividend on top.
+  // Centroid drift under a shifting distribution is the operational
+  // caveat: rebuild cadence (or k-means refresh via kmeansCentroids)
+  // is a policy knob, not an engine constraint.
+
+  /** Build the index at `dir`: centroids seeded from the corpus
+    * (first `nCells` by id — oracle-replayable) + the assigned table.
+    */
+  def ivfIndexBuild(corpus: DataFrame, id: String, vec: String,
+                    nCells: Int, dir: String): Unit = {
+    val s = corpus.sparkSession
+    val c = prepared(corpus, id, vec)
+    val cents = firstNCentroids(c, nCells)
+    import scala.jdk.CollectionConverters._
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    s.createDataFrame(rows, schema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    c.withColumn("cell", cellOf(cents, col("v")))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  private def readCentroids(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[Seq[Double]] =
+    s.read.parquet(s"$dir/centroids").orderBy(col("idx"))
+      .collect().map(_.getSeq[Double](1)).toSeq
+
+  /** Ingest new vectors: assign against the STORED centroids, append.
+    * Existing index rows are never read or rewritten — delta cost
+    * only.
+    */
+  def ivfIndexAppend(delta: DataFrame, id: String, vec: String,
+                     dir: String): Unit = {
+    val cents = readCentroids(delta.sparkSession, dir)
+    prepared(delta, id, vec).withColumn("cell", cellOf(cents, col("v")))
+      .write.mode("append").parquet(s"$dir/assigned")
+  }
+
+  /** Top-k from the stored index — no assignment pass at query time. */
+  def ivfTopKFromIndex(queries: DataFrame, id: String, vec: String,
+                       dir: String, k: Int, nProbe: Int): DataFrame = {
+    val s = queries.sparkSession
+    probeAssigned(queries, id, vec, s.read.parquet(s"$dir/assigned"),
+      readCentroids(s, dir), k, nProbe)
   }
 
   /** IVF with the deterministic first-N seeding (oracle-replayable —

@@ -51,6 +51,24 @@ object AnnQueries {
       Ann.ivfKmeansTopK(emb.filter(col("vec_id") < NQueries), emb,
         "vec_id", "embedding", K)
     }),
+    // Persisted IVF index: build on the id >= 100 slice, ingest
+    // 8 <= id < 100 as an assign-only APPEND (stored centroids frozen
+    // — no rebuild, existing rows untouched), then answer top-k from
+    // the stored table. Everything deterministic ⇒ the oracle replays
+    // seed + assignment + probe; DedupAnnSpec pins persisted ==
+    // recompute.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ix = s"/tmp/graft_ivf_index-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+      Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
+        "vec_id", "embedding", nCells = 16, ix)
+      Ann.ivfIndexAppend(
+        emb.filter(col("vec_id") >= NQueries && col("vec_id") < 100),
+        "vec_id", "embedding", ix)
+      Ann.ivfTopKFromIndex(emb.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", ix, K, nProbe = 4)
+    }),
     "emb_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         PairThreshold)),
@@ -257,6 +275,42 @@ object AnnQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    // persisted-index variant: centroids seeded from the BUILD slice
+    // (vec_id >= 100), the stored table covers build + appended delta
+    // (vec_id >= 8), probes replay against it
+    "ann_ivf_persisted" ->
+      s"""WITH $nCte,
+         |cents AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+         |         v AS cv, nrm AS cn
+         |  FROM n WHERE vec_id >= 100 ORDER BY vec_id LIMIT 16),
+         |csims AS (
+         |  SELECT n.vec_id, cents.idx,
+         |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+         |  FROM n, cents),
+         |assigned AS (
+         |  SELECT vec_id, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims WHERE vec_id >= $NQueries) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims WHERE vec_id < $NQueries) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS vid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+         |  JOIN n q ON q.vec_id = p.qid
+         |  JOIN n c ON c.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, vid ASC)::INT AS rank
+         |  FROM cand)
+         |SELECT * FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_pq_topk" -> pqOracle(m = 4, k = 16, dim = 64),
     "ann_ivfpq_topk" -> ivfPqOracle(nCentroids = 16, nProbe = 4,
       m = 4, k = 16, dim = 64),

