@@ -31,7 +31,7 @@ object Bench {
     "sample_weighted", "cdc_snapshot_diff", "dq_expectations",
     "fuzzy_join_sym", "s13_stream_sketch", "sk_cms_freq",
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
-    "dedup_semantic")
+    "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
