@@ -229,6 +229,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (12L, 2L)), s"got $got")
   }
 
+  test("semantic admission: stream flags embedding near-dups of the corpus, statelessly") {
+    implicit val ctx = spark.sqlContext
+    // corpus: two orthogonal-ish directions; incoming: a near-copy of
+    // corpus 1, and a novel vector far from both
+    val dim = 8
+    def v(seed: Int): Seq[Float] =
+      (0 until dim).map(i => if (i == seed) 1.0f else 0.0f)
+    val corpus = Seq((100L, v(0)), (101L, v(1))).toDF("vec_id", "embedding")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val flagged = graft.similarity.Ann.semanticAdmission(
+      ms.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding",
+      nCells = 2, threshold = 0.9)
+    val query = flagged.writeStream.format("memory").queryName("sadm")
+      .outputMode("append").start()
+    ms.addData((10L, (0 until dim).map(i =>
+      if (i == 0) 1.0f else if (i == 7) 0.1f else 0.0f)), // ~corpus 100
+      (11L, (0 until dim).map(i => if (i >= 4) 0.5f else -0.5f)))  // novel
+    query.processAllAvailable()
+    assert(!query.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"expected stateless plan:\n${query.lastProgress}")
+    query.stop()
+    val got = spark.table("sadm").select("in_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 100L)), s"got $got")
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed ids across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
