@@ -260,8 +260,10 @@ object Ann {
           org.apache.spark.sql.types.DoubleType))))
     s.createDataFrame(rows, schema)
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // partitioned BY cell: a cell probe is a partition-pruned read —
+    // `cell=K/` directories, the layout dividend on the index table
     c.withColumn("cell", cellOf(cents, col("v")))
-      .write.mode("overwrite").parquet(s"$dir/assigned")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   private def readCentroids(s: org.apache.spark.sql.SparkSession,
@@ -277,7 +279,7 @@ object Ann {
                      dir: String): Unit = {
     val cents = readCentroids(delta.sparkSession, dir)
     prepared(delta, id, vec).withColumn("cell", cellOf(cents, col("v")))
-      .write.mode("append").parquet(s"$dir/assigned")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   /** Top-k from the stored index — no assignment pass at query time. */

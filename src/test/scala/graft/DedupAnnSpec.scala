@@ -278,6 +278,13 @@ class DedupAnnSpec extends SparkSpec {
     val cells = spark.read.parquet(s"$ix/assigned")
     assert(cells.filter(col("vid") >= 100).count() ==
       emb.filter(col("vec_id") >= 100).count())
+    // the index is cell-partitioned: a one-cell probe is a
+    // partition-pruned read (only that cell's directory is listed)
+    val oneCell = cells.filter(col("cell") === 0)
+    val scanned = oneCell.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("cell=0")),
+      s"cell probe must read only cell=0 files, got ${scanned.toSeq}")
   }
 
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
