@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run JVM's stdout/stderr verbatim instead of
+// re-logging each line with an "[info] "/"[error] " prefix: the bench
+// driver parses Bench's one-line JSON from raw stdout, and the sbt
+// prefix made every round's "parsed" come back null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,18 +25,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos
-    * (legacy conf) and convert with integer division — ns-since-epoch
-    * exceeds 2^53, so a double division would corrupt the value.
-    * DuckDB reads the same file natively at ns precision; every query
-    * that emits a timestamp therefore truncates to a common grain
-    * (second or hour) on both sides.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations, so the loader adapts to what the file declares:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    (PARQUET_TYPE_ILLEGAL), so read raw long nanos (legacy conf) and
+    *    convert with integer division — ns-since-epoch exceeds 2^53, so a
+    *    double division would corrupt the value. DuckDB reads the same
+    *    file at ns precision, hence the `::TIMESTAMP` truncation casts in
+    *    time-predicate oracles.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively
+    *    as TIMESTAMP_NTZ; cast to session-zone TIMESTAMP (exact under the
+    *    pinned UTC session) so downstream code sees the same column type
+    *    either way. The oracle casts become no-ops at µs precision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -51,23 +62,31 @@ object Tables {
   def lineitemTs(s: SparkSession, d: String): DataFrame = lineitem(s, d)
 
   /** Streaming file-source variant of [[events]] (S4 semantics:
-    * schema-declared streaming read of a drop location). Same nanos →
-    * micros conversion as the batch reader, so stream and batch
-    * lineages produce identical rows.
+    * schema-declared streaming read of a drop location). The declared
+    * schema (a streaming source cannot infer one) is branched on the
+    * batch-read footer type, and the same ts normalization as the batch
+    * reader is applied, so stream and batch lineages produce identical
+    * rows under either testdata encoding.
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong =
+      load(s, d, "events").schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsType: org.apache.spark.sql.types.DataType =
+      if (tsIsLong) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.TimestampNTZType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     // glob (not a bare file path) so the stream source's basePath
     // resolves to the directory
-    s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Streaming file-source variant of [[documents]] (same S4 drop-
