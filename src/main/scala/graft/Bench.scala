@@ -33,24 +33,35 @@ object Bench {
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
     "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission")
 
+  /** r04 lesson: one 8 GB session running all 181 queries accumulates
+    * state (GC pressure, codegen caches, listener/temp-view churn)
+    * that inflated LATE-in-sweep queries up to 35× over their
+    * standalone times — a measurement artifact, not a plan change.
+    * Recycling the session bounds the accumulation window; at 40 a few
+    * checkpoint-heavy queries (graph_pagerank, dedup_cluster_stats)
+    * still showed 4–6× late-window inflation, 20 brings every query
+    * within ~2× of its standalone time for ~9 extra session restarts
+    * (~2 s each) across the sweep.
+    */
+  val RecycleEvery = 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // production posture via the shared deploy builder: extensions
     // (natives + TopK strategy/rewrite), Kryo, offset fetching — as a
-    // user session would run
-    val spark = graft.jobs.Jobs.localBuilder("graft-bench", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm session/codegen/file-listing paths so the first measured
-    // query doesn't absorb one-time JVM costs.
-    try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+    // user session would run. Each (re)start warms session/codegen/
+    // file-listing paths so the first measured query after a recycle
+    // doesn't absorb one-time costs.
+    def newSession(): SparkSession = {
+      val s = graft.jobs.Jobs.localBuilder("graft-bench", cpus).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try SparkEntry.queries("pipeline_score")(s, sfDir).count()
+      catch { case _: Throwable => () }
+      s
     }
+    var spark = newSession()
+
     // end-to-end scoring throughput (reference baseline: ~1000 tx/s
     // peak); measured HERE — warm session, clean heap — not after the
     // full sweep, whose accumulated GC pressure halved the r03 number
@@ -62,21 +73,37 @@ object Bench {
         catch { case _: Throwable => 0L }
       rows / ((System.nanoTime() - t0) / 1e9)
     }.max
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      val t = if (t1 > RetimeThresholdSec) math.min(t1, timeOnce(fn)) else t1
-      // drop this query's localCheckpoint blocks before the next
-      // timing: 123 queries' worth of pinned RDDs would otherwise
-      // squeeze the heap under the later queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> t
-    }.toMap
-    val total = results.values.sum
-    // steady-state streaming rate: multi-batch run, first batch excluded
+    // steady-state streaming rate (multi-batch run, first batch
+    // excluded): ALSO pre-sweep — r04 measured it dead last and got
+    // 2.1 k rows/s where the same code in a clean session does ~9 k
     val (streamRate, streamBatches) =
       try graft.streaming.StreamingJob.sustainedScoringRate(
         spark, sfDir, "/tmp/graft_bench_stream")
       catch { case _: Throwable => (0.0, 0) }
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % RecycleEvery == 0) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          spark = newSession()
+        }
+        val t1 = timeOnce(fn)
+        val t = if (t1 > RetimeThresholdSec) math.min(t1, timeOnce(fn)) else t1
+        // drop this query's localCheckpoint blocks and cached plans
+        // before the next timing — BLOCKING, so the eviction isn't
+        // racing the next query's execution for the same heap
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sharedState.cacheManager.clearCache()
+        name -> t
+      }.toMap
+    val total = results.values.sum
 
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Seq[(String, Double)]): String =

@@ -184,14 +184,16 @@ object RelationalOpsQueries {
             .as("max_ship_days"))
     }),
     // Array-valued aggregate output: the sorted member list per group
-    // travels as a real array<string> column through the parquet dump
-    // and the hash compare — collection outputs are first-class
+    // is computed as a real array<string> (ArrayType semantics pinned
+    // in SqlSurfaceSpec) and projected through to_json for the dump —
+    // the driver's pandas comparator can't sort/hash raw array cells,
+    // and both engines emit the identical compact JSON form
     "a31_nations_per_region" -> ((s, dir) =>
       Tables.nation(s, dir)
         .join(broadcast(Tables.region(s, dir)),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(array_sort(collect_set(col("n_name"))).as("nations"),
+        .agg(to_json(array_sort(collect_set(col("n_name")))).as("nations"),
           countDistinct(col("n_name")).as("n"))),
     // LISTAGG surface (string-valued aggregate output): deterministic
     // because the list is sorted before joining — order-insensitive
@@ -507,7 +509,8 @@ object RelationalOpsQueries {
         |WHERE p_size = 1
         |GROUP BY 1""".stripMargin,
     "a31_nations_per_region" ->
-      """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
+      """SELECT r_name,
+        |       to_json(list_sort(list(DISTINCT n_name)))::VARCHAR AS nations,
         |       count(DISTINCT n_name) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,

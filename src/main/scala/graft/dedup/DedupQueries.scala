@@ -9,8 +9,9 @@ import graft.Tables
   * query share one oracle: LSH candidates are exact-verified, and at
   * 128 hashes / 32 bands the per-pair miss probability at j ≥ 0.8 is
   * < 5·10⁻⁸, so both produce the identical pair set on this data.
-  * SimHash has no cross-engine hash parity → rows-only check (no
-  * oracle entry), with semantics pinned by ScalaTest instead.
+  * SimHash has no cross-engine hash parity → contract oracle
+  * (recall/precision floors in its own bag-of-words feature space),
+  * with exact pair semantics pinned by ScalaTest.
   */
 object DedupQueries {
 
@@ -37,8 +38,47 @@ object DedupQueries {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"))),
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    // SimHash signatures have no cross-engine hash parity, so the
+    // ORACLE checks the operator by CONTRACT (the a37/recall trick),
+    // in simhash's own feature space (token bags, not shingles):
+    //  · n_high_pairs: the 3-gram-Jaccard ≥ 0.9 truth-pair count —
+    //    recomputed independently by DuckDB, so this cell is a real
+    //    cross-engine number, not a literal;
+    //  · recall_ok: simhash@hamming≤3 recovers ≥ half of those pairs
+    //    (measured 17/25 at sf0.01 — banded 64-bit simhash is lossy on
+    //    shingle-similarity by design, it hashes unigram bags);
+    //  · precision_ok: every reported pair has exact UNIGRAM Jaccard
+    //    ≥ 0.5 (measured min 0.9: a near-identical token bag in a
+    //    different order is a true positive for THIS operator).
+    // Exact pair rows stay pinned by DedupAnnSpec's planted-pair test.
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      val high = Dedup.jaccardPairs(docs, "doc_id", "text", N, 0.9)
+        .select(col("doc_a"), col("doc_b"))
+      val nHigh = high.agg(count(lit(1)).as("n_high_pairs"))
+      val nRecalled = high.join(pairs.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_recalled"))
+      val toks = docs.select(col("doc_id"),
+        array_distinct(filter(split(trim(col("text")), "\\s+"),
+          t => t =!= "")).as("w"))
+      val uniJac = pairs
+        .join(toks.select(col("doc_id").as("doc_a"), col("w").as("wa")),
+          Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+          Seq("doc_b"))
+        .select((size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          (size(col("wa")) + size(col("wb")) -
+            size(array_intersect(col("wa"), col("wb"))))).as("uj"))
+        .agg(min(col("uj")).as("min_uj"))
+      nHigh.crossJoin(nRecalled).crossJoin(uniJac)
+        .select(col("n_high_pairs"),
+          (col("n_recalled") >= col("n_high_pairs") * lit(0.5))
+            .as("recall_ok"),
+          (coalesce(col("min_uj"), lit(1.0)) >= lit(0.5))
+            .as("precision_ok"))
+    }),
     // Boilerplate span mining: 6-gram spans appearing in >= 3 docs
     // (the substring-level dedup signal near-dup pair search misses)
     "dedup_common_ngrams" -> ((s, dir) =>
@@ -149,7 +189,15 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),
           sum(col("n_tok")).as("chunk_tokens"),
-          countDistinct(col("chunk_fp")).as("n_uniq_chunks"))
+          countDistinct(col("chunk_fp")).as("n_uniq_chunks"),
+          // at 100 TB the exact distinct-chunk count is the one Expand
+          // this plan pays; the sketch form below is the documented
+          // swap-in (single pass, fixed memory, no Expand). Oracle
+          // contract like a24: HLL++ default rsd 5%, 3×rsd envelope.
+          (abs(approx_count_distinct(col("chunk_fp")) -
+            countDistinct(col("chunk_fp"))) <=
+            lit(0.15) * countDistinct(col("chunk_fp")))
+            .as("uniq_chunks_within_bound"))
     }),
     "dedup_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -303,6 +351,13 @@ object DedupQueries {
         |WHERE tr.b < 80 AND te.b >= 90
         |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    // contract oracle (see the query's comment): the truth-pair count
+    // is DuckDB-recomputed; the recall/precision cells are literal
+    "dedup_simhash" ->
+      s"""WITH pairs AS (${jaccardOracleOver("documents")})
+         |SELECT count(*)::BIGINT AS n_high_pairs,
+         |       TRUE AS recall_ok, TRUE AS precision_ok
+         |FROM pairs WHERE jaccard >= 0.9""".stripMargin,
     "pipeline_curation_v2" -> {
       import graft.text.{Text, TextQueries}
       s"""WITH RECURSIVE kept AS (
@@ -347,7 +402,8 @@ object DedupQueries {
          |       count(*) AS n_chunks,
          |       sum(len(c))::BIGINT AS chunk_tokens,
          |       count(DISTINCT md5(array_to_string(c, ' ')))
-         |         AS n_uniq_chunks
+         |         AS n_uniq_chunks,
+         |       TRUE AS uniq_chunks_within_bound
          |FROM ch GROUP BY 1""".stripMargin
     },
     "graph_pagerank" -> pagerankOracle,

@@ -26,6 +26,11 @@ object Jobs {
         "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.streaming.kafka.useDeprecatedOffsetFetching",
         "false")
+      // the NTZ→TIMESTAMP normalization in Tables.events is exact only
+      // under a UTC session zone; pinning it in the shared builder (not
+      // just the sbt launcher's javaOptions) keeps a spark-submit run
+      // on a non-UTC host from silently shifting event timestamps
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** The deploy posture specialized to the local harness (Verify /

@@ -6,9 +6,10 @@ import graft.Tables
 
 /** Driver-contract registrations for the multimodal plumbing over
   * `documents` (payload = UTF-8 bytes as the opaque binary column).
-  * The metadata pass is oracle-checked (byte length + md5 digest are
-  * engine-independent); the feature extraction is stub-decoded →
-  * rows-only check + exact ScalaTest assertions.
+  * The metadata pass is oracle-checked exactly (byte length + md5
+  * digest are engine-independent); the stub-decoded feature extraction
+  * is oracle-checked by CONTRACT (shape + mass invariants per media),
+  * with exact values pinned in IoMultimodalSpec.
   */
 object MultimodalQueries {
 
@@ -16,19 +17,32 @@ object MultimodalQueries {
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    // The stub decode's float fold is engine-specific, so the ORACLE
+    // checks the extraction by CONTRACT (the a37 trick), one row per
+    // media so the per-row plumbing (typed batch transform, schema,
+    // row alignment) is what's actually gated:
+    //  · media_id / modality / dim: literal shape columns the oracle
+    //    recomputes from the source table;
+    //  · nonneg_ok: every feature ≥ 0 (the fold adds unsigned bytes);
+    //  · mass_ok: 0 ≤ Σfeatures ≤ payload bytes (each byte adds at
+    //    most 1/255·255 = 1), strictly > 0 when the payload is
+    //    non-empty — a row misalignment or dropped batch fails this.
+    // Exact feature values stay pinned by IoMultimodalSpec.
     "mm_features" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.mediaFromDocuments(docs)
         .as[Multimodal.MediaRow]
-      // The array column is flattened to a deterministic string for the
-      // driver's rows-only check (pandas can't sort ndarray cells); the
-      // typed Dataset[MediaFeatures] API keeps the real array and is
-      // exact-asserted in IoMultimodalSpec.
-      Multimodal.extractFeatures(media, dim = 16).toDF()
+      val f = Multimodal.extractFeatures(media, dim = 16).toDF()
+        .withColumn("fsum", aggregate(col("features"), lit(0.0),
+          (acc, x) => acc + x.cast("double")))
+      f.join(docs.select(col("doc_id").as("media_id"),
+          octet_length(col("text")).as("n_bytes")), Seq("media_id"))
         .select(col("media_id"), col("modality"),
           size(col("features")).as("dim"),
-          concat_ws(",", transform(col("features"),
-            f => format_string("%.3f", f.cast("double")))).as("features_csv"))
+          forall(col("features"), x => x >= 0f).as("nonneg_ok"),
+          (col("fsum") >= 0 && col("fsum") <= col("n_bytes") &&
+            (col("n_bytes") === 0 || col("fsum") > 0)).as("mass_ok"))
     }),
     // frame-sampling plumbing; the stub's byte-range frames make the
     // stats pure arithmetic, so this one IS oracle-checked
@@ -40,6 +54,12 @@ object MultimodalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // contract oracle (see the query's comment): shape columns
+    // recomputed from the source, invariant cells literal
+    "mm_features" ->
+      """SELECT doc_id AS media_id, 'image' AS modality, 16 AS dim,
+        |       TRUE AS nonneg_ok, TRUE AS mass_ok
+        |FROM documents""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality,
         |       octet_length(encode(text))::INT AS n_bytes,

@@ -109,15 +109,57 @@ object EmbeddingQueries {
     }),
     // PCA projection onto the top-2 principal axes (fit = one
     // distributed Gram pass + driver-side d×d Jacobi; project =
-    // map-only codegen'd dots). Eigenvectors are float-sum derived →
-    // rows-only check; orthonormality, variance ordering, and
-    // projection math are pinned by PcaSpec instead.
+    // map-only codegen'd dots). The eigenvectors are float-sum derived
+    // (no cross-engine bit parity possible), so the ORACLE checks the
+    // operator by CONTRACT, the a37/a24 trick: the query emits
+    // invariants that must hold for any correct PCA —
+    //  · var_ratio_ok: top-2 captured variance ≥ the 2/d average-
+    //    direction baseline (sum of top-2 eigenvalues ≥ 2·trace/d,
+    //    a theorem for any spectrum);
+    //  · recon_ok: the DISTRIBUTED mean squared reconstruction error
+    //    of the rank-2 projection, measured over the projected rows as
+    //    E‖x−μ‖² − Var(pc1) − Var(pc2), equals the model's promised
+    //    residual totalVariance·(1−ve₁−ve₂) within 1e-6 relative —
+    //    this exercises the map-only projection math end-to-end;
+    //  · centered_ok: projections of mean-centered data average to 0.
+    // The exact coordinate values stay pinned by PcaSpec's
+    // eigensystem tests.
     "emb_pca_project" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = Pca.fit(emb, "embedding", k = 2)
-      Pca.project(emb, "embedding", model)
-        .select(col("vec_id"), col("label"),
-          round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
+      val proj = Pca.project(emb, "embedding", model)
+      def dotA(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+        s0
+      }
+      val d = model.mean.length
+      val ve = model.varianceExplained
+      val varRatioOk = ve.sum >= 2.0 / d
+      val orthoOk =
+        math.abs(dotA(model.components(0), model.components(1))) < 1e-9 &&
+        math.abs(dotA(model.components(0), model.components(0)) - 1) < 1e-9 &&
+        math.abs(dotA(model.components(1), model.components(1)) - 1) < 1e-9
+      val promisedResidual = model.totalVariance * (1.0 - ve.sum)
+      val v = col("embedding").cast("array<double>")
+      val meanSq = dotA(model.mean, model.mean)
+      val distSq = Ann.dot(v, v) - lit(2.0) * Ann.dot(v, lit(model.mean)) +
+        lit(meanSq)
+      proj.agg(
+        count(lit(1)).as("n_rows"),
+        avg(distSq).as("e_dist"),
+        (avg(col("pc1") * col("pc1")) - avg(col("pc1")) * avg(col("pc1")))
+          .as("var1"),
+        (avg(col("pc2") * col("pc2")) - avg(col("pc2")) * avg(col("pc2")))
+          .as("var2"),
+        abs(avg(col("pc1"))).as("m1"), abs(avg(col("pc2"))).as("m2"))
+        .select(col("n_rows"),
+          lit(varRatioOk && orthoOk).as("var_ratio_ok"),
+          (abs(col("e_dist") - col("var1") - col("var2") -
+            lit(promisedResidual)) <=
+            lit(1e-6) * lit(model.totalVariance)).as("recon_ok"),
+          (col("m1") <= lit(1e-9) && col("m2") <= lit(1e-9))
+            .as("centered_ok"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -176,5 +218,11 @@ object EmbeddingQueries {
         |       round(list_dot_product(a.vec, b.vec)
         |             / (sqrt(list_dot_product(a.vec, a.vec))
         |                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
-        |FROM v a JOIN v b ON a.label < b.label""".stripMargin)
+        |FROM v a JOIN v b ON a.label < b.label""".stripMargin,
+    // contract oracle (see the query's comment): the invariants are
+    // theorems for a correct PCA, so the expected row is fully literal
+    "emb_pca_project" ->
+      """SELECT count(*)::BIGINT AS n_rows, TRUE AS var_ratio_ok,
+        |       TRUE AS recon_ok, TRUE AS centered_ok
+        |FROM embeddings""".stripMargin)
 }

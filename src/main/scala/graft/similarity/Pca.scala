@@ -23,9 +23,14 @@ object Pca {
     * @param components top-k principal axes (unit, deterministic sign:
     *                   the max-|entry| coordinate is positive)
     * @param varianceExplained fraction of total variance per component
+    * @param totalVariance trace of the covariance (sum of all
+    *                   eigenvalues) — lets callers state reconstruction
+    *                   error in absolute terms: the mean squared error
+    *                   of the rank-k projection is
+    *                   `totalVariance * (1 - sum(varianceExplained))`
     */
   case class Model(mean: Array[Double], components: Seq[Array[Double]],
-                   varianceExplained: Seq[Double])
+                   varianceExplained: Seq[Double], totalVariance: Double)
 
   def fit(df: DataFrame, vec: String, k: Int): Model = {
     val spark = df.sparkSession
@@ -83,7 +88,7 @@ object Pca {
       val m = v.indices.maxBy(ii => (math.abs(v(ii)), -ii))
       if (v(m) < 0) v.map(-_) else v
     }
-    Model(mean, comps, order.map(oi => eigVals(oi) / total))
+    Model(mean, comps, order.map(oi => eigVals(oi) / total), total)
   }
 
   /** Append `pc1..pck` projection columns (map-only, codegen'd dots). */

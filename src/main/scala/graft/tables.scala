@@ -67,11 +67,25 @@ object Tables {
     * batch-read footer type, and the same ts normalization as the batch
     * reader is applied, so stream and batch lineages produce identical
     * rows under either testdata encoding.
+    *
+    * The footer sniff is cached per (session, dir) — call sites that
+    * build the stream twice pay the read once — and an unreadable drop
+    * location (e.g. still empty) falls back to the current-generation
+    * µs encoding, so the stream can be constructed over a dir files
+    * will only later land in (the documented S4 contract). The type is
+    * fixed from the first successful sniff: a drop dir that mixes
+    * testdata generations (NANOS and MICROS files) would read later
+    * files under the wrong declared type — acceptable for the
+    * single-generation harness.
     */
+  private val eventsTsIsLong =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong =
-      load(s, d, "events").schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsLong = eventsTsIsLong.getOrElseUpdate((s, d),
+      try load(s, d, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false })
     val tsType: org.apache.spark.sql.types.DataType =
       if (tsIsLong) org.apache.spark.sql.types.LongType
       else org.apache.spark.sql.types.TimestampNTZType

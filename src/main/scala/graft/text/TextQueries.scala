@@ -219,15 +219,33 @@ object TextQueries {
     // BPE tokenizer TRAINING: learn the merge table from the corpus
     // (one corpus pass builds the weighted word vocabulary; each of
     // the 12 merge iterations runs over distinct words only — see
-    // text/Bpe.scala for the 100 TB shape). Deterministic tiebreaks ⇒
-    // reproducible table; correctness is pinned by BpeSpec's
-    // in-memory reference differential (rows-only at the driver gate:
-    // the sequential merge recursion is not SQL-expressible).
+    // text/Bpe.scala for the 100 TB shape). The sequential merge
+    // recursion is not SQL-expressible, so the ORACLE checks the
+    // learned table by CONTRACT (the a37 trick) — per merge rank:
+    //  · count_pos: the merged pair was actually observed (count ≥ 1);
+    //  · parts_known: each side is a base symbol (single char or the
+    //    </w> marker) or the output of an EARLIER merge — the
+    //    structural invariant that makes a merge table applicable;
+    //  · counts_ranked: rank order matches the argmax order — each
+    //    merge's count is ≥ the next NEW pair's count would be only if
+    //    no later merge manufactured a bigger pair, which BPE does not
+    //    guarantee; what IS guaranteed (and checked) is that rank 1
+    //    holds the global best: count(1) ≥ count(k) for every k.
+    // The exact merge table stays pinned by BpeSpec's in-memory
+    // reference differential.
     "tx_bpe_train" -> ((s, dir) => {
       val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", 12)
       import s.implicits._
-      merges.toDF().select(col("rank"), col("left"), col("right"),
-        col("count").as("pair_count"))
+      val outputs = merges.map(m => m.left + m.right)
+      val maxCount = merges.map(_.count).max
+      val rows = merges.map { m =>
+        def known(t: String): Boolean =
+          t.codePointCount(0, t.length) == 1 || t == "</w>" ||
+            outputs.take(m.rank - 1).contains(t)
+        (m.rank, m.count >= 1, known(m.left) && known(m.right),
+          merges.head.count == maxCount)
+      }
+      rows.toDF("rank", "count_pos", "parts_known", "counts_ranked")
     }),
     // Tokenizer-vocabulary build + OOV coverage: the vocab is the
     // top-V train-split tokens (total order (freq DESC, token ASC) so
@@ -385,6 +403,11 @@ object TextQueries {
       "'/' || lang || '/doc-' || doc_id || '?ref=r' || (doc_id % 9)"
 
   val oracleSql: Map[String, String] = Map(
+    // contract oracle (see the query's comment): fully literal — the
+    // rank domain is pinned, every structural invariant must hold
+    "tx_bpe_train" ->
+      """SELECT unnest(range(1, 13))::INT AS rank, TRUE AS count_pos,
+        |       TRUE AS parts_known, TRUE AS counts_ranked""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH k AS (
          |  SELECT source,

@@ -12,9 +12,9 @@ object TimeQueries {
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(graft.SparkEntry.queries.keys.toSeq.sorted)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
+    // same deploy posture as Bench (extensions, Kryo, UTC) so a
+    // standalone re-time isolates sweep-order effects, not config
+    val spark = graft.jobs.Jobs.localBuilder("graft-time", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up, as Bench does

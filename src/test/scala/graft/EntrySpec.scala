@@ -20,9 +20,11 @@ class EntrySpec extends SparkSpec {
     assert(q.size == 181, s"expected 181 registered queries, got ${q.size}")
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("dedup_simhash", "mm_features", "tx_bpe_train",
-      "ann_ivf_kmeans_topk", "emb_pca_project"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // r5: every query now has an oracle — the five former rows-only
+    // approximates moved to CONTRACT oracles (recall@K floor, PCA
+    // reconstruction bound, simhash recall/precision floors, BPE
+    // structural invariants, feature-mass invariants)
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("all queries are runnable on sf0.001") {

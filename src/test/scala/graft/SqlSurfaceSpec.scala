@@ -59,6 +59,34 @@ class SqlSurfaceSpec extends SparkSpec {
         sql.queryExecution.optimizedPlan)
   }
 
+  test("a31 array semantics: nations is a sorted array<string> per region") {
+    // the registered query projects through to_json so the driver's
+    // pandas comparator can hash it; the ArrayType form is the real
+    // operator semantics and is pinned here
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val arr = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_sort(collect_set(col("n_name"))).as("nations"))
+    assert(arr.schema("nations").dataType == ArrayType(StringType, false))
+    val rows = arr.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val ns = r.getSeq[String](1)
+      assert(ns == ns.sorted && ns.distinct == ns,
+        s"per-group member list must be sorted and distinct: $ns")
+    }
+    // and the registered to_json projection round-trips to the same list
+    val viaJson = SparkEntry.queries("a31_nations_per_region")(spark, dir)
+      .select(col("r_name"), from_json(col("nations"),
+        ArrayType(StringType)).as("nations"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      assert(viaJson(r.getString(0)) == r.getSeq[String](1))
+    }
+  }
+
   test("injected native function works from literal SQL over a view") {
     view("embeddings")
     val r = spark.sql(

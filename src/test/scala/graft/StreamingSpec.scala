@@ -351,6 +351,90 @@ class StreamingSpec extends SparkSpec {
       "no event may be emitted twice across the restart")
   }
 
+  test("kafka wire-format parity: producer-shaped JSON bytes decode to typed rows") {
+    // S1's real path (broker subscribe) can't run in this sandbox, but
+    // its deserialization contract can: the decode stage consumes
+    // kafka-shaped rows (binary `value`, source `timestamp`), so a
+    // MemoryStream of raw bytes laid out EXACTLY like the reference
+    // producer's output (producer.py:105-114,160-166 — UTF-8 JSON,
+    // string uuid key, ISO-8601 `isoformat()` timestamp with
+    // microseconds, float value) pins everything but the socket.
+    implicit val ctx = spark.sqlContext
+    val wire =
+      """{"id_transacao": "9f1c2a34-0000-4000-8000-000000000001",
+        | "id_usuario_pagador": "u1", "id_usuario_recebedor": "u2",
+        | "id_regiao": "SP", "modalidade_pagamento": "PIX",
+        | "data_horario": "2024-05-05T13:00:00.123456",
+        | "valor_transacao": 60.5}""".stripMargin.replace("\n", "")
+    val wireNoMicros = // producer's historic branch emits second grain too
+      """{"id_transacao": "9f1c2a34-0000-4000-8000-000000000002",
+        | "id_usuario_pagador": "u2", "id_usuario_recebedor": "u1",
+        | "id_regiao": "RJ", "modalidade_pagamento": "TED",
+        | "data_horario": "2024-05-05T02:00:00",
+        | "valor_transacao": 2500.0}""".stripMargin.replace("\n", "")
+    val ms = MemoryStream[(Array[Byte], Timestamp)]
+    ms.addData(
+      (wire.getBytes("UTF-8"), ts("2024-05-05 13:00:01")),
+      (wireNoMicros.getBytes("UTF-8"), ts("2024-05-05 02:00:01")))
+    val decoded = StreamingJob.runToMemory(
+      ScoringPipeline.decode(ms.toDF().toDF("value", "timestamp")))
+    assert(decoded.count() == 2)
+    val byId = decoded.collect()
+      .map(r => r.getAs[String]("id_transacao") -> r).toMap
+    val a = byId("9f1c2a34-0000-4000-8000-000000000001")
+    assert(a.getAs[String]("id_usuario_pagador") == "u1")
+    assert(a.getAs[String]("id_regiao_transacao") == "SP")
+    assert(a.getAs[String]("modalidade_pagamento") == "PIX")
+    // ISO micros parse to the exact instant under the UTC session
+    assert(a.getAs[Timestamp]("data_horario") ==
+      Timestamp.valueOf("2024-05-05 13:00:00.123456"))
+    assert(a.getAs[Double]("valor_transacao") == 60.5)
+    // kafka ingestion time rides along as tempo_entrada_kafka
+    assert(a.getAs[Timestamp]("tempo_entrada_kafka") ==
+      ts("2024-05-05 13:00:01"))
+    assert(byId("9f1c2a34-0000-4000-8000-000000000002")
+      .getAs[Timestamp]("data_horario") == ts("2024-05-05 02:00:00"))
+    // and the decoded wire rows run the full scoring pipeline
+    val users = Seq(("u1", "SP", 500.0, 100.0, 200.0, 50.0, 150.0),
+      ("u2", "RJ", 5000.0, 100.0, 3000.0, 50.0, 150.0))
+      .toDF("id_usuario", "id_regiao", "saldo", "limite_PIX", "limite_TED",
+        "limite_DOC", "limite_Boleto")
+    val regions = Seq(("SP", -23.5, -46.6), ("RJ", -22.9, -43.2))
+      .toDF("id_regiao", "latitude", "longitude")
+    val scored = ScoringPipeline.score(
+      ScoringPipeline.enrich(decoded, users, regions))
+    assert(scored.count() == 2 &&
+      scored.columns.contains("transacao_aprovada"))
+  }
+
+  test("multi-query fan-out: console metrics runs beside the main sink (T6/O6)") {
+    // streaming_etl.py:258-278 runs a second concurrent query (console
+    // metrics) over the same lineage as the durable sink; both must
+    // make progress and stop cleanly.
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_t6").toString
+    val ms = MemoryStream[(String, Timestamp, Double, Double, Double)]
+    val df = ms.toDF().toDF("id_transacao", "data_horario", "t5_score",
+      "t6_score", "t7_score")
+    val main = StreamingJob.startFanout(df, s"$tmp/facts", s"$tmp/scores",
+      s"$tmp/ckpt")
+    val console = StreamingJob.startConsoleMetrics(df, intervalMs = 100L)
+    try {
+      ms.addData(("x1", ts("2024-01-01 10:00:00"), 1.0, 0.0, 0.5),
+        ("x2", ts("2024-01-01 11:00:00"), 2.0, 1.0, 0.5))
+      main.processAllAvailable()
+      console.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/facts").count() == 2)
+      def rowsSeen(q: org.apache.spark.sql.streaming.StreamingQuery) =
+        q.recentProgress.map(_.numInputRows).sum
+      assert(rowsSeen(main) == 2, "durable sink must consume the batch")
+      assert(rowsSeen(console) == 2,
+        "console query must independently consume the same lineage")
+      assert(main.exception.isEmpty && console.exception.isEmpty)
+    } finally { main.stop(); console.stop() }
+    assert(!main.isActive && !console.isActive)
+  }
+
   test("mergeIntoMv: exact incremental merge, untouched partition files intact") {
     val mv = s"${Files.createTempDirectory("graft_mv")}/mv"
     def fileNames(t: String): Set[String] =
