@@ -31,7 +31,8 @@ object Bench {
     "sample_weighted", "cdc_snapshot_diff", "dq_expectations",
     "fuzzy_join_sym", "s13_stream_sketch", "sk_cms_freq",
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
-    "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission")
+    "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission",
+    "dedup_index_persisted", "ann_join_top1")
 
   /** r04 lesson: one 8 GB session running all 181 queries accumulates
     * state (GC pressure, codegen caches, listener/temp-view churn)

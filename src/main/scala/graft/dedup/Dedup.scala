@@ -350,6 +350,91 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- persisted band index: build once, append deltas, probe forever ----
+  //
+  // [[corpusAdmission]] re-bands the corpus per call; at 100 TB the
+  // corpus signature pass is the dominant cost and must be paid ONCE.
+  // The production framing (the near-dup twin of the persisted IVF
+  // index, `similarity/Ann.scala`): the index is a pair of TABLES —
+  //   dir/bands     (band, bh, doc): the inverted band index, stored
+  //                 partitioned by band number so each band's files
+  //                 compact/expire independently;
+  //   dir/shingles  (doc, hs): the shingle arrays the exact-verify
+  //                 join reads.
+  // MinHash has no trained state (the hash seed IS the model), so a
+  // delta append is exactly the build kernel over the new docs plus
+  // two appends — existing rows are never read or rewritten, and
+  // unlike IVF there are no frozen centroids to drift: an index grown
+  // by N appends is bit-identical to one built in a single pass,
+  // which is what the spec pins.
+
+  /** Build the persisted band index at `dir` (same kernel + seed as
+    * [[minhashLshPairs]], so the band collision contract carries over).
+    */
+  def bandIndexBuild(corpus: DataFrame, id: String, text: String, n: Int,
+                     dir: String, numHashes: Int = 128,
+                     bands: Int = 32): Unit =
+    writeBandIndex(corpus, id, text, n, dir, numHashes, bands, "overwrite")
+
+  /** Ingest new documents: signature pass over the DELTA only, append
+    * to both tables. O(delta), never O(corpus).
+    */
+  def bandIndexAppend(delta: DataFrame, id: String, text: String, n: Int,
+                      dir: String, numHashes: Int = 128,
+                      bands: Int = 32): Unit =
+    writeBandIndex(delta, id, text, n, dir, numHashes, bands, "append")
+
+  private def writeBandIndex(docs: DataFrame, id: String, text: String,
+                             n: Int, dir: String, numHashes: Int,
+                             bands: Int, mode: String): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = hashedShingles(docs, id, text, n)
+      .filter(size(col("hs")) > 0).localCheckpoint(true)
+    sh.write.mode(mode).parquet(s"$dir/shingles")
+    sh.select(col("doc"),
+        posexplode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L))
+          .as(Seq("band", "bh")))
+      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+    sh.unpersist()
+    ()
+  }
+
+  /** Near-dup-check `incoming` against the STORED index — the
+    * incremental form of [[corpusAdmission]]: the incoming batch pays
+    * its own map-only signature pass, probes the stored band index by
+    * (band, band-hash), and candidates are exact-verified against the
+    * stored shingle arrays. No corpus-side compute at probe time.
+    */
+  def bandIndexProbe(incoming: DataFrame, id: String, text: String, n: Int,
+                     dir: String, threshold: Double, numHashes: Int = 128,
+                     bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val s = incoming.sparkSession
+    graft.functions.TextHashing.register(s)
+    val cIndex = s.read.parquet(s"$dir/bands")
+      .select(col("doc").as("corpus_doc"), col("band"), col("bh"))
+    val cArr = s.read.parquet(s"$dir/shingles")
+      .select(col("doc").as("corpus_doc"), col("hs").as("shc"))
+    val sEx = incoming
+      .select(col(id).as("in_doc"),
+        graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("in_doc"), col("hs"),
+        posexplode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L))
+          .as(Seq("band", "bh")))
+    // a pair can collide in several bands → distinct before the
+    // (more expensive) exact verify, not after
+    sEx.join(cIndex, Seq("band", "bh"))
+      .select(col("in_doc"), col("hs"), col("corpus_doc")).distinct()
+      .join(cArr, Seq("corpus_doc"))
+      .select(col("in_doc"), col("corpus_doc"),
+        (size(array_intersect(col("hs"), col("shc"))).cast("double") /
+          size(array_union(col("hs"), col("shc")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair list → dedup groups:
     * every doc in a component labels itself with the component's
     * minimum doc id (the canonical keeper). Two phases:

@@ -98,6 +98,27 @@ object DedupQueries {
         N, 0.9)
         .select(col("doc_sub"), col("doc_super"),
           round(col("containment"), 6).as("containment"))),
+    // Persisted band index (incremental corpus dedup): build on the
+    // doc_id >= 300 slice, ingest 150 <= doc_id < 300 as an APPEND
+    // (delta-only signature pass, existing rows untouched), then
+    // near-dup-check the doc_id < 150 batch against the stored index.
+    // Deterministic seed ⇒ the oracle replays the exact cross-slice
+    // Jaccard; DedupSpec pins appended == single-build and probe ==
+    // corpusAdmission recompute.
+    "dedup_index_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = s"/tmp/graft_band_index-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+      Dedup.bandIndexBuild(docs.filter(col("doc_id") >= 300),
+        "doc_id", "text", N, ix)
+      Dedup.bandIndexAppend(
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+        "doc_id", "text", N, ix)
+      Dedup.bandIndexProbe(docs.filter(col("doc_id") < 150),
+        "doc_id", "text", N, ix, Threshold)
+        .select(col("in_doc"), col("corpus_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -351,6 +372,30 @@ object DedupQueries {
         |WHERE tr.b < 80 AND te.b >= 90
         |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    // exact cross-slice Jaccard between the probe batch and the
+    // indexed corpus (build slice + appended delta) — at 128/32
+    // banding the j >= 0.8 miss probability is < 5e-8, so the banded
+    // probe and the exact pair set coincide (same argument as
+    // dedup_minhash_lsh / s11)
+    "dedup_index_persisted" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+         |                                   '\\s+'), t -> t != '') AS w
+         |        FROM documents)),
+         |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 150),
+         |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 150),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM inx a JOIN cx b ON a.s = b.s
+         |  GROUP BY 1, 2)
+         |SELECT da AS in_doc, db AS corpus_doc,
+         |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+         |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
+         |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin,
     // contract oracle (see the query's comment): the truth-pair count
     // is DuckDB-recomputed; the recall/precision cells are literal
     "dedup_simhash" ->

@@ -290,6 +290,50 @@ object Ann {
       readCentroids(s, dir), k, nProbe)
   }
 
+  /** ANN similarity JOIN: every LEFT vector matched to its single
+    * nearest RIGHT vector among the left's `nProbe` closest IVF cells
+    * (centroids seeded first-N from the RIGHT side) — the
+    * nearest-duplicate / label-transfer primitive between two large
+    * tables, where [[bruteForceTopK]]'s query-broadcast shape no
+    * longer applies because BOTH sides are corpus-sized.
+    *
+    * Scale shape: no broadcast of either relation — the right side is
+    * cell-assigned map-only, the left side explodes to nProbe
+    * (cell, row) probes, and the match is ONE equi-join keyed on the
+    * cell id followed by a partial-aggregating per-left-row argmax
+    * (`max(struct)`, map-side combined — no window shuffle). Per-cell
+    * work is (left-in-cell × right-in-cell); nCells grows with the
+    * corpus to hold that product constant, and a skew-hot cell salts
+    * the same way a skewed join key does. Deterministic seeding +
+    * rounded-sim ranking ⇒ exact oracle replay.
+    */
+  def annJoinTop1(left: DataFrame, right: DataFrame, id: String,
+                  vec: String, nCells: Int = 16,
+                  nProbe: Int = 4): DataFrame = {
+    val r = prepared(right, id, vec)
+    val cents = firstNCentroids(r, nCells)
+    val rA = r.withColumn("cell", cellOf(cents, col("v")))
+      .select(col("cell"), col("vid").as("rid"), col("v").as("rv"),
+        col("nrm").as("rn"))
+    val lA = prepared(left, id, vec)
+      .select(col("vid").as("lid"), col("v").as("lv"), col("nrm").as("ln"),
+        explode(slice(sort_array(centSims(cents, col("v")), asc = false),
+          1, nProbe).getField("idx")).as("cell"))
+    // each right row lives in exactly one cell and the left row probes
+    // nProbe distinct cells ⇒ (lid, rid) pairs are already unique
+    lA.join(rA, Seq("cell"))
+      .select(col("lid"), col("rid"),
+        round(dot(col("lv"), col("rv")) / (col("ln") * col("rn")), 6)
+          .as("sim"))
+      .groupBy(col("lid"))
+      // argmax on (rounded sim, -rid): highest similarity, ties to the
+      // smaller right id — matching the oracle's ORDER BY sim DESC,
+      // rid ASC rank-1 row
+      .agg(max(struct(col("sim"), (-col("rid")).as("nrid"))).as("best"))
+      .select(col("lid"), (-col("best.nrid")).as("rid"),
+        col("best.sim").as("sim"))
+  }
+
   /** IVF with the deterministic first-N seeding (oracle-replayable —
     * the DuckDB SQL embeds the same seeding and assignment).
     */

@@ -287,6 +287,50 @@ class DedupAnnSpec extends SparkSpec {
       s"cell probe must read only cell=0 files, got ${scanned.toSeq}")
   }
 
+  test("persisted band index: delta append == one-shot admission; old files untouched") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ix = java.nio.file.Files.createTempDirectory("graft_band_ix").toString
+    Dedup.bandIndexBuild(docs.filter(col("doc_id") >= 30),
+      "doc_id", "text", 3, ix)
+    def bandFiles(): Set[String] =
+      spark.read.parquet(s"$ix/bands").select(input_file_name())
+        .distinct().collect().map(_.getString(0)).toSet
+    val before = bandFiles()
+    Dedup.bandIndexAppend(
+      docs.filter(col("doc_id") >= 15 && col("doc_id") < 30),
+      "doc_id", "text", 3, ix)
+    // append is file-additive: every pre-append file survives unchanged
+    assert(before.subsetOf(bandFiles()),
+      "delta append must not rewrite existing band files")
+    val probe = docs.filter(col("doc_id") < 15)
+    val fromIndex = Dedup.bandIndexProbe(probe, "doc_id", "text", 3, ix, 0.5)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    // an index grown by appends answers exactly like the direct
+    // (recompute-everything) admission over the same corpus — MinHash
+    // has no trained state, so there is nothing to drift
+    val direct = Dedup.corpusAdmission(probe,
+        docs.filter(col("doc_id") >= 15), "doc_id", "text", 3, 0.5)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(fromIndex == direct)
+  }
+
+  test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val left = emb.filter(col("vec_id") < 40)
+    val right = emb.filter(col("vec_id") >= 40)
+    // nProbe == nCells -> candidates are the whole right side -> exact
+    val joined = Ann.annJoinTop1(left, right, "vec_id", "embedding",
+        nCells = 8, nProbe = 8)
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    val exact = Ann.bruteForceTopK(left, right, "vec_id", "embedding", 1)
+      .select("qid", "vid").as[(Long, Long)].collect().toMap
+    assert(joined == exact)
+    // restricted probing still answers every left row (total join)
+    val probed = Ann.annJoinTop1(left, right, "vec_id", "embedding",
+      nCells = 8, nProbe = 2)
+    assert(probed.count() == left.count())
+  }
+
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)
