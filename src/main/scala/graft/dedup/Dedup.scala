@@ -400,11 +400,39 @@ object Dedup {
     ()
   }
 
+  /** Streaming-ingest form of [[bandIndexAppend]]: the micro-batch
+    * lands in its own `ingest=<batchId>` partition directory with
+    * OVERWRITE (the [[graft.io.IdempotentBatchSink]] pattern), so an
+    * at-least-once foreachBatch redelivery replaces its own previous
+    * write instead of duplicating index rows — duplicates would leak
+    * into probe output as repeated pair rows. Readers scan the index
+    * root; the ingest id surfaces as an ordinary partition column.
+    */
+  def bandIndexIngestBatch(delta: DataFrame, id: String, text: String,
+                           n: Int, dir: String, batchId: Long,
+                           numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = hashedShingles(delta, id, text, n)
+      .filter(size(col("hs")) > 0).localCheckpoint(true)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles/ingest=$batchId")
+    sh.select(col("doc"),
+        posexplode(graft.functions.TextHashing
+          .minhashBands(col("hs"), numHashes, bands, seed = 7L))
+          .as(Seq("band", "bh")))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/bands/ingest=$batchId")
+    sh.unpersist()
+    ()
+  }
+
   /** Near-dup-check `incoming` against the STORED index — the
     * incremental form of [[corpusAdmission]]: the incoming batch pays
     * its own map-only signature pass, probes the stored band index by
     * (band, band-hash), and candidates are exact-verified against the
     * stored shingle arrays. No corpus-side compute at probe time.
+    * Reads a batch-built ([[bandIndexBuild]]) and a streaming-ingested
+    * ([[bandIndexIngestBatch]]) index alike — the ingest partition
+    * column is simply ignored.
     */
   def bandIndexProbe(incoming: DataFrame, id: String, text: String, n: Int,
                      dir: String, threshold: Double, numHashes: Int = 128,

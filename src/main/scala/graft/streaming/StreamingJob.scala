@@ -317,6 +317,43 @@ object StreamingJob {
     spark.read.parquet(mv).select("event_type", "n", "sum_value")
   }
 
+  /** Streaming maintenance of the persisted near-dup band index
+    * ([[graft.dedup.Dedup.bandIndexBuild]]'s streaming twin): corpus
+    * documents arrive as a file stream (`nFiles` micro-batches) and
+    * each batch lands in the index via the IDEMPOTENT per-batch
+    * ingest ([[graft.dedup.Dedup.bandIndexIngestBatch]] — overwrite
+    * into `ingest=<batchId>`, so at-least-once redelivery replaces
+    * rather than duplicates). After the run the stored index answers
+    * probes identically to a batch-built one: the signature kernel is
+    * deterministic and MinHash has no trained state, so N streamed
+    * micro-batches ≡ one build pass (StreamingSpec pins both).
+    * Returns the probe result of `probeDocs` against the maintained
+    * index.
+    */
+  def streamBandIndexIngest(corpus: DataFrame, probeDocs: DataFrame,
+                            id: String, text: String, n: Int,
+                            threshold: Double, workDir: String,
+                            nFiles: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    corpus.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Dedup.bandIndexIngestBatch(batch, id, text, n,
+          s"$dir/ix", batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    graft.dedup.Dedup.bandIndexProbe(probeDocs, id, text, n,
+      s"$dir/ix", threshold)
+  }
+
   // ---------------------------------------------------------------------
   // T7: stateful late-event drop (the reference's abandoned feature).
   // ---------------------------------------------------------------------

@@ -291,6 +291,21 @@ object StreamingQueries {
     StreamingJob.runToMemory(flagged, mode = "append")
   }
 
+  /** Streaming maintenance of the persisted band index: the doc_id
+    * >= 200 corpus arrives as 4 micro-batches, each idempotently
+    * appended to the stored index; the doc_id < 200 batch then probes
+    * the maintained index. The oracle replays the exact cross-slice
+    * Jaccard — streamed-ingest ≡ batch-built ≡ exact truth.
+    */
+  private def streamIndexIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    StreamingJob.streamBandIndexIngest(
+        docs.filter(col("doc_id") >= 200), docs.filter(col("doc_id") < 200),
+        "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s16")
+      .select(col("in_doc"), col("corpus_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tx = TestdataAdapter.transactionsStream(s, dir)
@@ -351,6 +366,7 @@ object StreamingQueries {
     "s9_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "s11_stream_corpus_dedup" -> ((s, dir) => streamCorpusDedup(s, dir)),
+    "s16_stream_index_ingest" -> ((s, dir) => streamIndexIngest(s, dir)),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
@@ -416,6 +432,27 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    // exact cross-slice Jaccard at the s16 split: probes < 200,
+    // streamed-in corpus >= 200 (same replay shape as s11)
+    "s16_stream_index_ingest" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |                                   '\s+'), t -> t != '') AS w
+        |        FROM documents)),
+        |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 200),
+        |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 200),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM inx a JOIN cx b ON a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT da AS in_doc, db AS corpus_doc,
+        |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
+        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8""".stripMargin,
     "s11_stream_corpus_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

@@ -435,6 +435,36 @@ class StreamingSpec extends SparkSpec {
     assert(!main.isActive && !console.isActive)
   }
 
+  test("streamed band-index ingest == one-shot build; redelivery replaces, not duplicates") {
+    import graft.dedup.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val probe = docs.filter(col("doc_id") < 20)
+    val streamed = StreamingJob.streamBandIndexIngest(corpus, probe,
+        "doc_id", "text", 3, 0.5,
+        s"/tmp/graft_s16_spec_${System.nanoTime()}", nFiles = 3)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    val ixOne = java.nio.file.Files.createTempDirectory("graft_bi_one").toString
+    Dedup.bandIndexBuild(corpus, "doc_id", "text", 3, ixOne)
+    val oneShot = Dedup.bandIndexProbe(probe, "doc_id", "text", 3, ixOne, 0.5)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(streamed == oneShot,
+      "N streamed micro-batches must maintain the same index as one build")
+    // at-least-once redelivery: re-ingesting the same batch id must
+    // REPLACE the previous write — probe output (incl. duplicates)
+    // identical before and after
+    val ixRe = java.nio.file.Files.createTempDirectory("graft_bi_re").toString
+    Dedup.bandIndexIngestBatch(corpus, "doc_id", "text", 3, ixRe, batchId = 0L)
+    val before = Dedup.bandIndexProbe(probe, "doc_id", "text", 3, ixRe, 0.5)
+      .collect().toSeq
+    Dedup.bandIndexIngestBatch(corpus, "doc_id", "text", 3, ixRe, batchId = 0L)
+    val after = Dedup.bandIndexProbe(probe, "doc_id", "text", 3, ixRe, 0.5)
+      .collect().toSeq
+    assert(after.toSet == before.toSet && after.length == before.length,
+      "redelivered batch must overwrite itself, not append duplicates")
+  }
+
   test("mergeIntoMv: exact incremental merge, untouched partition files intact") {
     val mv = s"${Files.createTempDirectory("graft_mv")}/mv"
     def fileNames(t: String): Set[String] =
