@@ -381,6 +381,40 @@ object ScaleCheck {
       s"footer answers $viaFooters != row-scan answers $viaRows")
     println(f"[scale] aggpd  rows=$liNB%,d footers=$pdSecs%.2f s " +
       f"rowscan=$rowSecs%.2f s speedup=${rowSecs / pdSecs}%.1fx")
+
+    // ---- round-5 operators at factor× rows ----
+
+    // persisted band index: replica-disjoint docs again (cross-replica
+    // shingles never collide ⇒ probe pairs scale exactly ×factor).
+    // Build+append on the even ids, probe the odd ids — the full
+    // build/append/probe lifecycle timed end-to-end, cost tracking the
+    // two signature scans, never pairwise in the corpus.
+    val biDir = "/tmp/graft_scale_bandix"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(biDir))
+    val t23 = System.nanoTime()
+    graft.dedup.Dedup.bandIndexBuild(
+      docsRep.filter(col("doc_id") % 4 === 0), "doc_id", "text", 3, biDir)
+    graft.dedup.Dedup.bandIndexAppend(
+      docsRep.filter(col("doc_id") % 4 === 2), "doc_id", "text", 3, biDir)
+    val bip = graft.dedup.Dedup.bandIndexProbe(
+      docsRep.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3,
+      biDir, 0.8).count()
+    val bisecs = (System.nanoTime() - t23) / 1e9
+    println(f"[scale] bandix rows=$dn%,d pairs=$bip%,d secs=$bisecs%.2f rate=${dn / bisecs}%,.0f docs/s")
+
+    // ANN join: factor× vectors on BOTH sides with nCells grown
+    // ×factor — per-cell work (left/nCells)·(right/nCells) stays
+    // constant, total work ×factor (the documented knob). The join is
+    // total: output rows must equal the left side exactly.
+    val ajLeft = embRep2.filter(col("vec_id") % 2 === 0)
+    val ajRight = embRep2.filter(col("vec_id") % 2 === 1)
+    val ajn = ajLeft.count() + ajRight.count()
+    val t24 = System.nanoTime()
+    val aj = graft.similarity.Ann.annJoinTop1(ajLeft, ajRight,
+      "vec_id", "embedding", nCells = 16 * factor, nProbe = 4).count()
+    val ajsecs = (System.nanoTime() - t24) / 1e9
+    assert(aj == ajLeft.count(), s"ANN join must be total: $aj matches")
+    println(f"[scale] annjn  rows=$ajn%,d matched=$aj%,d secs=$ajsecs%.2f rate=${ajn / ajsecs}%,.0f vecs/s")
     spark.stop()
   }
 }

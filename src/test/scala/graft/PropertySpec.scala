@@ -188,6 +188,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("band-index probe == plain-Scala cross Jaccard on random mutated corpora") {
+    // the persisted-index path (build + append + probe over storage)
+    // must find exactly the exact-model pair set for random corpora
+    // with PLANTED near-dups: 30 base docs (40 tokens) + 15 one-token
+    // mutations of earlier docs — a mutation alters ≤3 of ~38
+    // shingles, so planted cross pairs sit at j ≥ 0.85 where the
+    // 128/32 banding miss probability is < 5e-8 (threshold 0.8 keeps
+    // the property deterministic-by-theorem, not by seed luck)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val base = samples(Gen.listOfN(40, Gen.oneOf(vocab)), n = 30)
+    val muts = samples(Gen.chooseNum(0, 39), n = 15).zipWithIndex.map {
+      case (pos, i) =>
+        val src = base(i * 2)
+        src.updated(pos, if (src(pos) == "a") "b" else "a")
+    }
+    val docs = (base ++ muts).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    // split so mutations (ids 30..44) probe against their indexed
+    // sources (ids 0..29), half arriving via the delta append
+    val ix = java.nio.file.Files.createTempDirectory("graft_bi_prop").toString
+    graft.dedup.Dedup.bandIndexBuild(
+      df.filter(col("doc_id") < 15), "doc_id", "text", 3, ix)
+    graft.dedup.Dedup.bandIndexAppend(
+      df.filter(col("doc_id") >= 15 && col("doc_id") < 30),
+      "doc_id", "text", 3, ix)
+    val got = graft.dedup.Dedup.bandIndexProbe(
+        df.filter(col("doc_id") >= 30), "doc_id", "text", 3, ix, 0.8)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSeq.sorted
+    def sh(t: String): Set[Seq[String]] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+        .map(_.toSeq).toSet
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia >= 30 && ib < 30
+      sa = sh(ta); sb = sh(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.8
+    } yield (ia, ib)).sorted
+    assert(want.nonEmpty, "generator must plant cross near-dup pairs")
+    assert(got == want)
+  }
+
   test("TopK plan node: all three rank modes equal a plain-Scala model") {
     // small value domain forces heavy ties; random keys and values,
     // several partitions so the partial-prune paths all fire
