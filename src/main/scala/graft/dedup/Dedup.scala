@@ -373,31 +373,80 @@ object Dedup {
     */
   def bandIndexBuild(corpus: DataFrame, id: String, text: String, n: Int,
                      dir: String, numHashes: Int = 128,
-                     bands: Int = 32): Unit =
-    writeBandIndex(corpus, id, text, n, dir, numHashes, bands, "overwrite")
+                     bands: Int = 32): Unit = {
+    writeIndexParams(dir, n, numHashes, bands, createOnly = false)
+    writeBandKernel(corpus, id, text, n, numHashes, bands,
+      s"$dir/shingles", s"$dir/bands", "overwrite")
+  }
 
   /** Ingest new documents: signature pass over the DELTA only, append
     * to both tables. O(delta), never O(corpus).
     */
   def bandIndexAppend(delta: DataFrame, id: String, text: String, n: Int,
                       dir: String, numHashes: Int = 128,
-                      bands: Int = 32): Unit =
-    writeBandIndex(delta, id, text, n, dir, numHashes, bands, "append")
+                      bands: Int = 32): Unit = {
+    checkIndexParams(dir, n, numHashes, bands)
+    writeBandKernel(delta, id, text, n, numHashes, bands,
+      s"$dir/shingles", s"$dir/bands", "append")
+  }
 
-  private def writeBandIndex(docs: DataFrame, id: String, text: String,
-                             n: Int, dir: String, numHashes: Int,
-                             bands: Int, mode: String): Unit = {
+  /** The one signature+banding kernel every index write path goes
+    * through — build, append, and streaming ingest differ only in
+    * target paths and write mode, so they cannot diverge.
+    */
+  private def writeBandKernel(docs: DataFrame, id: String, text: String,
+                              n: Int, numHashes: Int, bands: Int,
+                              shinglesPath: String, bandsPath: String,
+                              mode: String): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = hashedShingles(docs, id, text, n)
       .filter(size(col("hs")) > 0).localCheckpoint(true)
-    sh.write.mode(mode).parquet(s"$dir/shingles")
+    sh.write.mode(mode).parquet(shinglesPath)
     sh.select(col("doc"),
         posexplode(graft.functions.TextHashing
           .minhashBands(col("hs"), numHashes, bands, seed = 7L))
           .as(Seq("band", "bh")))
-      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+      .write.mode(mode).partitionBy("band").parquet(bandsPath)
     sh.unpersist()
     ()
+  }
+
+  /** The hash parameters ARE the index's model (there is no trained
+    * state), so they are persisted beside the tables and validated on
+    * every append/ingest/probe — a mismatched probe would otherwise
+    * SILENTLY return empty/wrong results (band hashes never collide
+    * across parameterizations). The IVF twin gets this for free from
+    * its stored centroid table.
+    */
+  private val IndexSeed = 7L
+  private def paramsRow(n: Int, numHashes: Int, bands: Int): Seq[Long] =
+    Seq(n.toLong, numHashes.toLong, bands.toLong, IndexSeed)
+
+  private def writeIndexParams(dir: String, n: Int,
+                               numHashes: Int, bands: Int,
+                               createOnly: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(dir, "params.json")
+    if (createOnly && java.nio.file.Files.exists(p)) {
+      checkIndexParams(dir, n, numHashes, bands)
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        paramsRow(n, numHashes, bands).mkString("[", ",", "]"))
+    }
+    ()
+  }
+
+  private def checkIndexParams(dir: String, n: Int,
+                               numHashes: Int, bands: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir, "params.json")
+    require(java.nio.file.Files.exists(p),
+      s"no band index at $dir (params.json missing) — run bandIndexBuild first")
+    val stored = java.nio.file.Files.readString(p)
+      .stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong).toSeq
+    require(stored == paramsRow(n, numHashes, bands),
+      s"band index at $dir was built with (n,numHashes,bands,seed)=$stored; " +
+        s"caller passed ${paramsRow(n, numHashes, bands)} — probe/append " +
+        "with mismatched parameters would silently miss every candidate")
   }
 
   /** Streaming-ingest form of [[bandIndexAppend]]: the micro-batch
@@ -407,22 +456,18 @@ object Dedup {
     * write instead of duplicating index rows — duplicates would leak
     * into probe output as repeated pair rows. Readers scan the index
     * root; the ingest id surfaces as an ordinary partition column.
+    * Same signature kernel as the batch build — ONE implementation
+    * ([[writeBandKernel]]), so the streamed index cannot diverge.
     */
   def bandIndexIngestBatch(delta: DataFrame, id: String, text: String,
                            n: Int, dir: String, batchId: Long,
                            numHashes: Int = 128, bands: Int = 32): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = hashedShingles(delta, id, text, n)
-      .filter(size(col("hs")) > 0).localCheckpoint(true)
-    sh.write.mode("overwrite").parquet(s"$dir/shingles/ingest=$batchId")
-    sh.select(col("doc"),
-        posexplode(graft.functions.TextHashing
-          .minhashBands(col("hs"), numHashes, bands, seed = 7L))
-          .as(Seq("band", "bh")))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$dir/bands/ingest=$batchId")
-    sh.unpersist()
-    ()
+    // first batch stamps the params; later batches (and restarts)
+    // validate against them
+    writeIndexParams(dir, n, numHashes, bands, createOnly = true)
+    writeBandKernel(delta, id, text, n, numHashes, bands,
+      s"$dir/shingles/ingest=$batchId", s"$dir/bands/ingest=$batchId",
+      "overwrite")
   }
 
   /** Near-dup-check `incoming` against the STORED index — the
@@ -439,6 +484,7 @@ object Dedup {
                      bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val s = incoming.sparkSession
+    checkIndexParams(dir, n, numHashes, bands)
     graft.functions.TextHashing.register(s)
     val cIndex = s.read.parquet(s"$dir/bands")
       .select(col("doc").as("corpus_doc"), col("band"), col("bh"))

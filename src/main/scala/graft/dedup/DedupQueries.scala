@@ -259,6 +259,33 @@ object DedupQueries {
 
   private val jaccardOracle = jaccardOracleOver("documents")
 
+  /** Cross-slice variant of [[jaccardOracleOver]]: exact Jaccard
+    * between a probe slice and a corpus slice of `documents` — the ONE
+    * replay every admission-shaped query shares (dedup_index_persisted,
+    * s11, s16), so a tokenization/shingle fix lands everywhere at once.
+    */
+  private[graft] def crossJaccardOracle(probePred: String,
+                                        corpusPred: String,
+                                        threshold: Double): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+       |                                   '\\s+'), t -> t != '') AS w
+       |        FROM documents)),
+       |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE $probePred),
+       |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE $corpusPred),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM inx a JOIN cx b ON a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT da AS in_doc, db AS corpus_doc,
+       |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
+       |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
+       |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $threshold""".stripMargin
+
   private val pagerankOracle = {
     def round(prev: String, cur: String) =
       s"""c$cur AS (
@@ -378,24 +405,7 @@ object DedupQueries {
     // probe and the exact pair set coincide (same argument as
     // dedup_minhash_lsh / s11)
     "dedup_index_persisted" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-         |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
-         |                                   '\\s+'), t -> t != '') AS w
-         |        FROM documents)),
-         |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 150),
-         |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 150),
-         |pairs AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM inx a JOIN cx b ON a.s = b.s
-         |  GROUP BY 1, 2)
-         |SELECT da AS in_doc, db AS corpus_doc,
-         |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
-         |FROM pairs
-         |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
-         |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
-         |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin,
+      crossJaccardOracle("doc_id < 150", "doc_id >= 150", Threshold),
     // contract oracle (see the query's comment): the truth-pair count
     // is DuckDB-recomputed; the recall/precision cells are literal
     "dedup_simhash" ->

@@ -77,8 +77,10 @@ object Ann {
 
   /** Sign-LSH top-k: `bands` bands of `bitsPerBand` hyperplane sign
     * bits; candidate = corpus row sharing any band value with the
-    * query; exact cosine rerank of candidates; top-k per query. Recall
-    * is approximate (rows-only driver check). Band geometry trades
+    * query; exact cosine rerank of candidates; top-k per query.
+    * Deterministic seeding means the driver oracle replays the banding
+    * exactly (recall vs brute force stays approximate by geometry, and
+    * is spec-asserted). Band geometry trades
     * recall vs candidate volume: a pair at angle θ agrees on one band
     * with p = (1−θ/π)^bitsPerBand — short/many bands for
     * moderate-similarity top-k (default), long/few bands (e.g. 4×16)
@@ -347,7 +349,7 @@ object Ann {
   /** IVF with spherical-k-means-refined centroids: better-balanced
     * Voronoi cells than first-N seeding ⇒ higher recall at the same
     * nProbe. Centroids are float-sum accumulations (partition-order
-    * dependent), so results are rows-only checked — cross-engine bit
+    * dependent), so results are contract-checked — cross-engine bit
     * parity is impossible by construction; recall is spec-asserted
     * instead.
     */

@@ -432,46 +432,14 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
         |FROM events GROUP BY 1""".stripMargin,
-    // exact cross-slice Jaccard at the s16 split: probes < 200,
-    // streamed-in corpus >= 200 (same replay shape as s11)
+    // exact cross-slice Jaccard, shared replay with
+    // dedup_index_persisted: probes < 200, streamed-in corpus >= 200
     "s16_stream_index_ingest" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
-        |                                   '\s+'), t -> t != '') AS w
-        |        FROM documents)),
-        |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 200),
-        |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 200),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM inx a JOIN cx b ON a.s = b.s
-        |  GROUP BY 1, 2)
-        |SELECT da AS in_doc, db AS corpus_doc,
-        |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
-        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
-        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8""".stripMargin,
+      graft.dedup.DedupQueries.crossJaccardOracle(
+        "doc_id < 200", "doc_id >= 200", 0.8),
     "s11_stream_corpus_dedup" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
-        |                                   '\s+'), t -> t != '') AS w
-        |        FROM documents)),
-        |inx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id >= 250),
-        |cx AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id < 250),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM inx a JOIN cx b ON a.s = b.s
-        |  GROUP BY 1, 2)
-        |SELECT da AS in_doc, db AS corpus_doc,
-        |       round(inter::DOUBLE / (x.n + y.n - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) x ON da = x.doc_id
-        |JOIN (SELECT doc_id, len(sh) AS n FROM docs) y ON db = y.doc_id
-        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8""".stripMargin,
+      graft.dedup.DedupQueries.crossJaccardOracle(
+        "doc_id >= 250", "doc_id < 250", 0.8),
     "s10_stream_heavy_hitters" ->
       """WITH ex AS (SELECT unnest(list_filter(regexp_split_to_array(
         |             trim(text), '\s+'), t -> t != '')) AS item

@@ -71,21 +71,37 @@ object Tables {
     * The footer sniff is cached per (session, dir) — call sites that
     * build the stream twice pay the read once — and an unreadable drop
     * location (e.g. still empty) falls back to the current-generation
-    * µs encoding, so the stream can be constructed over a dir files
-    * will only later land in (the documented S4 contract). The type is
-    * fixed from the first successful sniff: a drop dir that mixes
+    * µs encoding WITHOUT caching, so the stream can be constructed
+    * over a dir files will only later land in (the documented S4
+    * contract) and a later call re-sniffs once files exist. The type
+    * is fixed from the first SUCCESSFUL sniff: a drop dir that mixes
     * testdata generations (NANOS and MICROS files) would read later
     * files under the wrong declared type — acceptable for the
-    * single-generation harness.
+    * single-generation harness. The cache holds the session WEAKLY so
+    * a recycled/stopped session isn't pinned on the heap by its cache
+    * entries (Bench restarts the session every 20 queries precisely to
+    * bound heap).
     */
-  private val eventsTsIsLong =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  private val eventsTsIsLong = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Boolean]]())
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = eventsTsIsLong.getOrElseUpdate((s, d),
-      try load(s, d, "events").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
-      catch { case _: org.apache.spark.sql.AnalysisException => false })
+    val perSession = eventsTsIsLong.synchronized {
+      val cur = eventsTsIsLong.get(s)
+      if (cur != null) cur else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+        eventsTsIsLong.put(s, m)
+        m
+      }
+    }
+    val tsIsLong = perSession.get(d).getOrElse(
+      try {
+        val sniffed = load(s, d, "events").schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+        perSession.putIfAbsent(d, sniffed)
+        sniffed
+      } catch { case _: org.apache.spark.sql.AnalysisException => false })
     val tsType: org.apache.spark.sql.types.DataType =
       if (tsIsLong) org.apache.spark.sql.types.LongType
       else org.apache.spark.sql.types.TimestampNTZType
