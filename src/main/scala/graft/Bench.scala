@@ -32,7 +32,7 @@ object Bench {
     "fuzzy_join_sym", "s13_stream_sketch", "sk_cms_freq",
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
     "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission",
-    "dedup_index_persisted", "ann_join_top1")
+    "dedup_index_persisted", "ann_join_top1", "ann_join_topk")
 
   /** r04 lesson: one 8 GB session running all 181 queries accumulates
     * state (GC pressure, codegen caches, listener/temp-view churn)

@@ -309,9 +309,15 @@ object Ann {
     * the same way a skewed join key does. Deterministic seeding +
     * rounded-sim ranking ⇒ exact oracle replay.
     */
-  def annJoinTop1(left: DataFrame, right: DataFrame, id: String,
-                  vec: String, nCells: Int = 16,
-                  nProbe: Int = 4): DataFrame = {
+  /** Shared candidate stream of the ANN-join family: right side
+    * cell-assigned map-only, left side exploded to nProbe (cell, row)
+    * probes, one equi-join on the cell id, similarities rounded for
+    * rank stability. Each right row lives in exactly one cell and a
+    * left row probes nProbe distinct cells ⇒ (lid, rid) already unique.
+    */
+  private def annJoinCandidates(left: DataFrame, right: DataFrame,
+                                id: String, vec: String, nCells: Int,
+                                nProbe: Int): DataFrame = {
     val r = prepared(right, id, vec)
     val cents = firstNCentroids(r, nCells)
     val rA = r.withColumn("cell", cellOf(cents, col("v")))
@@ -321,12 +327,16 @@ object Ann {
       .select(col("vid").as("lid"), col("v").as("lv"), col("nrm").as("ln"),
         explode(slice(sort_array(centSims(cents, col("v")), asc = false),
           1, nProbe).getField("idx")).as("cell"))
-    // each right row lives in exactly one cell and the left row probes
-    // nProbe distinct cells ⇒ (lid, rid) pairs are already unique
     lA.join(rA, Seq("cell"))
       .select(col("lid"), col("rid"),
         round(dot(col("lv"), col("rv")) / (col("ln") * col("rn")), 6)
           .as("sim"))
+  }
+
+  def annJoinTop1(left: DataFrame, right: DataFrame, id: String,
+                  vec: String, nCells: Int = 16,
+                  nProbe: Int = 4): DataFrame =
+    annJoinCandidates(left, right, id, vec, nCells, nProbe)
       .groupBy(col("lid"))
       // argmax on (rounded sim, -rid): highest similarity, ties to the
       // smaller right id — matching the oracle's ORDER BY sim DESC,
@@ -334,7 +344,22 @@ object Ann {
       .agg(max(struct(col("sim"), (-col("rid")).as("nrid"))).as("best"))
       .select(col("lid"), (-col("best.nrid")).as("rid"),
         col("best.sim").as("sim"))
-  }
+
+  /** k-nearest ANN join (kNN-graph construction between two
+    * corpus-sized relations): same candidate stream as
+    * [[annJoinTop1]], with the per-left-row cut done by the native
+    * TopK plan node — the bounded-heap PARTIAL prunes each candidate
+    * partition to k rows per left id BEFORE the lid exchange, so the
+    * shuffle carries ≤ k·partitions rows per left row instead of the
+    * whole probed-candidate stream, and no per-partition full sort
+    * ever runs. Emits (lid, rid, sim, rank).
+    */
+  def annJoinTopK(left: DataFrame, right: DataFrame, id: String,
+                  vec: String, k: Int, nCells: Int = 16,
+                  nProbe: Int = 4): DataFrame =
+    graft.plans.TopKPlan.topKPerKey(
+      annJoinCandidates(left, right, id, vec, nCells, nProbe),
+      Seq("lid"), Seq("sim" -> false, "rid" -> true), k)
 
   /** IVF with the deterministic first-N seeding (oracle-replayable —
     * the DuckDB SQL embeds the same seeding and assignment).

@@ -118,7 +118,52 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       Ann.annJoinTop1(emb.filter(col("vec_id") < 200),
         emb.filter(col("vec_id") >= 200), "vec_id", "embedding")
+    }),
+    // k-NN variant of the ANN join (kNN-graph construction), cut by
+    // the native TopK plan node — same deterministic replay, k rows
+    // per left vector
+    "ann_join_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.annJoinTopK(emb.filter(col("vec_id") < 200),
+        emb.filter(col("vec_id") >= 200), "vec_id", "embedding", k = 3)
     }))
+
+  /** Shared replay CTE of the ANN-join family (left < 200 probes the
+    * id >= 200 corpus): seeding, assignment, probing, rounded-sim
+    * ranking — callers append their rank cut over `ranked`.
+    */
+  private val annJoinOracle: String =
+    s"""WITH $nCte,
+       |cents AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+       |         v AS cv, nrm AS cn
+       |  FROM n WHERE vec_id >= 200 ORDER BY vec_id LIMIT 16),
+       |csims AS (
+       |  SELECT n.vec_id, cents.idx,
+       |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims WHERE vec_id >= 200) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS lid, idx AS cell FROM (
+       |    SELECT vec_id, idx, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+       |    FROM csims WHERE vec_id < 200) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.lid, a.vec_id AS rid,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN n q ON q.vec_id = p.lid
+       |  JOIN n c ON c.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT lid, rid, sim, row_number() OVER (
+       |           PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+       |  FROM cand)
+       |""".stripMargin
 
   /** DuckDB literal for a double vector. */
   private def vecLit(v: Seq[Double]): String =
@@ -351,40 +396,15 @@ object AnnQueries {
          |                            ORDER BY sim DESC, vid ASC)::INT AS rank
          |  FROM cand)
          |SELECT * FROM ranked WHERE rank <= $K""".stripMargin,
-    // replay of annJoinTop1: right-seeded centroids, right-side cell
-    // assignment, left-side nProbe probes, rounded-sim rank-1 per left
-    // row with the same (sim DESC, rid ASC) tie-break
+    // replay of annJoinTop1/TopK (shared CTE via annJoinOracle):
+    // right-seeded centroids, right-side cell assignment, left-side
+    // nProbe probes, rounded-sim ranking with the (sim DESC, rid ASC)
+    // tie-break, cut at 1 / k
     "ann_join_top1" ->
-      s"""WITH $nCte,
-         |cents AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
-         |         v AS cv, nrm AS cn
-         |  FROM n WHERE vec_id >= 200 ORDER BY vec_id LIMIT 16),
-         |csims AS (
-         |  SELECT n.vec_id, cents.idx,
-         |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
-         |  FROM n, cents),
-         |assigned AS (
-         |  SELECT vec_id, idx AS cell FROM (
-         |    SELECT vec_id, idx, row_number() OVER (
-         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
-         |    FROM csims WHERE vec_id >= 200) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS lid, idx AS cell FROM (
-         |    SELECT vec_id, idx, row_number() OVER (
-         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
-         |    FROM csims WHERE vec_id < 200) WHERE rn <= 4),
-         |cand AS (
-         |  SELECT p.lid, a.vec_id AS rid,
-         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
-         |  FROM probes p
-         |  JOIN assigned a ON a.cell = p.cell
-         |  JOIN n q ON q.vec_id = p.lid
-         |  JOIN n c ON c.vec_id = a.vec_id)
-         |SELECT lid, rid, sim FROM (
-         |  SELECT lid, rid, sim, row_number() OVER (
-         |           PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
-         |  FROM cand) WHERE rn = 1""".stripMargin,
+      s"${annJoinOracle}SELECT lid, rid, sim FROM ranked WHERE rn = 1",
+    "ann_join_topk" ->
+      s"""${annJoinOracle}SELECT lid, rid, sim, rn::INT AS rank
+         |FROM ranked WHERE rn <= 3""".stripMargin,
     "ann_pq_topk" -> pqOracle(m = 4, k = 16, dim = 64),
     "ann_ivfpq_topk" -> ivfPqOracle(nCentroids = 16, nProbe = 4,
       m = 4, k = 16, dim = 64),

@@ -331,6 +331,21 @@ class DedupAnnSpec extends SparkSpec {
     assert(probed.count() == left.count())
   }
 
+  test("annJoinTopK: all-cell probing equals brute-force top-k; TopK node in plan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val left = emb.filter(col("vec_id") < 40)
+    val right = emb.filter(col("vec_id") >= 40)
+    val joined = Ann.annJoinTopK(left, right, "vec_id", "embedding", k = 3,
+      nCells = 8, nProbe = 8)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("TopKNode"),
+      "the per-left cut must run on the native TopK operator")
+    val got = joined.select("lid", "rid", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Ann.bruteForceTopK(left, right, "vec_id", "embedding", 3)
+      .select("qid", "vid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
   test("ivfTopK: probing all cells equals brute force; fewer probes trade recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 4)
