@@ -9,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing method: one warm-up pass (session/codegen/file listing),
   * then each query timed once; queries whose first run exceeds
-  * [[Bench.RetimeThresholdSec]] are re-run and the minimum kept —
-  * one-off machine contention (r01 saw a 22 s outlier on a 1.8 s
-  * groupBy) shouldn't decide a round's number.
+  * [[Bench.RetimeThresholdSec]] are re-run IN A FRESH SESSION and the
+  * minimum kept. The fresh-session retime is the r05 fix: retiming in
+  * the SAME session kept whatever state the sweep window had
+  * accumulated (q21_waiting_supplier retimed at 89 s in-sweep where a
+  * clean session runs it in 4 s), so min-of-2 was a min over two
+  * equally contaminated runs. A fresh-session retime makes the kept
+  * number the standalone (TimeQueries) definition by construction —
+  * a reported time can exceed its clean-session cost only by one-off
+  * contention hitting BOTH runs. Block cleanup likewise moved INSIDE
+  * [[timeOnce]]: run 1's localCheckpoint blocks previously stayed
+  * resident during run 2 of the same query, so heavy queries retimed
+  * under double their own block footprint.
   */
 object Bench {
 
@@ -32,7 +41,12 @@ object Bench {
     "fuzzy_join_sym", "s13_stream_sketch", "sk_cms_freq",
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
     "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission",
-    "dedup_index_persisted", "ann_join_top1", "ann_join_topk")
+    "dedup_index_persisted", "ann_join_top1", "ann_join_topk",
+    // the sweep's historically slowest queries, surfaced on the public
+    // line (r05 verdict: the worst numbers must not live only in
+    // bench_detail.json)
+    "q21_waiting_supplier", "dedup_common_ngrams", "q20_part_promotion",
+    "q2_min_cost_supplier", "dedup_containment")
 
   /** r04 lesson: one 8 GB session running all 181 queries accumulates
     * state (GC pressure, codegen caches, listener/temp-view churn)
@@ -82,26 +96,36 @@ object Bench {
         spark, sfDir, "/tmp/graft_bench_stream")
       catch { case _: Throwable => (0.0, 0) }
 
+    def recycle(): Unit = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
+    // elapsed excludes the cleanup; the cleanup runs after EVERY timed
+    // run (not once per query) so a retime never executes under the
+    // first run's still-resident localCheckpoint blocks. BLOCKING, so
+    // the eviction isn't racing the next run's execution for the heap.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+      t
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), i) =>
-        if (i > 0 && i % RecycleEvery == 0) {
-          spark.stop()
-          SparkSession.clearActiveSession()
-          SparkSession.clearDefaultSession()
-          spark = newSession()
-        }
+        if (i > 0 && i % RecycleEvery == 0) recycle()
         val t1 = timeOnce(fn)
-        val t = if (t1 > RetimeThresholdSec) math.min(t1, timeOnce(fn)) else t1
-        // drop this query's localCheckpoint blocks and cached plans
-        // before the next timing — BLOCKING, so the eviction isn't
-        // racing the next query's execution for the same heap
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.sharedState.cacheManager.clearCache()
+        // fresh-session retime (see scaladoc): the kept minimum is the
+        // clean-session cost, not the best of two sweep-contaminated
+        // runs — costs one ~2 s restart per slow query, which the r05
+        // verdict showed buys back ~150 s of artifact on the total
+        val t = if (t1 > RetimeThresholdSec) {
+          recycle()
+          math.min(t1, timeOnce(fn))
+        } else t1
         name -> t
       }.toMap
     val total = results.values.sum

@@ -356,11 +356,18 @@ object Dedup {
   // corpus signature pass is the dominant cost and must be paid ONCE.
   // The production framing (the near-dup twin of the persisted IVF
   // index, `similarity/Ann.scala`): the index is a pair of TABLES —
-  //   dir/bands     (band, bh, doc): the inverted band index, stored
-  //                 partitioned by band number so each band's files
-  //                 compact/expire independently;
-  //   dir/shingles  (doc, hs): the shingle arrays the exact-verify
-  //                 join reads.
+  //   dir/bands/ingest=<id>/band=N  (bh, doc): the inverted band
+  //                 index, partitioned by ingest batch and band number
+  //                 so each band's files compact/expire independently;
+  //   dir/shingles/ingest=<id>      (doc, hs): the shingle arrays the
+  //                 exact-verify join reads.
+  // EVERY write path parks under an ingest=<id> partition — batch
+  // build/append use the reserved id -1, streaming micro-batches use
+  // their batchId — so a batch-built index later grown by streaming
+  // deltas has ONE uniform partition depth. (Before r06, build wrote
+  // bands/band=N while streaming wrote bands/ingest=k/band=N; mixing
+  // the two made partition discovery fail with "conflicting directory
+  // structures" exactly on the natural build-once-then-stream flow.)
   // MinHash has no trained state (the hash seed IS the model), so a
   // delta append is exactly the build kernel over the new docs plus
   // two appends — existing rows are never read or rewritten, and
@@ -376,7 +383,8 @@ object Dedup {
                      bands: Int = 32): Unit = {
     writeIndexParams(dir, n, numHashes, bands, createOnly = false)
     writeBandKernel(corpus, id, text, n, numHashes, bands,
-      s"$dir/shingles", s"$dir/bands", "overwrite")
+      s"$dir/shingles/ingest=$BatchIngestId",
+      s"$dir/bands/ingest=$BatchIngestId", "overwrite")
   }
 
   /** Ingest new documents: signature pass over the DELTA only, append
@@ -387,8 +395,14 @@ object Dedup {
                       bands: Int = 32): Unit = {
     checkIndexParams(dir, n, numHashes, bands)
     writeBandKernel(delta, id, text, n, numHashes, bands,
-      s"$dir/shingles", s"$dir/bands", "append")
+      s"$dir/shingles/ingest=$BatchIngestId",
+      s"$dir/bands/ingest=$BatchIngestId", "append")
   }
+
+  /** Reserved ingest-partition id for batch build/append writes;
+    * streaming micro-batches use their (non-negative) batchId.
+    */
+  private val BatchIngestId = -1L
 
   /** The one signature+banding kernel every index write path goes
     * through — build, append, and streaming ingest differ only in
@@ -462,6 +476,9 @@ object Dedup {
   def bandIndexIngestBatch(delta: DataFrame, id: String, text: String,
                            n: Int, dir: String, batchId: Long,
                            numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(batchId >= 0,
+      s"ingest batchId must be non-negative (got $batchId) — ingest=" +
+        s"$BatchIngestId is reserved for batch build/append writes")
     // first batch stamps the params; later batches (and restarts)
     // validate against them
     writeIndexParams(dir, n, numHashes, bands, createOnly = true)

@@ -333,17 +333,37 @@ object Ann {
           .as("sim"))
   }
 
+  /** Genuinely TOTAL: every left row appears exactly once. The
+    * candidate stream is an inner equi-join, so a left row whose
+    * nProbe probed cells all have no right members (duplicate seed
+    * vectors leaving a cell empty, nCells > distinct right vectors)
+    * would silently drop out; a sentinel candidate per left row
+    * (sim = -2, below any cosine) is unioned in — map-only, same
+    * single shuffle — so such rows surface as (lid, NULL, NULL)
+    * instead of vanishing.
+    */
   def annJoinTop1(left: DataFrame, right: DataFrame, id: String,
                   vec: String, nCells: Int = 16,
-                  nProbe: Int = 4): DataFrame =
-    annJoinCandidates(left, right, id, vec, nCells, nProbe)
+                  nProbe: Int = 4): DataFrame = {
+    val NoMatch = -2.0
+    // argmax on (rounded sim, -rid): highest similarity, ties to the
+    // smaller right id — matching the oracle's ORDER BY sim DESC,
+    // rid ASC rank-1 row; any real candidate (cosine ≥ -1) beats the
+    // sentinel on the struct's leading field
+    val cand = annJoinCandidates(left, right, id, vec, nCells, nProbe)
+      .select(col("lid"),
+        struct(col("sim"), (-col("rid")).cast("long").as("nrid")).as("c"))
+    val sentinel = prepared(left, id, vec)
+      .select(col("vid").as("lid"),
+        struct(lit(NoMatch).as("sim"),
+          lit(null).cast("long").as("nrid")).as("c"))
+    cand.union(sentinel)
       .groupBy(col("lid"))
-      // argmax on (rounded sim, -rid): highest similarity, ties to the
-      // smaller right id — matching the oracle's ORDER BY sim DESC,
-      // rid ASC rank-1 row
-      .agg(max(struct(col("sim"), (-col("rid")).as("nrid"))).as("best"))
-      .select(col("lid"), (-col("best.nrid")).as("rid"),
-        col("best.sim").as("sim"))
+      .agg(max(col("c")).as("best"))
+      .select(col("lid"),
+        when(col("best.sim") =!= NoMatch, -col("best.nrid")).as("rid"),
+        when(col("best.sim") =!= NoMatch, col("best.sim")).as("sim"))
+  }
 
   /** k-nearest ANN join (kNN-graph construction between two
     * corpus-sized relations): same candidate stream as
@@ -352,7 +372,11 @@ object Ann {
     * partition to k rows per left id BEFORE the lid exchange, so the
     * shuffle carries ≤ k·partitions rows per left row instead of the
     * whole probed-candidate stream, and no per-partition full sort
-    * ever runs. Emits (lid, rid, sim, rank).
+    * ever runs. Emits (lid, rid, sim, rank) — up to k rows per left
+    * row; unlike [[annJoinTop1]] a left row with zero probed
+    * candidates emits NO rows (a kNN-graph node with an empty
+    * neighborhood has no edges; a null edge row would poison
+    * downstream graph ops).
     */
   def annJoinTopK(left: DataFrame, right: DataFrame, id: String,
                   vec: String, k: Int, nCells: Int = 16,

@@ -400,8 +400,13 @@ object AnnQueries {
     // right-seeded centroids, right-side cell assignment, left-side
     // nProbe probes, rounded-sim ranking with the (sim DESC, rid ASC)
     // tie-break, cut at 1 / k
+    // LEFT join from the full left-id domain: annJoinTop1 is total —
+    // a left row with zero probed candidates emits a NULL match
     "ann_join_top1" ->
-      s"${annJoinOracle}SELECT lid, rid, sim FROM ranked WHERE rn = 1",
+      s"""${annJoinOracle}SELECT l.vec_id AS lid, r.rid, r.sim
+         |FROM (SELECT vec_id FROM n WHERE vec_id < 200) l
+         |LEFT JOIN (SELECT lid, rid, sim FROM ranked WHERE rn = 1) r
+         |  ON r.lid = l.vec_id""".stripMargin,
     "ann_join_topk" ->
       s"""${annJoinOracle}SELECT lid, rid, sim, rn::INT AS rank
          |FROM ranked WHERE rn <= 3""".stripMargin,

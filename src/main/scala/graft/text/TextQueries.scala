@@ -236,6 +236,14 @@ object TextQueries {
     "tx_bpe_train" -> ((s, dir) => {
       val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", 12)
       import s.implicits._
+      // the contract oracle pins ranks 1..12, so a corpus that
+      // exhausts merge candidates early (tiny sf dir, degenerate
+      // text) must fail with a MESSAGE here, not as a row-count/hash
+      // mismatch at the gate — and an empty list would throw on .max
+      require(merges.length == 12,
+        s"tx_bpe_train: corpus exhausted BPE merge candidates after " +
+          s"${merges.length}/12 merges — the contract oracle pins ranks " +
+          "1..12; run on a larger corpus or lower the iteration count")
       val outputs = merges.map(m => m.left + m.right)
       val maxCount = merges.map(_.count).max
       val rows = merges.map { m =>

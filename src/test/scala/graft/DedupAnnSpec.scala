@@ -314,6 +314,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(fromIndex == direct)
   }
 
+  test("band index: batch build then streaming ingest share one layout; probe reads both") {
+    // the natural production flow — build the index once in batch,
+    // then grow it with streaming micro-batches — used to die in
+    // partition discovery ("conflicting directory structures") because
+    // the two write paths parked at different partition depths
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ix = java.nio.file.Files.createTempDirectory("graft_bi_mix").toString
+    Dedup.bandIndexBuild(docs.filter(col("doc_id") >= 30),
+      "doc_id", "text", 3, ix)
+    Dedup.bandIndexIngestBatch(
+      docs.filter(col("doc_id") >= 15 && col("doc_id") < 30),
+      "doc_id", "text", 3, ix, batchId = 0L)
+    val probe = docs.filter(col("doc_id") < 15)
+    val mixed = Dedup.bandIndexProbe(probe, "doc_id", "text", 3, ix, 0.5)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    val direct = Dedup.corpusAdmission(probe,
+        docs.filter(col("doc_id") >= 15), "doc_id", "text", 3, 0.5)
+      .select("in_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(mixed == direct,
+      "a batch-built index grown by streaming ingest must answer like a one-shot build")
+    // a streaming batch id may never collide with the reserved batch slot
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexIngestBatch(probe, "doc_id", "text", 3, ix, batchId = -1L)
+    }
+  }
+
   test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val left = emb.filter(col("vec_id") < 40)
@@ -329,6 +355,18 @@ class DedupAnnSpec extends SparkSpec {
     val probed = Ann.annJoinTop1(left, right, "vec_id", "embedding",
       nCells = 8, nProbe = 2)
     assert(probed.count() == left.count())
+  }
+
+  test("annJoinTop1 totality: empty right side -> one NULL-match row per left row") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val left = emb.filter(col("vec_id") < 40)
+    val right = emb.filter(col("vec_id") < 0) // empty: every probed cell empty
+    val rows = Ann.annJoinTop1(left, right, "vec_id", "embedding",
+      nCells = 8, nProbe = 2).collect()
+    assert(rows.length == left.count(),
+      "annJoinTop1 must stay total when no candidates exist")
+    assert(rows.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "no-candidate left rows must surface as NULL matches, not vanish")
   }
 
   test("annJoinTopK: all-cell probing equals brute-force top-k; TopK node in plan") {
