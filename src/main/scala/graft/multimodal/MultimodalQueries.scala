@@ -44,6 +44,48 @@ object MultimodalQueries {
           (col("fsum") >= 0 && col("fsum") <= col("n_bytes") &&
             (col("n_bytes") === 0 || col("fsum") > 0)).as("mass_ok"))
     }),
+    // REAL image decode over generated PNG fixtures: each document
+    // becomes a small PNG (dims + gray pixel values deterministic
+    // functions of doc_id, encoded losslessly in the fixture-builder
+    // map), then [[Multimodal.decodeFeatures]] decodes it back with
+    // javax.imageio. The contract oracle (a37 trick) recomputes what
+    // the decode must recover:
+    //  · decoded: ImageIO accepted every fixture (fallback not taken);
+    //  · width/height: true PIXEL dims, recomputed from doc_id — a
+    //    codec that trusted the metadata claim instead of the pixels
+    //    would still pass these, so the fixture's metadata struct
+    //    LIES (0×0) and decoded dims must differ from it;
+    //  · channels = 3 (TYPE_INT_RGB);
+    //  · px0_ok: feature 0, scaled back by 255, equals pixel (0,0)'s
+    //    gray value exactly — dim (64) ≥ pixels (≤35), so feature i
+    //    IS pixel i's luminance and one flipped byte fails the row;
+    //  · mass_ok: 0 < Σfeatures ≤ pixels (luminance ∈ (0,1] per px).
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = (id % 7 + 1).toInt
+        val h = (id % 5 + 1).toInt
+        // gray range 1..255: a doc whose every pixel were 0 would
+        // make the fsum>0 invariant vacuously false
+        val png = Multimodal.Codec.encodePng(w, h, (x, y) => {
+          val g = ((id * 31 + x * 7 + y * 13) % 255).toInt + 1
+          (g << 16) | (g << 8) | g
+        })
+        // metadata claims 0×0: the decode must report pixel truth
+        Multimodal.MediaRow(id, "image", png,
+          Multimodal.MediaMeta("image/png", 0, 0, 3))
+      })
+      val f = Multimodal.decodeFeatures(media, dim = 64).toDF()
+        .withColumn("fsum", aggregate(col("features"), lit(0.0),
+          (acc, x) => acc + x.cast("double")))
+      f.select(col("media_id"), col("decoded"), col("format"),
+        col("width"), col("height"), col("channels"),
+        (round(element_at(col("features"), 1) * 255) ===
+          (col("media_id") * 31) % 255 + 1).as("px0_ok"),
+        (col("fsum") > 0 &&
+          col("fsum") <= col("width") * col("height")).as("mass_ok"))
+    }),
     // frame-sampling plumbing; the stub's byte-range frames make the
     // stats pure arithmetic, so this one IS oracle-checked
     "mm_frame_stats" -> ((s, dir) => {
@@ -59,6 +101,16 @@ object MultimodalQueries {
     "mm_features" ->
       """SELECT doc_id AS media_id, 'image' AS modality, 16 AS dim,
         |       TRUE AS nonneg_ok, TRUE AS mass_ok
+        |FROM documents""".stripMargin,
+    // real-decode contract: every invariant cell literal, the decoded
+    // pixel dimensions recomputed from doc_id (the fixture's metadata
+    // claims 0×0, so matching these proves the codec read the pixels)
+    "mm_decode_real" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       'image/png' AS format,
+        |       (doc_id % 7 + 1)::INT AS width,
+        |       (doc_id % 5 + 1)::INT AS height,
+        |       3 AS channels, TRUE AS px0_ok, TRUE AS mass_ok
         |FROM documents""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

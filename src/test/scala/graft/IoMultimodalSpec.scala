@@ -137,6 +137,51 @@ class IoMultimodalSpec extends SparkSpec {
     assert(feats.values.forall(_.length == 4))
   }
 
+  test("decodeImage: PNG round-trip recovers exact dims, channels, luminance") {
+    val png = Multimodal.Codec.encodePng(3, 2, (x, y) => {
+      val g = 10 * (y * 3 + x) + 5
+      (g << 16) | (g << 8) | g
+    })
+    assert(Multimodal.Codec.sniffFormat(png) == "image/png")
+    val Some((meta, f)) = Multimodal.Codec.decodeImage(png, 6)
+    assert(meta == Multimodal.MediaMeta("image/png", 3, 2, 3))
+    // dim == pixels -> feature i IS pixel i's luminance; PNG is
+    // lossless so the values are exact (same float expression)
+    val want = (0 until 6).map(i => (3 * (10 * i + 5)) / 765.0f)
+    assert(f.toSeq == want)
+  }
+
+  test("decodeImage: JPEG decodes true dims; lossy values not pinned") {
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    assert(Multimodal.Codec.sniffFormat(jpg) == "image/jpeg")
+    val Some((meta, f)) = Multimodal.Codec.decodeImage(jpg, 4)
+    assert(meta.format == "image/jpeg" && meta.width == 5 && meta.height == 4)
+    assert(f.forall(v => v >= 0f && v <= 5f)) // 20 px / 4 dims, lum <= 1
+  }
+
+  test("decodeFeatures: unreadable payloads degrade to the stub, flagged") {
+    val docs = Seq((1L, "not an image")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
+    val d = Multimodal.decodeFeatures(media, dim = 4).collect()(0)
+    assert(!d.decoded, "text bytes must take the fallback path")
+    assert(d.format == "fake/raw", "fallback passes the metadata claim through")
+    assert(d.features.toSeq ==
+      Multimodal.Codec.decodeStub("not an image".getBytes("UTF-8"), 4).toSeq)
+    // a real PNG through the same typed transform decodes for real
+    val png = Multimodal.Codec.encodePng(2, 2, (_, _) => 0x40C0FF)
+    val withPng = Seq(Multimodal.MediaRow(9L, "image", png,
+      Multimodal.MediaMeta("claims/wrong", 0, 0, 0))).toDS()
+    val r = Multimodal.decodeFeatures(withPng, dim = 4).collect()(0)
+    assert(r.decoded && r.format == "image/png" && r.width == 2 &&
+      r.height == 2 && r.channels == 3,
+      "decode must report pixel truth, not the metadata claim")
+  }
+
   test("frame sampling stub batches payload ranges") {
     val frames = Multimodal.Codec.sampleFrames(Array[Byte](1, 2, 3, 4, 5), 2)
     assert(frames.map(_.toSeq) == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
