@@ -15,8 +15,8 @@ import graft.Tables
   */
 object AnnQueries {
 
-  private val K = 5
-  private val NQueries = 8
+  private[graft] val K = 5
+  private[graft] val NQueries = 8
   private val PairThreshold = 0.45
   /** Contract floor for the k-means-refined IVF recall@K (see
     * `ann_ivf_kmeans_topk`). Measured with tools/ProbeRecall

@@ -354,6 +354,48 @@ object StreamingJob {
       s"$dir/ix", threshold)
   }
 
+  /** Streaming ANN-join admission — the vector twin of
+    * [[streamBandIndexIngest]]'s probe side, closing the same loop the
+    * band index closed for MinHash: the IVF index is built ONCE in
+    * batch ([[graft.similarity.Ann.ivfIndexBuild]] + a frozen-centroid
+    * delta append), then query vectors arrive as micro-batches and
+    * each batch is kNN-joined against the STORED index via
+    * [[graft.similarity.Ann.ivfTopKFromIndex]]. Stream–static and
+    * stateless: a micro-batch pays its own map-only cell assignment
+    * plus a cell-partition-pruned read of its probed cells — zero
+    * corpus-side compute, zero streaming state. Results land in
+    * per-batch `ingest=<batchId>` partitions with overwrite (the
+    * [[graft.io.IdempotentBatchSink]] pattern), so an at-least-once
+    * redelivery replaces its own previous write. Per-query top-k is
+    * independent across queries, so the streamed union over batches
+    * equals the one-shot batch probe — which is what the oracle replays.
+    */
+  def streamAnnIndexProbe(corpus: DataFrame, delta: DataFrame,
+                          queries: DataFrame, id: String, vec: String,
+                          k: Int, nProbe: Int, nCells: Int,
+                          workDir: String, nFiles: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.similarity.Ann.ivfIndexBuild(corpus, id, vec, nCells, s"$dir/ix")
+    graft.similarity.Ann.ivfIndexAppend(delta, id, vec, s"$dir/ix")
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.Ann.ivfTopKFromIndex(batch, id, vec,
+            s"$dir/ix", k, nProbe)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   // ---------------------------------------------------------------------
   // T7: stateful late-event drop (the reference's abandoned feature).
   // ---------------------------------------------------------------------

@@ -291,6 +291,26 @@ object StreamingQueries {
     StreamingJob.runToMemory(flagged, mode = "append")
   }
 
+  /** Streaming ANN-join admission: the persisted IVF index is built
+    * once in batch over the vec_id >= 100 corpus (plus a
+    * frozen-centroid delta append of [NQueries, 100), exactly the
+    * `ann_ivf_persisted` construction), then the query vectors arrive
+    * as micro-batches, each kNN-joined against the stored index —
+    * stream–static, stateless, cell-partition-pruned. Per-query top-k
+    * independence makes the streamed union equal the one-shot probe,
+    * so the oracle IS `ann_ivf_persisted`'s replay.
+    */
+  private def streamAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    StreamingJob.streamAnnIndexProbe(
+      emb.filter(col("vec_id") >= 100),
+      emb.filter(col("vec_id") >= graft.similarity.AnnQueries.NQueries &&
+        col("vec_id") < 100),
+      emb.filter(col("vec_id") < graft.similarity.AnnQueries.NQueries),
+      "vec_id", "embedding", graft.similarity.AnnQueries.K,
+      nProbe = 4, nCells = 16, "/tmp/graft_s17")
+  }
+
   /** Streaming maintenance of the persisted band index: the doc_id
     * >= 200 corpus arrives as 4 micro-batches, each idempotently
     * appended to the stored index; the doc_id < 200 batch then probes
@@ -367,6 +387,7 @@ object StreamingQueries {
     "s10_stream_heavy_hitters" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "s11_stream_corpus_dedup" -> ((s, dir) => streamCorpusDedup(s, dir)),
     "s16_stream_index_ingest" -> ((s, dir) => streamIndexIngest(s, dir)),
+    "s17_stream_ann_admission" -> ((s, dir) => streamAnnProbe(s, dir)),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
@@ -437,6 +458,10 @@ object StreamingQueries {
     "s16_stream_index_ingest" ->
       graft.dedup.DedupQueries.crossJaccardOracle(
         "doc_id < 200", "doc_id >= 200", 0.8),
+    // per-query top-k independence: streamed micro-batch probes of the
+    // stored IVF index union to exactly the one-shot batch probe
+    "s17_stream_ann_admission" ->
+      graft.similarity.AnnQueries.oracleSql("ann_ivf_persisted"),
     "s11_stream_corpus_dedup" ->
       graft.dedup.DedupQueries.crossJaccardOracle(
         "doc_id >= 250", "doc_id < 250", 0.8),
