@@ -78,13 +78,30 @@ final case class KafkaSource(bootstrap: String, topic: String,
                              maxOffsetsPerTrigger: Long = 1000L)
     extends StreamSource {
   def loadStream(spark: SparkSession): DataFrame =
-    spark.readStream.format("kafka")
+    try spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("failOnDataLoss", "false")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       .load()
+    catch {
+      // Spark surfaces a missing connector at lookup time as
+      // DATA_SOURCE_NOT_FOUND (an AnalysisException in Spark 4, a raw
+      // ClassNotFoundException in older lines); translate it into an
+      // actionable deploy-posture message instead of a class name
+      case e @ (_: ClassNotFoundException |
+                _: org.apache.spark.sql.AnalysisException)
+          if String.valueOf(e.getMessage).contains("DATA_SOURCE_NOT_FOUND") ||
+            String.valueOf(e.getMessage).contains("Failed to find") ||
+            e.isInstanceOf[ClassNotFoundException] =>
+        throw new IllegalStateException(
+        "KafkaSource: the Kafka connector is not on the classpath. Add " +
+          "the spark-sql-kafka-0-10 package (matching your Spark/Scala " +
+          "version, with its kafka-clients dependency) to the deployment " +
+          "classpath — e.g. spark-submit --packages org.apache.spark:" +
+          "spark-sql-kafka-0-10_2.13:<spark-version>.", e)
+    }
 }
 
 /** Rate source for load testing (rows/sec generator). */
@@ -130,6 +147,79 @@ final case class JdbcSink(url: String, table: String,
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     df.write.mode("append").jdbc(url, table, p)
+  }
+}
+
+/** PK-upsert JDBC sink — the idempotent-write option SURVEY.md §7.4
+  * documents for the at-least-once foreachBatch JDBC path: rows are
+  * keyed by `keyCols` and a write REPLACES the key's previous row, so
+  * a redelivered micro-batch (or a retried partition task) collapses
+  * to one row per key instead of appending duplicates — effective
+  * exactly-once on a keyed table, where [[JdbcSink]] is at-least-once.
+  *
+  * Shape: the batch is first deduplicated on the key (arbitrary
+  * within-batch winner, same as any upsert under one batch id), then
+  * each PARTITION opens one connection and runs a transactional
+  * batched delete-then-insert per key — the dialect-portable upsert
+  * (works on every JDBC engine; swap in MERGE / INSERT..ON CONFLICT
+  * for engines where the single-statement form is cheaper, the plan
+  * shape is unchanged). Rows never pass through the driver. Partition
+  * transactions make task retries safe: a replayed partition deletes
+  * its own half-written keys before reinserting. Assumes the batch
+  * query is the table's single writer (the foreachBatch posture);
+  * concurrent writers would need the engine's native upsert + a
+  * unique index.
+  */
+final case class JdbcUpsertSink(url: String, table: String,
+                                keyCols: Seq[String],
+                                props: Map[String, String]) extends BatchSink {
+  def write(df: DataFrame): Unit = {
+    val cols = df.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of row columns $cols")
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    // first use creates the (empty) table with Spark's JDBC schema
+    // mapping — same conventions as the append sink
+    df.limit(0).write.mode("append").jdbc(url, table, p)
+    // Spark quotes column identifiers on CREATE; mirror it
+    def q(c: String) = "\"" + c + "\""
+    // engines that map StringType to a LOB type (Derby → CLOB) reject
+    // equality on the raw column; compare through a VARCHAR cast
+    val keyPred = df.schema.filter(f => keyCols.contains(f.name))
+      .sortBy(f => keyCols.indexOf(f.name))
+      .map(f => f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          s"CAST(${q(f.name)} AS VARCHAR(32672)) = ?"
+        case _ => s"${q(f.name)} = ?"
+      }).mkString(" AND ")
+    val (u, t, drv, keys, all) =
+      (url, table, props.get("driver"), keyCols, cols)
+    df.dropDuplicates(keyCols).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        drv.foreach(Class.forName(_))
+        val conn = java.sql.DriverManager.getConnection(u)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(s"DELETE FROM $t WHERE $keyPred")
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $t (${all.map(q).mkString(", ")}) VALUES (" +
+              all.map(_ => "?").mkString(", ") + ")")
+          rows.foreach { r =>
+            keys.zipWithIndex.foreach { case (k, i) =>
+              del.setObject(i + 1, r.get(r.fieldIndex(k))) }
+            del.addBatch()
+            all.zipWithIndex.foreach { case (c, i) =>
+              ins.setObject(i + 1, r.get(r.fieldIndex(c))) }
+            ins.addBatch()
+          }
+          del.executeBatch()
+          ins.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+    }
   }
 }
 

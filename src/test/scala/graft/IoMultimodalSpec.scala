@@ -115,6 +115,18 @@ class IoMultimodalSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("KafkaSource without the connector jar fails with deploy guidance") {
+    // the sandbox classpath has no spark-sql-kafka; the source must
+    // translate Spark's DATA_SOURCE_NOT_FOUND into an actionable
+    // message instead of a raw ClassNotFoundException
+    val e = intercept[IllegalStateException] {
+      graft.io.KafkaSource("localhost:9092", "tx").loadStream(spark)
+    }
+    assert(e.getMessage.contains("spark-sql-kafka-0-10"),
+      s"error must name the missing package, got: ${e.getMessage}")
+    assert(e.getCause != null, "original lookup failure must be chained")
+  }
+
   test("media rows: payload bytes + typed meta survive the round trip") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs)

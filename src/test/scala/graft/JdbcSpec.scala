@@ -70,6 +70,32 @@ class JdbcSpec extends SparkSpec {
     assert(back.agg(round(sum(col("score_medio")), 2)).head.getDouble(0) == 11.75)
   }
 
+  test("JDBC PK-upsert sink: duplicate redelivery collapses to one row per key") {
+    val sink = graft.io.JdbcUpsertSink(url, "scores_upsert",
+      Seq("id_transacao"), props)
+    def batch(rows: Seq[(String, Double, Boolean)]) =
+      rows.toDF("id_transacao", "score_medio", "transacao_aprovada")
+    val b0 = Seq(("a", 1.5, true), ("b", 7.0, false))
+    sink.write(batch(b0))
+    sink.write(batch(b0)) // at-least-once redelivery of the same batch
+    def back() = spark.read.jdbc(url, "scores_upsert", {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    })
+    assert(back().count() == 2,
+      "redelivered batch must collapse onto the same keys, not append")
+    // a later batch UPDATES key b and inserts key c
+    sink.write(batch(Seq(("b", 9.0, true), ("c", 3.0, true))))
+    val rows = back().collect()
+      .map(r => r.getAs[String]("id_transacao") ->
+        (r.getAs[Double]("score_medio"), r.getAs[Boolean]("transacao_aprovada")))
+      .toMap
+    assert(rows.size == 3)
+    assert(rows("b") == (9.0, true), "upsert must replace the key's row")
+    assert(rows("a") == (1.5, true) && rows("c") == (3.0, true))
+  }
+
   test("JDBC dim feeds the scoring enrich join like the reference deploy") {
     val users = Seq(
       ("u1", "R1", 500.0, 100.0, 200.0, 50.0, 150.0))
