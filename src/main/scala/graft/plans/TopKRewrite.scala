@@ -32,6 +32,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val MaxHeapKeys = 100000
 
+  /** Session kill-switch for the transparent rewrite (default on).
+    * A rule that silently replaces the built-in plan for a ubiquitous
+    * pattern needs an opt-out a user can flip without rebuilding —
+    * e.g. to A/B the two plans on their own data (tools/ScaleCheck
+    * does exactly that measurement).
+    */
+  val EnabledKey = "spark.graft.topk.rewrite.enabled"
+
   /** Largest row_number bound implied by a conjunct of `cond`. */
   private def bound(cond: Expression, rn: Attribute): Option[Int] =
     splitConjunctivePredicates(cond).collectFirst {
@@ -43,7 +51,9 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(IntegerLiteral(v), a: Attribute) if a.semanticEquals(rn) => v
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transformUp {
     // the whole ranking family plans onto the one operator:
     // row_number() -> exact-k mode, rank() -> with-ties mode (tie
     // groups straddle the cut intact), dense_rank() -> top-k-distinct-

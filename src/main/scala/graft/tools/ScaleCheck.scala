@@ -79,6 +79,37 @@ object ScaleCheck {
     val ksecs = (System.nanoTime() - t3) / 1e9
     println(f"[scale] topk   rows=$evn%,d kept=$kn%,d secs=$ksecs%.2f rate=${evn / ksecs}%,.0f rows/s")
 
+    // native TopK vs Spark's built-in path (InferWindowGroupLimit →
+    // full per-partition sort) for the SAME row_number cut, at 3× row
+    // steps — the measurement that justifies TopKRewriteRule firing
+    // transparently on every ranking-filter pattern. This session has
+    // no extensions installed, so the window form below genuinely
+    // plans through WindowGroupLimit (assert-guarded), not our rule.
+    for (f <- Seq(1, 3, 9)) {
+      val rep = ev
+        .withColumn("rep", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("event_id") * f + col("rep")).as("event_id"),
+          (col("user_id") * f + col("rep")).as("user_id"), col("value"))
+        .repartition(32).localCheckpoint(true) // time the cut, not the scan
+      val n = rep.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val builtin = rep.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      assert(builtin.queryExecution.optimizedPlan.toString
+        .contains("WindowGroupLimit"), "builtin baseline lost its pruning")
+      val tB0 = System.nanoTime()
+      builtin.count()
+      val tB = (System.nanoTime() - tB0) / 1e9
+      val tN0 = System.nanoTime()
+      graft.plans.TopKPlan.topKPerKey(rep, Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), k = 3).count()
+      val tN = (System.nanoTime() - tN0) / 1e9
+      println(f"[scale] topk-vs-wgl rows=$n%,d builtin=$tB%.2f s native=$tN%.2f s ratio=${tB / tN}%.2f")
+      rep.unpersist(true)
+    }
+
     // Misra-Gries heavy hitters over the corpus token stream
     val toks = graft.Tables.documents(spark, dir)
       .select(explode(graft.text.Text.tokens(col("text"))).as("w"))

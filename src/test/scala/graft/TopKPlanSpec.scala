@@ -71,6 +71,19 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("rewrite kill-switch: session conf disables and re-enables the rule") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    def plan() = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).queryExecution.executedPlan.toString
+    spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
+    try assert(!plan().contains("TopKPartial"),
+      "disabled rule must leave the builtin window plan")
+    finally spark.conf.unset(graft.plans.TopKRewriteRule.EnabledKey)
+    assert(plan().contains("TopKPartial"),
+      "rule must fire again once the kill-switch is cleared")
+  }
+
   test("rewrite rule: ntile and unbounded patterns stay untouched") {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
     val nt = events.withColumn("rn", ntile(4).over(w)).filter(col("rn") <= 3)
