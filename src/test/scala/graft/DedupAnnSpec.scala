@@ -586,4 +586,38 @@ class DedupAnnSpec extends SparkSpec {
       .select("qid", "vid").as[(Long, Long)].collect().toSet
     assert(probed.nonEmpty && probed.size <= pure.size)
   }
+
+  test("knnGraphClusters: mutual-kNN components, singletons, min-id reps") {
+    // one cell (candidates = all pairs): two tight clusters + an
+    // isolated vector; every pairwise cosine hand-checkable
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14)),
+      (3L, Array(0.96, 0.28)),                        // cluster {1,2,3}
+      (4L, Array(0.0, 1.0)), (5L, Array(0.1, 0.995)), // cluster {4,5}
+      (6L, Array(-1.0, 0.1))                          // singleton
+    ).toDF("vec_id", "embedding")
+    val got = Ann.knnGraphClusters(emb, "vec_id", "embedding", k = 2,
+        threshold = 0.9, nCells = 1, nProbe = 1)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map(1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (4L, false), 6L -> (6L, true)),
+      s"unexpected clustering: $got")
+  }
+
+  test("knnGraphClusters: a one-directional edge never links (mutuality)") {
+    // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
+    // over threshold) but p2's single slot holds p1 — the asymmetric
+    // edge must NOT chain q into the cluster
+    val emb = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.995, 0.0999)),
+      (12L, Array(0.92, 0.392))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.knnGraphClusters(emb, "vec_id", "embedding", k = 1,
+        threshold = 0.9, nCells = 1, nProbe = 1)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map(10L -> (10L, true), 11L -> (10L, false),
+      12L -> (12L, true)), s"asymmetric edge leaked into a cluster: $got")
+  }
 }
