@@ -413,9 +413,16 @@ object Ann {
     * ⇒ the DuckDB oracle reproduces edges, mutuality and labels
     * bit-exactly (components via recursive CTE).
     */
-  def knnGraphClusters(df: DataFrame, id: String, vec: String, k: Int,
-                       threshold: Double, nCells: Int = 16,
-                       nProbe: Int = 4): DataFrame = {
+  /** The undirected edge set of [[knnGraphClusters]]'s graph — the
+    * canonical (a < b) pairs where BOTH directions survived the kNN
+    * cut and the similarity threshold. Public because the mutual-kNN
+    * graph is useful on its own (graph layouts, link features) and so
+    * the plan shape is testable before [[graft.dedup.Dedup
+    * .connectedComponents]]'s eager contraction truncates the lineage.
+    */
+  def mutualKnnEdges(df: DataFrame, id: String, vec: String, k: Int,
+                     threshold: Double, nCells: Int = 16,
+                     nProbe: Int = 4): DataFrame = {
     val knn = graft.plans.TopKPlan.topKPerKey(
       annJoinCandidates(df, df, id, vec, nCells, nProbe)
         .filter(col("lid") =!= col("rid")),
@@ -423,11 +430,16 @@ object Ann {
       .filter(col("sim") >= threshold)
     // (lid, rid) is unique in the kNN output, so the canonical pair
     // count is 2 exactly when both directions survived the cut
-    val mutual = knn
-      .select(least(col("lid"), col("rid")).as("a"),
+    knn.select(least(col("lid"), col("rid")).as("a"),
         greatest(col("lid"), col("rid")).as("b"))
       .groupBy(col("a"), col("b")).count()
       .filter(col("count") === 2).select(col("a"), col("b"))
+  }
+
+  def knnGraphClusters(df: DataFrame, id: String, vec: String, k: Int,
+                       threshold: Double, nCells: Int = 16,
+                       nProbe: Int = 4): DataFrame = {
+    val mutual = mutualKnnEdges(df, id, vec, k, threshold, nCells, nProbe)
     val comp = graft.dedup.Dedup.connectedComponents(mutual, "a", "b")
     prepared(df, id, vec).select(col("vid"))
       .join(comp, col("vid") === col("doc"), "left")

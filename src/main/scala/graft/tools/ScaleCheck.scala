@@ -446,6 +446,23 @@ object ScaleCheck {
     val ajsecs = (System.nanoTime() - t24) / 1e9
     assert(aj == ajLeft.count(), s"ANN join must be total: $aj matches")
     println(f"[scale] annjn  rows=$ajn%,d matched=$aj%,d secs=$ajsecs%.2f rate=${ajn / ajsecs}%,.0f vecs/s")
+
+    // ---- round-6 operator at factor× rows ----
+
+    // mutual-kNN-graph clustering: factor× vectors with nCells grown
+    // ×factor (the same constant-per-cell-work knob as the ANN join).
+    // Output is total by construction (singletons restored by the
+    // left join) — every input vector must come back exactly once.
+    val t25 = System.nanoTime()
+    val kg = graft.similarity.Ann.knnGraphClusters(embRep2, "vec_id",
+      "embedding", k = 3, threshold = 0.35,
+      nCells = 16 * factor, nProbe = 4).localCheckpoint(true)
+    val kgRows = kg.count()
+    val kgsecs = (System.nanoTime() - t25) / 1e9
+    val kgClusters = kg.filter(col("is_representative")).count()
+    assert(kgRows == en2, s"clustering must be total: $kgRows of $en2")
+    println(f"[scale] knngc  rows=$kgRows%,d clusters=$kgClusters%,d " +
+      f"secs=$kgsecs%.2f rate=${kgRows / kgsecs}%,.0f vecs/s")
     spark.stop()
   }
 }

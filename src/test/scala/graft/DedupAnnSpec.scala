@@ -605,6 +605,16 @@ class DedupAnnSpec extends SparkSpec {
       s"unexpected clustering: $got")
   }
 
+  test("mutualKnnEdges plan: native TopK cut, no cartesian product") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Ann.mutualKnnEdges(emb, "vec_id", "embedding", k = 3,
+      threshold = 0.35).queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKNode"),
+      "the kNN cut must run on the native TopK operator")
+    assert(!plan.contains("Cartesian") && !plan.contains("cartesian"),
+      "the edge stream must never plan an all-pairs product")
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
