@@ -123,6 +123,22 @@ object DedupQueries {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           N, Threshold), "doc_a", "doc_b")),
+    // Incremental component maintenance: labels built from the
+    // doc_id >= 150 slice only, then the < 150 delta's new edges
+    // (delta–delta and delta–corpus — what a band-index probe of the
+    // delta yields) merged via componentsAppend. The ORACLE is the
+    // full-graph recompute — bit-equality of incremental and scratch
+    // labeling IS the contract.
+    "dedup_components_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", N, Threshold)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs.filter(col("doc_id") >= 150), "doc_id",
+          "text", N, Threshold), "doc_a", "doc_b")
+      Dedup.componentsAppend(oldLabels,
+        pairs.filter(col("doc_a") < 150 || col("doc_b") < 150),
+        "doc_a", "doc_b")
+    }),
     // SemDeDup-shaped semantic dedup: cosine near-dup search bounded
     // to Voronoi cells of the embedding space (the clusters cap the
     // quadratic; emb_cosine_pairs is the all-pairs exact form).
@@ -258,6 +274,23 @@ object DedupQueries {
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $Threshold""".stripMargin
 
   private val jaccardOracle = jaccardOracleOver("documents")
+
+  /** Recursive min-label reachability over the full near-dup pair
+    * graph — shared by the scratch labeling and its incremental twin
+    * (whose contract is bit-equality with the scratch recompute).
+    */
+  private lazy val componentsOracle =
+    s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(u, label) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+       |  UNION
+       |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc, min(label) AS component
+       |FROM reach GROUP BY u""".stripMargin
 
   /** Cross-slice variant of [[jaccardOracleOver]]: exact Jaccard
     * between a probe slice and a corpus slice of `documents` — the ONE
@@ -494,18 +527,10 @@ object DedupQueries {
          |         AS bpe_tokens
          |FROM keeper GROUP BY 1""".stripMargin
     },
-    "dedup_components" ->
-      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
-         |cedges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(u, label) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
-         |  UNION
-         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
-         |SELECT u AS doc, min(label) AS component
-         |FROM reach GROUP BY u""".stripMargin,
+    "dedup_components" -> componentsOracle,
+    // incremental == scratch is the contract, so the oracle IS the
+    // full-graph recompute, verbatim
+    "dedup_components_incr" -> componentsOracle,
     "graph_link_features" ->
       """WITH e AS (
         |  SELECT a.event_id AS u, b.event_id AS v

@@ -615,6 +615,23 @@ class DedupAnnSpec extends SparkSpec {
       "the edge stream must never plan an all-pairs product")
   }
 
+  test("componentsAppend: bridge merge, extension, new cluster, untouched pass-through") {
+    // bridge merging {1,2,3} with {10,11}; extension of {20,21} by a
+    // new doc; a brand-new delta-only cluster; {40,41} untouched
+    val allOld = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (40L, 41L))
+      .toDF("a", "b")
+    val labelsAll = Dedup.connectedComponents(allOld, "a", "b")
+    val newEdges = Seq((3L, 10L), (21L, 22L), (30L, 31L)).toDF("a", "b")
+    val got = Dedup.componentsAppend(labelsAll, newEdges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.connectedComponents(allOld.union(newEdges), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == scratch, s"incremental $got != scratch $scratch")
+    assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 40L))
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
