@@ -631,15 +631,30 @@ object Dedup {
     */
   def componentsAppend(labels: DataFrame, newPairs: DataFrame,
                        aCol: String, bCol: String): DataFrame = {
+    val lab = normalizedLabels(labels)
+    val (touched, relabeled) = componentsAppendParts(lab, newPairs, aCol, bCol)
+    lab.join(touched, Seq("component"), "left_anti")
+      .select(col("doc"), col("component"))
+      .union(relabeled)
+  }
+
+  private def normalizedLabels(labels: DataFrame): DataFrame = labels
+    .select(col("doc").cast("long").as("doc"),
+      col("component").cast("long").as("component"))
+    .localCheckpoint(true)
+
+  /** The delta kernel shared by [[componentsAppend]] and the
+    * partition-pruned [[labelsMerge]]: (components touched by a
+    * new-edge endpoint — broadcastable, ≤ 2·|delta| rows; the fresh
+    * labeling of touched members ∪ delta docs). `labels` must already
+    * be normalized (long doc/component, checkpointed).
+    */
+  private def componentsAppendParts(lab: DataFrame, newPairs: DataFrame,
+                                    aCol: String, bCol: String)
+      : (DataFrame, DataFrame) = {
     val edges = newPairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint(true)
-    val lab = labels
-      .select(col("doc").cast("long").as("doc"),
-        col("component").cast("long").as("component"))
-      .localCheckpoint(true)
-    // components reachable from any new-edge endpoint: ≤ 2·|delta|
-    // rows — broadcastable by construction for any sane delta size
     val touched = broadcast(lab
       .join(edges.select(col("u").as("doc"))
         .union(edges.select(col("v").as("doc"))).distinct(), Seq("doc"))
@@ -649,10 +664,61 @@ object Dedup {
     // exact merged labeling, min-label invariant preserved
     val star = lab.join(touched, Seq("component"))
       .select(col("doc").as("u"), col("component").as("v"))
-    val relabeled = connectedComponents(star.union(edges), "u", "v")
-    lab.join(touched, Seq("component"), "left_anti")
-      .select(col("doc"), col("component"))
-      .union(relabeled)
+    (touched, connectedComponents(star.union(edges), "u", "v"))
+  }
+
+  /** [[componentsAppend]] against a labels TABLE on storage, rewriting
+    * only affected partitions — the piece that makes label maintenance
+    * viable from a STREAM, where rewriting the whole labeling per
+    * micro-batch would be O(corpus) I/O at every trigger. The table is
+    * partitioned by `bucket = doc % nBuckets` — keyed by DOC, not
+    * component, because a doc's bucket never changes when its
+    * component label does, so a dynamic-partition overwrite can never
+    * strand a stale row in a partition the write didn't touch. Per
+    * merge: the delta is re-resolved ([[componentsAppendParts]]), the
+    * affected buckets are exactly those holding a re-resolved doc, and
+    * each one is rewritten as (its untouched rows) ∪ (its re-resolved
+    * rows); untouched buckets are not read for the write and their
+    * files are byte-identical after the merge (spec-pinned). Write
+    * cost per batch: O(corpus/nBuckets · |affected buckets|), tuned by
+    * `nBuckets` — never O(corpus) unless a batch genuinely touches
+    * every bucket. Duplicate edge redelivery re-resolves to the same
+    * fixpoint (idempotent), matching the at-least-once ingest story of
+    * the band index this composes with.
+    */
+  def labelsMerge(dir: String, newPairs: DataFrame, aCol: String,
+                  bCol: String, nBuckets: Int = 16): Unit = {
+    val s = newPairs.sparkSession
+    val lab =
+      if (new java.io.File(dir).exists())
+        normalizedLabels(s.read.parquet(dir))
+      else normalizedLabels(
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("component",
+              org.apache.spark.sql.types.LongType)))))
+    val (touched, relabeled0) =
+      componentsAppendParts(lab, newPairs, aCol, bCol)
+    val relabeled = relabeled0.localCheckpoint(true)
+    if (relabeled.isEmpty) return
+    val bucketOf = (c: Column) => pmod(c, lit(nBuckets.toLong)).cast("int")
+    val affected = broadcast(
+      relabeled.select(bucketOf(col("doc")).as("bucket")).distinct())
+    // every previously-present doc of an affected bucket lands in the
+    // rewrite: untouched-component rows via keep, touched-component
+    // rows via relabeled (which covers all touched members + delta)
+    val keep = lab.withColumn("bucket", bucketOf(col("doc")))
+      .join(affected, Seq("bucket"))
+      .join(touched, Seq("component"), "left_anti")
+      .select(col("doc"), col("component"), col("bucket"))
+    keep.union(relabeled
+        .select(col("doc"), col("component"), bucketOf(col("doc")).as("bucket")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dir)
   }
 
   /** Min-label fixpoint over an undirected graph given as (node, label)

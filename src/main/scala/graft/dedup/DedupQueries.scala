@@ -279,7 +279,7 @@ object DedupQueries {
     * graph — shared by the scratch labeling and its incremental twin
     * (whose contract is bit-equality with the scratch recompute).
     */
-  private lazy val componentsOracle =
+  private[graft] lazy val componentsOracle =
     s"""WITH RECURSIVE pairs AS ($jaccardOracle),
        |cedges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs

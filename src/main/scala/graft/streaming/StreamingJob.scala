@@ -354,6 +354,52 @@ object StreamingJob {
       s"$dir/ix", threshold)
   }
 
+  /** The full streaming dedup production loop in one query: each
+    * document micro-batch (1) lands in the persisted band index
+    * (idempotent `ingest=` partition), (2) probes the index — which now
+    * includes itself — for its near-dup edges (batch–corpus AND
+    * batch-internal pairs: for any pair, the later-arriving doc's probe
+    * finds the earlier one already stored), and (3) merges those edges
+    * into the bucket-partitioned labels table via
+    * [[graft.dedup.Dedup.labelsMerge]], rewriting only affected
+    * buckets. After the stream drains, the labels table IS the
+    * connected-components labeling of the whole corpus — the oracle is
+    * the scratch recursive-CTE recompute, bit-for-bit. Everything is
+    * at-least-once-safe: re-ingest overwrites its own partition,
+    * re-probe re-emits the same edges, and label merging is a
+    * fixpoint under duplicate edges.
+    */
+  def streamLabelMaintenance(docs: DataFrame, id: String, text: String,
+                             n: Int, threshold: Double, workDir: String,
+                             nFiles: Int = 4, nBuckets: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    docs.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.dedup.Dedup.bandIndexIngestBatch(b, id, text, n,
+          s"$dir/ix", batchId)
+        val edges = graft.dedup.Dedup.bandIndexProbe(b, id, text, n,
+            s"$dir/ix", threshold)
+          .filter(col("in_doc") =!= col("corpus_doc"))
+          .select(least(col("in_doc"), col("corpus_doc")).as("a"),
+            greatest(col("in_doc"), col("corpus_doc")).as("b"))
+          .distinct()
+        graft.dedup.Dedup.labelsMerge(s"$dir/labels", edges, "a", "b",
+          nBuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
+  }
+
   /** Streaming ANN-join admission — the vector twin of
     * [[streamBandIndexIngest]]'s probe side, closing the same loop the
     * band index closed for MinHash: the IVF index is built ONCE in

@@ -388,6 +388,12 @@ object StreamingQueries {
     "s11_stream_corpus_dedup" -> ((s, dir) => streamCorpusDedup(s, dir)),
     "s16_stream_index_ingest" -> ((s, dir) => streamIndexIngest(s, dir)),
     "s17_stream_ann_admission" -> ((s, dir) => streamAnnProbe(s, dir)),
+    // The full streaming dedup loop: per micro-batch index ingest +
+    // probe + bucket-partitioned label merge; the drained labels table
+    // must equal the scratch connected-components recompute
+    "s18_stream_label_maintenance" -> ((s, dir) =>
+      StreamingJob.streamLabelMaintenance(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s18")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
@@ -462,6 +468,10 @@ object StreamingQueries {
     // stored IVF index union to exactly the one-shot batch probe
     "s17_stream_ann_admission" ->
       graft.similarity.AnnQueries.oracleSql("ann_ivf_persisted"),
+    // streamed ingest+probe+label-merge must drain to the scratch
+    // full-graph labeling — the oracle IS the recursive-CTE recompute
+    "s18_stream_label_maintenance" ->
+      graft.dedup.DedupQueries.componentsOracle,
     "s11_stream_corpus_dedup" ->
       graft.dedup.DedupQueries.crossJaccardOracle(
         "doc_id >= 250", "doc_id < 250", 0.8),

@@ -632,6 +632,36 @@ class DedupAnnSpec extends SparkSpec {
       40L -> 40L, 41L -> 40L))
   }
 
+  test("labelsMerge: only affected buckets rewritten; redelivery is a fixpoint") {
+    val dir = s"/tmp/graft_labels_spec-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // nBuckets=4: cluster {1,2} lives in buckets 1,2; cluster {40,44}
+    // entirely in bucket 0 — disjoint from anything the second merge
+    // touches
+    Dedup.labelsMerge(dir, Seq((1L, 2L), (40L, 44L)).toDF("a", "b"),
+      "a", "b", nBuckets = 4)
+    def bucket0Files: Map[String, Long] =
+      new java.io.File(s"$dir/bucket=0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = bucket0Files
+    // extend {1,2} with docs 3 and 5 (buckets 3 and 1): bucket 0 must
+    // not be rewritten
+    val delta = Seq((2L, 3L), (3L, 5L)).toDF("a", "b")
+    Dedup.labelsMerge(dir, delta, "a", "b", nBuckets = 4)
+    assert(bucket0Files == before,
+      "untouched bucket files must be byte-identical after a merge")
+    def labels: Set[(Long, Long)] =
+      spark.read.parquet(dir).select(col("doc"), col("component"))
+        .as[(Long, Long)].collect().toSet
+    val expected = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      40L -> 40L, 44L -> 40L)
+    assert(labels == expected, s"merged labeling wrong: $labels")
+    // at-least-once redelivery of the same delta: same fixpoint
+    Dedup.labelsMerge(dir, delta, "a", "b", nBuckets = 4)
+    assert(labels == expected, "duplicate edge redelivery must not change labels")
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
