@@ -42,6 +42,8 @@ object Bench {
     "layout_bucketed_join", "layout_agg_pushdown", "layout_range_manifest",
     "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission",
     "dedup_index_persisted", "ann_join_top1", "ann_join_topk",
+    "dedup_knn_clusters", "dedup_components_incr",
+    "s18_stream_label_maintenance",
     // the sweep's historically slowest queries, surfaced on the public
     // line (r05 verdict: the worst numbers must not live only in
     // bench_detail.json)

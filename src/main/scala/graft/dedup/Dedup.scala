@@ -638,10 +638,14 @@ object Dedup {
       .union(relabeled)
   }
 
+  // deliberately NOT checkpointed: callers hand in a parquet scan or
+  // an already-checkpointed labeling, and the three consumers (touched
+  // discovery, star construction, pass-through anti-join) re-scanning
+  // a column-pruned leaf is far cheaper than eagerly materializing the
+  // corpus-sized relation on every delta merge
   private def normalizedLabels(labels: DataFrame): DataFrame = labels
     .select(col("doc").cast("long").as("doc"),
       col("component").cast("long").as("component"))
-    .localCheckpoint(true)
 
   /** The delta kernel shared by [[componentsAppend]] and the
     * partition-pruned [[labelsMerge]]: (components touched by a

@@ -463,6 +463,40 @@ object ScaleCheck {
     assert(kgRows == en2, s"clustering must be total: $kgRows of $en2")
     println(f"[scale] knngc  rows=$kgRows%,d clusters=$kgClusters%,d " +
       f"secs=$kgsecs%.2f rate=${kgRows / kgsecs}%,.0f vecs/s")
+
+    // incremental label maintenance vs scratch recompute: a synthetic
+    // corpus of factor×25k chain components (4 nodes each), a delta
+    // bridging 1% of adjacent component pairs. The scratch cost grows
+    // with the corpus; the incremental cost tracks the DELTA — the
+    // defining O(delta) property, with equality of the two labelings
+    // asserted via aggregate checksums inside the audit.
+    val nComp = 25000 * factor
+    val chain = spark.range(0, nComp * 4L).toDF("i")
+      .filter(col("i") % 4 =!= 3)
+      .select(col("i").as("u"), (col("i") + 1).as("v"))
+      .repartition(32).localCheckpoint(true)
+    val delta = spark.range(0, nComp / 100L).toDF("g")
+      .select((col("g") * 400 + 3).as("u"), (col("g") * 400 + 4).as("v"))
+      .localCheckpoint(true)
+    val baseLabels = graft.dedup.Dedup
+      .connectedComponents(chain, "u", "v").localCheckpoint(true)
+    val t26 = System.nanoTime()
+    val scratch = graft.dedup.Dedup
+      .connectedComponents(chain.union(delta), "u", "v")
+      .localCheckpoint(true)
+    val scrSecs = (System.nanoTime() - t26) / 1e9
+    val t27 = System.nanoTime()
+    val incr = graft.dedup.Dedup
+      .componentsAppend(baseLabels, delta, "u", "v").localCheckpoint(true)
+    val incSecs = (System.nanoTime() - t27) / 1e9
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("doc") * col("component")),
+        sum(col("component"))).collect()(0).toSeq
+    assert(sig(incr) == sig(scratch),
+      "incremental labeling diverged from scratch recompute")
+    println(f"[scale] ccincr nodes=${nComp * 4}%,d delta=${nComp / 100}%,d " +
+      f"scratch=$scrSecs%.2f s incremental=$incSecs%.2f s " +
+      f"speedup=${scrSecs / incSecs}%.1fx")
     spark.stop()
   }
 }
