@@ -267,6 +267,19 @@ object ExtendedQueries {
           sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
             "4-NOT SPECIFIED", "5-LOW").cast("int")) / n, 1.0, 1.0)))
     }),
+    // Distribution-drift gate (functions/Drift.scala): per-event-type
+    // PSI of `value` between the even- and odd-event_id slices over a
+    // 10-bin [0,500) grid. The parity split is distribution-preserving
+    // by construction, so the gate exercises the full binning/eps/psi
+    // math on near-identical slices; DriftSpec plants REAL drift and
+    // checks the magnitude against a hand-computed PSI.
+    "dq_drift_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.functions.Drift.psi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "event_type", "value", lo = 0.0, hi = 500.0, nBins = 10)
+    }),
     // CDC between two snapshots: per-user daily activity rollups a
     // week apart diffed into the minimal insert/delete/update change
     // set (operators/Cdc.scala — one pk-keyed join, no broadcast)
@@ -680,6 +693,35 @@ object ExtendedQueries {
         |       levenshtein(a.p_brand, b.p_brand)::INT AS dist
         |FROM d a JOIN d b ON a.p_brand < b.p_brand
         |WHERE levenshtein(a.p_brand, b.p_brand) <= 1""".stripMargin,
+    // binning, eps floors and the per-bin psi terms replayed exactly;
+    // bins empty on both sides are absent rows in both engines (their
+    // eps-vs-eps term is ln(1)=0, so skipping them is exact)
+    "dq_drift_psi" ->
+      """WITH tagged AS (
+        |  SELECT event_type AS g,
+        |         least(greatest(floor(value / 50.0), 0), 9)::INT AS bin,
+        |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM events),
+        |counts AS (
+        |  SELECT g, bin,
+        |         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nr,
+        |         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nc
+        |  FROM tagged GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT g, sum(nr) AS n_ref, sum(nc) AS n_cur
+        |  FROM counts GROUP BY 1),
+        |terms AS (
+        |  SELECT c.g, t.n_ref, t.n_cur,
+        |         (greatest(c.nc / t.n_cur, 1e-4) -
+        |          greatest(c.nr / t.n_ref, 1e-4)) *
+        |         ln(greatest(c.nc / t.n_cur, 1e-4) /
+        |            greatest(c.nr / t.n_ref, 1e-4)) AS term
+        |  FROM counts c JOIN totals t ON c.g = t.g)
+        |SELECT g AS event_type, max(n_ref)::BIGINT AS n_ref,
+        |       max(n_cur)::BIGINT AS n_cur,
+        |       round(sum(term), 6) AS psi,
+        |       round(sum(term), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1""".stripMargin,
     "dq_expectations" ->
       """WITH m AS (
         |  SELECT count(*)::DOUBLE AS n,

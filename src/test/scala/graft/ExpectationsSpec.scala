@@ -53,4 +53,31 @@ class ExpectationsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Check("bad name!", lit(1), 0, 1) }
   }
+
+  test("drift psi: identical slices stable, planted shift flagged, hand-check") {
+    import graft.functions.Drift
+    // ref: 100 values in bin 0, 100 in bin 1; cur shifts 80 of bin 0's
+    // mass into bin 2. Hand PSI over [0,30) in 3 bins:
+    //   p = (.5, .5, eps), q = (.1, .5, .4)
+    //   psi = (.1-.5)ln(.1/.5) + 0 + (.4-eps)ln(.4/eps)
+    val eps = 1e-4
+    val expected = BigDecimal((0.1 - 0.5) * math.log(0.1 / 0.5) +
+      (0.4 - eps) * math.log(0.4 / eps))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = ((1 to 100).map(_ => 5.0) ++ (1 to 100).map(_ => 15.0))
+      .map(("a", _)).toDF("g", "v")
+    val cur = ((1 to 20).map(_ => 5.0) ++ (1 to 100).map(_ => 15.0) ++
+      (1 to 80).map(_ => 25.0)).map(("a", _)).toDF("g", "v")
+    val drifted = Drift.psi(ref, cur, "g", "v", 0.0, 30.0, 3)
+      .as[(String, Long, Long, Double, Boolean)].collect().toList
+    assert(drifted == List(("a", 200L, 200L, expected, true)),
+      s"planted drift: $drifted != psi $expected")
+    // identical slices: psi is exactly 0 (every bin term is ln(1)=0)
+    val same = Drift.psi(ref, ref, "g", "v", 0.0, 30.0, 3)
+      .as[(String, Long, Long, Double, Boolean)].collect().toList
+    assert(same == List(("a", 200L, 200L, 0.0, false)))
+    // clamping: out-of-range values land in the edge bins, not a crash
+    val wild = Seq(("a", -5.0), ("a", 999.0)).toDF("g", "v")
+    assert(Drift.psi(wild, wild, "g", "v", 0.0, 30.0, 3).count() == 1)
+  }
 }
