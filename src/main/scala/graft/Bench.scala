@@ -43,7 +43,8 @@ object Bench {
     "dedup_semantic", "ann_ivf_persisted", "s15_stream_semantic_admission",
     "dedup_index_persisted", "ann_join_top1", "ann_join_topk",
     "dedup_knn_clusters", "dedup_components_incr",
-    "s18_stream_label_maintenance",
+    "s18_stream_label_maintenance", "dq_drift_psi",
+    "s19_stream_drift_monitor",
     // the sweep's historically slowest queries, surfaced on the public
     // line (r05 verdict: the worst numbers must not live only in
     // bench_detail.json)

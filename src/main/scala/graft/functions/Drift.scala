@@ -26,25 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Per-group PSI of `valueCol` between `ref` and `cur`:
-    * (group, n_ref, n_cur, psi, drifted). Values are clamped into
-    * [lo, hi); bins absent from BOTH slices contribute nothing (the
-    * eps-vs-eps term is ln(1) = 0, so skipping the row is exact).
+  /** Map-only binning + ONE map-side-combined groupBy:
+    * (g, bin, n) histogram of `valueCol` clamped into the [lo, hi)
+    * grid. Long counts ⇒ N partial histograms summed bin-wise equal
+    * the one-pass histogram exactly (the property the streaming
+    * monitor's incremental merge rests on).
     */
-  def psi(ref: DataFrame, cur: DataFrame, groupCol: String,
-          valueCol: String, lo: Double, hi: Double, nBins: Int,
-          eps: Double = 1e-4, threshold: Double = 0.2): DataFrame = {
+  def binCounts(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need a positive bin grid")
     val width = (hi - lo) / nBins
-    val bin = (c: Column) => least(greatest(
-      floor((c - lit(lo)) / lit(width)), lit(0)), lit(nBins - 1)).cast("int")
-    def tagged(df: DataFrame, side: Int): DataFrame = df
-      .select(col(groupCol).as("g"), bin(col(valueCol)).as("bin"),
-        lit(side).as("side"))
-    val counts = tagged(ref, 0).union(tagged(cur, 1))
+    df.select(col(groupCol).as("g"),
+        least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+          lit(0)), lit(nBins - 1)).cast("int").as("bin"))
       .groupBy(col("g"), col("bin"))
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("nr"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("nc"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI from two (g, bin, n) histograms — the count-level half of
+    * [[psi]], shared with the streaming monitor whose current-side
+    * histogram is maintained incrementally.
+    */
+  def psiOfCounts(refCounts: DataFrame, curCounts: DataFrame,
+                  groupCol: String, eps: Double = 1e-4,
+                  threshold: Double = 0.2): DataFrame = {
+    val counts = refCounts
+      .select(col("g"), col("bin"), col("n").as("nr"), lit(0L).as("nc"))
+      .union(curCounts
+        .select(col("g"), col("bin"), lit(0L).as("nr"), col("n").as("nc")))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("nr")).as("nr"), sum(col("nc")).as("nc"))
     val totals = counts.groupBy(col("g"))
       .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
     val p = greatest(col("nr") / col("n_ref"), lit(eps))
@@ -58,4 +69,16 @@ object Drift {
       .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
         col("psi"), (col("psi") > lit(threshold)).as("drifted"))
   }
+
+  /** Per-group PSI of `valueCol` between `ref` and `cur`:
+    * (group, n_ref, n_cur, psi, drifted). Values are clamped into
+    * [lo, hi); bins absent from BOTH slices contribute nothing (the
+    * eps-vs-eps term is ln(1) = 0, so skipping the row is exact).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, groupCol: String,
+          valueCol: String, lo: Double, hi: Double, nBins: Int,
+          eps: Double = 1e-4, threshold: Double = 0.2): DataFrame =
+    psiOfCounts(binCounts(ref, groupCol, valueCol, lo, hi, nBins),
+      binCounts(cur, groupCol, valueCol, lo, hi, nBins),
+      groupCol, eps, threshold)
 }

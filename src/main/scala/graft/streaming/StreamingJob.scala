@@ -354,6 +354,62 @@ object StreamingJob {
       s"$dir/ix", threshold)
   }
 
+  /** Streaming drift monitor — the incremental twin of the batch
+    * `dq_drift_psi` gate: the CURRENT slice arrives as micro-batches,
+    * each batch's (group, bin) histogram is merged into a
+    * group-partitioned count MV ([[mergeIntoMv]]-shaped: partial agg,
+    * left-semi prune of touched groups, dynamic partition overwrite —
+    * long counts make the N-batch merge bit-equal the one-pass
+    * histogram), and at any point — here after the stream drains —
+    * PSI against the static reference histogram is a groups×bins-sized
+    * computation over the MV, never a rescan of the stream's history.
+    * Per-trigger cost: O(batch) + a groups-sized merge.
+    */
+  def streamDriftMonitor(spark: SparkSession, sfDir: String,
+                         workDir: String, nFiles: Int = 4): DataFrame = {
+    import graft.functions.Drift
+    val (lo, hi, nBins) = (0.0, 500.0, 10)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val mv = s"$dir/counts"
+    ev.filter(col("event_id") % 2 === 1)
+      .repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = Drift.binCounts(batch, "event_type", "value",
+          lo, hi, nBins)
+        val existing =
+          if (new java.io.File(mv).exists())
+            batch.sparkSession.read.parquet(mv)
+              .join(partial.select(col("g")).distinct(), Seq("g"),
+                "left_semi")
+              .select(col("g"), col("bin"), col("n"))
+          else partial.limit(0)
+        val merged = existing.unionByName(partial)
+          .groupBy(col("g"), col("bin")).agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("g").parquet(mv)
+        merged.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    Drift.psiOfCounts(
+      Drift.binCounts(ev.filter(col("event_id") % 2 === 0),
+        "event_type", "value", lo, hi, nBins),
+      spark.read.parquet(mv).select(col("g"), col("bin"), col("n")),
+      "event_type")
+  }
+
   /** The full streaming dedup production loop in one query: each
     * document micro-batch (1) lands in the persisted band index
     * (idempotent `ingest=` partition), (2) probes the index — which now

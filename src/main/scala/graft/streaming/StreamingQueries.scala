@@ -394,6 +394,12 @@ object StreamingQueries {
     "s18_stream_label_maintenance" -> ((s, dir) =>
       StreamingJob.streamLabelMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s18")),
+    // Streaming drift monitor: current-slice histogram maintained
+    // incrementally (long counts ⇒ N-batch merge == one pass), PSI vs
+    // the static reference after drain — same answer, same oracle, as
+    // the one-shot batch gate
+    "s19_stream_drift_monitor" -> ((s, dir) =>
+      StreamingJob.streamDriftMonitor(s, dir, "/tmp/graft_s19")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
@@ -472,6 +478,10 @@ object StreamingQueries {
     // full-graph labeling — the oracle IS the recursive-CTE recompute
     "s18_stream_label_maintenance" ->
       graft.dedup.DedupQueries.componentsOracle,
+    // the incrementally-merged histogram must yield the identical PSI
+    // as the one-shot batch gate, so the oracle is shared verbatim
+    "s19_stream_drift_monitor" ->
+      graft.analytics.ExtendedQueries.oracleSql("dq_drift_psi"),
     "s11_stream_corpus_dedup" ->
       graft.dedup.DedupQueries.crossJaccardOracle(
         "doc_id >= 250", "doc_id < 250", 0.8),

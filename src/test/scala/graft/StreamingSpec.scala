@@ -435,6 +435,22 @@ class StreamingSpec extends SparkSpec {
     assert(!main.isActive && !console.isActive)
   }
 
+  test("streaming drift monitor equals the one-shot batch psi") {
+    import graft.functions.Drift
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingJob.streamDriftMonitor(spark, dir,
+        "/tmp/graft_spec_s19")
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val want = Drift.psi(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "event_type", "value", 0.0, 500.0, 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      "incrementally merged histogram must give the one-pass psi")
+  }
+
   test("streamed band-index ingest == one-shot build; redelivery replaces, not duplicates") {
     import graft.dedup.Dedup
     val sf = "/root/testdata/sf0.001"
