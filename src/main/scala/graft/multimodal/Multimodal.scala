@@ -129,6 +129,32 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, every)).toSeq
 
+    /** Real image resize: ImageIO decode → nearest-neighbor rescale
+      * on a Graphics2D canvas → lossless PNG re-encode (so a solid
+      * color survives bit-exactly and fixture pixels stay checkable).
+      * None when the payload isn't a decodable image — the caller
+      * falls back to the byte-subsample stub, mirroring
+      * [[decodeImage]]'s contract.
+      */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+
     /** Resize stub: deterministic nearest-neighbor subsample of the
       * payload to `outLen` bytes (stands in for image rescale; the
       * real codec swaps in here without touching the plan).
@@ -153,6 +179,24 @@ object Multimodal {
     media.mapPartitions(_.map(r => r.copy(
       payload = Codec.resizeStub(r.payload, outLen),
       meta = r.meta.copy(width = outLen, height = 1))))
+  }
+
+  /** REAL image resize as the same partition-batched transform:
+    * decodable payloads come back as (w × h) lossless PNGs with
+    * metadata reflecting pixel truth; undecodable ones degrade to the
+    * deterministic byte-subsample stub with format "unknown" — the
+    * same graceful-degradation contract as [[decodeFeatures]].
+    */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codec.resizeImage(r.payload, w, h) match {
+        case Some(png) => r.copy(payload = png,
+          meta = MediaMeta("image/png", w, h, 3))
+        case None => r.copy(payload = Codec.resizeStub(r.payload, w * h),
+          meta = MediaMeta("unknown", w, h, r.meta.channels))
+      }
+    })
   }
 
   /** Wrap a text corpus as fake media rows (fixture builder: payload =

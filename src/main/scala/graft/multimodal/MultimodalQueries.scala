@@ -86,6 +86,34 @@ object MultimodalQueries {
         (col("fsum") > 0 &&
           col("fsum") <= col("width") * col("height")).as("mass_ok"))
     }),
+    // REAL resize contract: solid-gray PNG fixtures of varying dims
+    // are resized to 3×2 and decoded BACK — the decoded dims must be
+    // the target, every pixel must still be the original gray (a
+    // solid color survives any interpolation bit-exactly through the
+    // lossless PNG round-trip), and the luminance mass must equal
+    // 6 pixels × gray exactly
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = (id % 7 + 1).toInt
+        val h = (id % 5 + 1).toInt
+        val g = ((id * 31) % 255).toInt + 1
+        val png = Multimodal.Codec.encodePng(w, h,
+          (_, _) => (g << 16) | (g << 8) | g)
+        Multimodal.MediaRow(id, "image", png,
+          Multimodal.MediaMeta("image/png", w, h, 3))
+      })
+      val rz = Multimodal.resizeMedia(media, 3, 2)
+      val f = Multimodal.decodeFeatures(rz, dim = 8).toDF()
+        .withColumn("fsum", aggregate(col("features"), lit(0.0),
+          (acc, x) => acc + x.cast("double")))
+      f.select(col("media_id"), col("decoded"), col("width"), col("height"),
+        (round(element_at(col("features"), 1) * 255) ===
+          (col("media_id") * 31) % 255 + 1).as("px_ok"),
+        (round(col("fsum") * 255) ===
+          ((col("media_id") * 31) % 255 + 1) * 6).as("mass_ok"))
+    }),
     // frame-sampling plumbing; the stub's byte-range frames make the
     // stats pure arithmetic, so this one IS oracle-checked
     "mm_frame_stats" -> ((s, dir) => {
@@ -111,6 +139,13 @@ object MultimodalQueries {
         |       (doc_id % 7 + 1)::INT AS width,
         |       (doc_id % 5 + 1)::INT AS height,
         |       3 AS channels, TRUE AS px0_ok, TRUE AS mass_ok
+        |FROM documents""".stripMargin,
+    // resize contract: decoded target dims + solid-color pixel/mass
+    // preservation, every invariant cell literal
+    "mm_resize_real" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       3 AS width, 2 AS height,
+        |       TRUE AS px_ok, TRUE AS mass_ok
         |FROM documents""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

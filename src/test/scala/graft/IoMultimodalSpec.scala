@@ -209,4 +209,27 @@ class IoMultimodalSpec extends SparkSpec {
     assert(new String(resized.payload, "UTF-8") == "acegi")
     assert(Multimodal.Codec.resizeStub(Array.emptyByteArray, 5).isEmpty)
   }
+
+  test("resizeImage: real rescale to target dims; solid color bit-exact; fallback") {
+    import Multimodal.Codec
+    // 8×6 solid gray: any interpolation of a constant field is the
+    // constant, and PNG is lossless — decode-back must be bit-exact
+    val g = 143
+    val png = Codec.encodePng(8, 6, (_, _) => (g << 16) | (g << 8) | g)
+    val rz = Codec.resizeImage(png, 3, 2).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz))
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == ((g << 16) | (g << 8) | g),
+        s"pixel ($x,$y) changed under solid-color resize")
+    // non-image payloads are not silently mangled: real path declines
+    assert(Codec.resizeImage("not an image".getBytes, 3, 2).isEmpty)
+    // the Dataset transform degrades those to the stub, flagged
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "image",
+      "garbage payload".getBytes,
+      Multimodal.MediaMeta("fake/raw", 0, 0, 1))).toDS()
+    val out = Multimodal.resizeMedia(media, 3, 2).collect()(0)
+    assert(out.meta.format == "unknown" && out.payload.length == 6)
+  }
 }
