@@ -50,6 +50,7 @@ object SparkEntry {
       graft.analytics.SketchQueries.queries ++
       graft.similarity.EmbeddingQueries.queries ++
       graft.text.TextQueries.queries ++
+      graft.text.PackingQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
@@ -138,6 +139,7 @@ object SparkEntry {
       graft.analytics.SketchQueries.oracleSql ++
       graft.similarity.EmbeddingQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
+      graft.text.PackingQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql ++

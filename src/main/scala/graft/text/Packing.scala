@@ -1,0 +1,192 @@
+package graft.text
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and token-budget dataset assembly — the step between
+  * a curated corpus and a training run. The reference has no counterpart
+  * (its unit of work is a transaction row, never a token stream); these
+  * are the LLM-pipeline extension ops the builder prompt calls for.
+  *
+  * Scale notes (the whole point of each design):
+  *
+  *  - [[tokenOffsets]] is a distributed exclusive prefix sum. The naive
+  *    formulation — `sum(n) over (order by doc_id)` with no partition —
+  *    collapses the corpus onto ONE task (Spark literally warns
+  *    "Moving all data to a single partition"); at 100 TB that is the
+  *    single worst plan an engine can emit. Instead: range-bucket on
+  *    the id, aggregate per-bucket totals (map-side combined, one tiny
+  *    job whose result is `buckets` scalars on the driver — same
+  *    bounded-driver-state budget as the k-means centroids in
+  *    [[graft.similarity.Ann]]), broadcast the running bucket offsets
+  *    back, and let every bucket compute its inner cumsum in parallel.
+  *    Two narrow shuffles, no global sort, no single-partition window.
+  *
+  *  - [[firstFitPack]] is partition-local first-fit-decreasing. Bin
+  *    packing is inherently sequential-greedy, so this is the one
+  *    documented `mapPartitions` citizen in the text stack: each worker
+  *    packs its own shard, exactly how a fleet of packer tasks would
+  *    run on a cluster — no coordination, no shuffle beyond the initial
+  *    spread. First-fit gives a per-partition guarantee we turn into a
+  *    testable contract: at most ONE bin per partition may end ≤ half
+  *    full (two such bins would have merged when the second opened).
+  *
+  *  - [[mixTokenBudget]] is quality-ranked per-domain selection under a
+  *    token budget. The naive plan (window cumsum partitioned by
+  *    source) serializes each domain onto one task — with a handful of
+  *    domains that is 100 TB through ~5 threads. Instead: threshold
+  *    refinement, the same trick a distributed top-k uses. A per-
+  *    (source, quality-key) histogram (map-side combined, bounded by
+  *    the key space not the corpus) finds the quality threshold where
+  *    the budget crosses; every doc strictly above the threshold is
+  *    kept with NO per-doc ordering work at all, and only the boundary
+  *    quality-value's docs — a sliver — pay an exact cumsum. The
+  *    result row-set equals the naive global-window answer by
+  *    construction (monotone bucketing + identical (quality, doc_id)
+  *    tiebreak), which is precisely what the DuckDB oracle replays.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `tokCol` in `idCol` order, as a new
+    * `tok_start` column. Distributed: range-buckets on the id (span
+    * derived from one min/max agg), per-bucket totals → driver (≤
+    * `buckets` rows) → scanLeft offsets → broadcast join back, inner
+    * cumsum per bucket in parallel.
+    */
+  def tokenOffsets(docs: DataFrame, idCol: String, tokCol: String,
+                   buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mm = docs.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (mm.isNullAt(0)) return docs.withColumn("tok_start", lit(0L))
+    val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (maxId - minId) / buckets + 1)
+    val bucketed = docs.withColumn("__bkt",
+      ((col(idCol).cast("long") - lit(minId)) / lit(span)).cast("long"))
+    val totals = bucketed.groupBy($"__bkt")
+      .agg(sum(col(tokCol).cast("long")).as("__btot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive running offset per bucket
+    val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) =>
+      (b, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offDf = broadcast(offsets.toDF("__bkt", "__boff"))
+    val w = Window.partitionBy($"__bkt").orderBy(col(idCol))
+    bucketed.join(offDf, "__bkt")
+      .withColumn("tok_start",
+        $"__boff" + sum(col(tokCol).cast("long")).over(w) - col(tokCol).cast("long"))
+      .drop("__bkt", "__boff")
+  }
+
+  /** GPT-style concat-and-chunk packing: the corpus is one token stream
+    * in `idCol` order, cut into fixed `maxLen` training sequences; docs
+    * may straddle a cut. Emits per-doc placement: absolute token
+    * offset, first/last sequence index, sequences spanned. Zero-token
+    * docs sit at their boundary (`first_seq == last_seq`, width 1).
+    */
+  def concatChunk(docs: DataFrame, idCol: String, textCol: String,
+                  maxLen: Int): DataFrame = {
+    val withTok = docs.select(col(idCol),
+      Text.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // exact integer division (`div`), not float floor — float division
+    // of 64-bit offsets loses exactness past 2^53 tokens, which a
+    // 100 TB corpus actually reaches
+    val first = expr(s"tok_start div ${maxLen}L")
+    tokenOffsets(withTok, idCol, "n_tokens")
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        first.as("first_seq"),
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) div ${maxLen}L"))
+          .otherwise(first).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+  }
+
+  /** Partition-local first-fit-decreasing bin packing under `cap`
+    * tokens per bin; oversize docs (> cap) get a singleton bin each.
+    * Returns (doc, n_tokens, bin_id) with bin ids unique across
+    * partitions (partition id in the high bits). The spread shuffle is
+    * the operator's only exchange; the greedy walk is per-task.
+    */
+  def firstFitPack(docs: DataFrame, idCol: String, tokCol: String,
+                   cap: Long, partitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .repartition(partitions, col("doc_id"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, n) =>
+          val bin =
+            if (n > cap) { fills += (cap + 1); fills.length - 1 } // poisoned: never reused
+            else {
+              var i = 0
+              while (i < fills.length && fills(i) + n > cap) i += 1
+              if (i == fills.length) fills += n else fills(i) += n
+              i
+            }
+          (id, n, (pid << 32) | bin.toLong)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+  }
+
+  /** Quality-key for threshold refinement: quality rounded to 6 places
+    * scaled to an exact integer key — monotone in quality, identical in
+    * Spark and the oracle (tx_quality's hash-match pins round(q, 6)
+    * parity on this corpus).
+    */
+  private def qKey(q: Column): Column = round(round(q, 6) * 1e6).cast("long")
+
+  /** Per-source token-budget selection, best-quality-first with doc_id
+    * tiebreak — equals `filter(cum <= budget)` over
+    * `sum(tok) over (partition by source order by q desc, id)` without
+    * ever running that single-task-per-source window. See scaladoc.
+    *
+    * Output: (source, doc, q6, n_tokens) — the admitted set.
+    */
+  def mixTokenBudget(docs: DataFrame, srcCol: String, idCol: String,
+                     quality: Column, tokCol: String,
+                     budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+      round(quality, 6).as("q6"), col(tokCol).cast("long").as("n_tokens"))
+      .withColumn("qk", qKey(col("q6")))
+
+    // per-(source, quality-key) histogram: bounded by key space (≤1e6
+    // distinct keys/source), not corpus size; map-side combined
+    val hist = base.groupBy($"source", $"qk")
+      .agg(sum($"n_tokens").as("tok"))
+    // running total of all STRICTLY better keys; histogram rows are few
+    // so the per-source window here is cheap by construction
+    val wh = Window.partitionBy($"source").orderBy($"qk".desc)
+    val cumHist = hist.withColumn("cum_before", sum($"tok").over(wh) - $"tok")
+    // boundary bucket = first (desc) key whose inclusive total crosses
+    val boundary = cumHist
+      .filter($"cum_before" < budget && $"cum_before" + $"tok" > budget)
+      .select($"source", $"qk".as("bqk"), (lit(budget) - $"cum_before").as("remaining"))
+    // keys fully inside the budget
+    val fullKeys = cumHist.filter($"cum_before" + $"tok" <= budget)
+      .select($"source", $"qk")
+
+    val keptFull = base.join(fullKeys, Seq("source", "qk"), "left_semi")
+    // boundary sliver: exact per-doc cumsum in doc_id order — only the
+    // docs sharing the single boundary quality value per source
+    val wb = Window.partitionBy($"source").orderBy($"doc_id")
+    val keptBoundary = base
+      .join(broadcast(boundary), base("source") === boundary("source") &&
+        $"qk" === $"bqk")
+      .drop(boundary("source"))
+      .withColumn("cumw", sum($"n_tokens").over(wb))
+      .filter($"cumw" <= $"remaining")
+      .select($"source", $"doc_id", $"q6", $"n_tokens", $"qk")
+
+    keptFull.unionByName(keptBoundary).drop("qk")
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{Bm25, Packing, Text}
+import graft.dedup.LineDedup
+
+/** Sequence packing / token-budget mixing / line dedup / BM25 — each
+  * differentially against the naive single-partition formulation the
+  * distributed design must equal.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("tokenOffsets equals the naive global-window prefix sum") {
+    val d = (1L to 97L).map(i => (i, "s", ("w " * (i % 13 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n"))
+    val got = Packing.tokenOffsets(d, "doc_id", "n", buckets = 7)
+      .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+    val naive = d.withColumn("tok_start",
+        sum($"n").over(Window.orderBy($"doc_id")) - $"n")
+      .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("tokenOffsets: sparse / skewed ids land in the right buckets") {
+    val d = Seq((5L, 10L), (1000000L, 7L), (1000001L, 3L), (-20L, 2L))
+      .toDF("doc_id", "n")
+    val got = Packing.tokenOffsets(d, "doc_id", "n", buckets = 4)
+      .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+    assert(got == Map(-20L -> 0L, 5L -> 2L, 1000000L -> 12L, 1000001L -> 19L))
+  }
+
+  test("concatChunk: straddling doc spans the right sequences; zero-token doc sits at its boundary") {
+    val d = docs(
+      (1L, "s", "a " * 9),        // 10 bpe-ish tokens? use ws text: 9 tokens
+      (2L, "s", ""),              // zero tokens
+      (3L, "s", "b " * 5))
+    // use whitespace-only words so BPE count == word count
+    val out = Packing.concatChunk(d, "doc_id", "text", maxLen = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_start", "first_seq", "last_seq", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 9L, 0L, 0L, 1L, 2L)))  // tokens 0..8 straddle seq 0/1
+    assert(out(1) == ((2L, 0L, 9L, 1L, 1L, 1L)))  // empty doc at boundary
+    assert(out(2) == ((3L, 5L, 9L, 1L, 1L, 1L)))  // tokens 9..13 inside seq 1
+  }
+
+  test("firstFitPack invariants: conservation, cap, oversize singletons, half-full bound") {
+    val cap = 10L
+    val d = (1L to 60L).map(i => (i, (i % 14 + 1).toInt.toLong))
+      .toDF("doc_id", "n")
+    val packed = Packing.firstFitPack(d, "doc_id", "n", cap, partitions = 4)
+    val rows = packed.as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 60L))           // every doc placed once
+    assert(rows.map(_._2).sum == d.agg(sum($"n")).as[Long].head()) // tokens conserved
+    val bins = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    bins.foreach { case (_, items) =>
+      if (items.exists(_ > cap)) assert(items.length == 1)       // oversize = singleton
+      else assert(items.sum <= cap)                              // never over cap
+    }
+    // ≤ one half-empty (non-oversize) bin per partition
+    val lowByPart = bins.toSeq
+      .filter { case (_, items) => items.sum <= cap / 2 }
+      .groupBy { case (bin, _) => bin >> 32 }
+    lowByPart.values.foreach(v => assert(v.size <= 1))
+  }
+
+  test("mixTokenBudget equals the naive per-source window filter (boundary + full-keep paths)") {
+    val r = new scala.util.Random(7)
+    val d = (1L to 400L).map { i =>
+      val src = s"s${i % 3}"
+      // coarse quality grid → many exact ties → boundary-bucket path
+      val words = (r.nextInt(8) + 1)
+      (i, src, ("tok " * words).trim)
+    }.toDF("doc_id", "source", "text")
+      .withColumn("n_tok", Text.tokenCount(col("text")).cast("long"))
+    for (budget <- Seq(5L, 60L, 100000L)) {   // tiny / crossing / keep-all
+      val got = Packing.mixTokenBudget(d, "source", "doc_id",
+          Text.qualityScore(col("text")), "n_tok", budget)
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      val w = Window.partitionBy($"source")
+        .orderBy(round(Text.qualityScore(col("text")), 6).desc, $"doc_id")
+      val naive = d.withColumn("cum", sum($"n_tok").over(w))
+        .filter($"cum" <= budget)
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      assert(got == naive, s"budget=$budget")
+    }
+  }
+
+  test("LineDedup: canonical first occurrence survives, dup instances counted with chars") {
+    val d = docs(
+      (1L, "s", "alpha\nshared line\nbeta"),
+      (2L, "s", "shared line\ngamma\n\n  \nshared line"),
+      (3L, "s", "   \n  \n"))   // blank-only doc: absent from output
+    val out = LineDedup.docStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 3L, 0L, 0L)))
+    // doc 2: 3 non-blank lines, both "shared line" instances are dups
+    assert(out(1) == ((2L, 3L, 2L, 2L * "shared line".length)))
+  }
+
+  test("BM25: df-ordered query terms, exact score, rank order") {
+    val d = docs(
+      (1L, "s", "spark engine spark"),
+      (2L, "s", "spark catalyst"),
+      (3L, "s", "engine tungsten engine engine"))
+    val out = Bm25.topK(d, "doc_id", "text", nTerms = 2, k = 2)
+      .orderBy("term", "rank")
+      .select("term", "doc_id", "score", "rank")
+      .as[(String, Long, Double, Int)].collect()
+    // df: spark=2, engine=2, catalyst=1, tungsten=1 (len>=4 all) →
+    // top-2 terms alphabetical among df=2: engine, spark
+    assert(out.map(_._1).toSeq == Seq("engine", "engine", "spark", "spark"))
+    // engine: doc3 tf=3 outranks doc1 tf=1
+    assert(out(0)._2 == 3L && out(1)._2 == 1L)
+    // exact BM25 for (engine, doc3): tf=3, dl=4, df=2, N=3, avgdl=3
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val exp = idf * 3 * (Bm25.K1 + 1) /
+      (3 + Bm25.K1 * (1 - Bm25.B + Bm25.B * 4.0 / 3.0))
+    assert(math.abs(out(0)._3 - math.rint(exp * 1e6) / 1e6) < 1e-9)
+    assert(out.map(_._4).toSeq == Seq(1, 2, 1, 2))
+  }
+
+  test("concatChunk plan: no single-partition global window") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Packing.concatChunk(d, "doc_id", "text", 512)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "distributed prefix sum must not collapse to one partition:\n" + plan)
+  }
+}
