@@ -49,7 +49,10 @@ object Bench {
     // line (r05 verdict: the worst numbers must not live only in
     // bench_detail.json)
     "q21_waiting_supplier", "dedup_common_ngrams", "q20_part_promotion",
-    "q2_min_cost_supplier", "dedup_containment")
+    "q2_min_cost_supplier", "dedup_containment",
+    // round-6 assembly layer
+    "pack_concat_chunk", "mix_token_budget", "dedup_paragraphs",
+    "tx_bm25_topk")
 
   /** r04 lesson: one 8 GB session running all 181 queries accumulates
     * state (GC pressure, codegen caches, listener/temp-view churn)

@@ -732,4 +732,33 @@ object StreamingJob {
           kept.iterator
         })
   }
+
+  case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+
+  /** Streaming per-source token-budget admission — the arrival-order
+    * twin of [[graft.text.Packing.mixTokenBudget]] (which ranks by
+    * quality; a stream cannot, so admission is first-come in doc_id
+    * order). State per source is ONE long (tokens seen so far), carried
+    * across micro-batches; semantics are prefix-while — the cumulative
+    * count advances on every doc, admitted or not, so the admitted set
+    * equals `filter(cum <= budget)` over the arrival-order window
+    * exactly, batch or stream, any batch slicing. Within a micro-batch
+    * the group iterator order is not guaranteed; sorting the (small,
+    * per-source per-batch) slice by doc_id pins it.
+    */
+  def streamTokenBudgetAdmission(in: Dataset[BudgetDoc],
+                                 budget: Long): Dataset[BudgetDoc] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, docs: Iterator[BudgetDoc], state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          val kept = docs.toSeq.sortBy(_.doc_id).filter { d =>
+            used += d.n_tokens
+            used <= budget
+          }
+          state.update(used)
+          kept.iterator
+        })
+  }
 }

@@ -402,6 +402,20 @@ object StreamingQueries {
       StreamingJob.streamDriftMonitor(s, dir, "/tmp/graft_s19")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
+    // Streaming per-source token-budget admission: ONE long of state
+    // per source; prefix-while semantics make the admitted set equal
+    // the batch arrival-order window regardless of batch slicing
+    "s20_stream_budget_admission" -> ((s, dir) => {
+      import s.implicits._
+      val in = Tables.documentsStream(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.text.Text.bpeTokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .as[StreamingJob.BudgetDoc]
+      StreamingJob.runToMemory(
+        StreamingJob.streamTokenBudgetAdmission(in, 800L).toDF())
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+    }),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
@@ -461,6 +475,19 @@ object StreamingQueries {
         |WHERE i.vec_id < 100 AND c.vec_id >= 100
         |  AND round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
         |      >= 0.35""".stripMargin,
+    // arrival-order (doc_id) prefix-while admission under the budget
+    "s20_stream_budget_admission" -> {
+      val pat = graft.text.Text.BpePattern.replace("'", "''")
+      s"""WITH t AS (SELECT source, doc_id,
+         |             len(regexp_extract_all(text, '$pat'))::BIGINT
+         |               AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens FROM c
+         |WHERE cum <= 800""".stripMargin
+    },
     "s12_incremental_mv" ->
       """SELECT event_type, count(*) AS n,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS total_value

@@ -47,6 +47,56 @@ import org.apache.spark.sql.functions._
   *    construction (monotone bucketing + identical (quality, doc_id)
   *    tiebreak), which is precisely what the DuckDB oracle replays.
   */
+/** Leftmost-fit bin index in O(log bins): a growable binary-heap-shaped
+  * segment tree whose leaves are open-bin residual capacities and whose
+  * internal nodes carry the subtree max. `place(n)` descends
+  * left-before-right into any subtree whose max >= n — exactly the
+  * lowest-indexed bin first-fit picks — opening a fresh bin when none
+  * fits. Oversize docs get a `openPoisoned()` residual-(-1) bin that no
+  * later item can enter.
+  */
+private[graft] final class FirstFitTree(cap: Long) {
+  private var size = 1                      // leaf slots (power of two)
+  private var tree = Array.fill(2 * size)(-1L) // residuals; -1 = unopened
+  private var bins = 0
+
+  private def grow(): Unit = {
+    val nt = Array.fill(4 * size)(-1L)
+    // old tree's leaves move to the left half of the new leaf row
+    System.arraycopy(tree, size, nt, 2 * size, size)
+    var i = 2 * size - 1
+    while (i >= 1) { nt(i) = math.max(nt(2 * i), nt(2 * i + 1)); i -= 1 }
+    size *= 2; tree = nt
+  }
+
+  private def update(leaf: Int, v: Long): Unit = {
+    var i = size + leaf
+    tree(i) = v
+    i /= 2
+    while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+  }
+
+  private def open(residual: Long): Int = {
+    if (bins == size) grow()
+    val b = bins; bins += 1
+    update(b, residual)
+    b
+  }
+
+  /** Bin for an item of `n` tokens (n <= cap). */
+  def place(n: Long): Int = {
+    if (tree(1) < n) return open(cap - n)
+    var i = 1
+    while (i < size) i = if (tree(2 * i) >= n) 2 * i else 2 * i + 1
+    val leaf = i - size
+    update(leaf, tree(i) - n)
+    leaf
+  }
+
+  /** Dedicated never-reused bin for an oversize item. */
+  def openPoisoned(): Int = open(-1L)
+}
+
 object Packing {
 
   /** Exclusive prefix sum of `tokCol` in `idCol` order, as a new
@@ -120,16 +170,14 @@ object Packing {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // max-residual segment tree over open bins: leftmost bin with
+        // residual >= n in O(log bins). A linear first-fit scan is
+        // O(docs × bins) per task — a quadratic cliff once a shard
+        // holds millions of docs; the tree gives the SAME bin choice
+        // (lowest index that fits — classic first-fit) at O(n log n).
+        val ffd = new FirstFitTree(cap)
         it.map { case (id, n) =>
-          val bin =
-            if (n > cap) { fills += (cap + 1); fills.length - 1 } // poisoned: never reused
-            else {
-              var i = 0
-              while (i < fills.length && fills(i) + n > cap) i += 1
-              if (i == fills.length) fills += n else fills(i) += n
-              i
-            }
+          val bin = if (n > cap) ffd.openPoisoned() else ffd.place(n)
           (id, n, (pid << 32) | bin.toLong)
         }
       }
@@ -155,9 +203,14 @@ object Packing {
                      budget: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the narrow (source, id, q6, tok) projection feeds three branches
+    // (histogram, full-keys semi-join, boundary join); materialize it
+    // once so the quality/token expressions — typically regex-heavy —
+    // run ONE corpus pass, not three. ~40 bytes/row, disk-spillable.
     val base = docs.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
       round(quality, 6).as("q6"), col(tokCol).cast("long").as("n_tokens"))
       .withColumn("qk", qKey(col("q6")))
+      .localCheckpoint()
 
     // per-(source, quality-key) histogram: bounded by key space (≤1e6
     // distinct keys/source), not corpus size; map-side combined

@@ -80,7 +80,14 @@ object PackingQueries {
     "tx_bm25_topk" -> ((s, dir) =>
       Bm25.topK(Tables.documents(s, dir), "doc_id", "text", NTerms, K)
         .select(col("term"), col("doc_id"), col("score"), col("tf"),
-          col("dl"), col("rank"))))
+          col("dl"), col("rank"))),
+
+    // Model-based quality scoring: hashed-linear classifier, map-only
+    "tx_quality_model" -> ((s, dir) => {
+      val q6 = round(QualityModel.score(col("text")), 6)
+      Tables.documents(s, dir).select(col("doc_id"),
+        q6.as("clf_quality"), (q6 > 0.5).as("clf_keep"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "pack_concat_chunk" ->
@@ -134,6 +141,29 @@ object PackingQueries {
         |       sum(CASE WHEN kept THEN 0 ELSE line_chars END)::BIGINT
         |         AS chars_removed
         |FROM k GROUP BY 1""".stripMargin,
+    // end-to-end replay of the hashed-linear scoring: md5 bucket →
+    // weight → IN-ORDER mean pool (list_sum folds left-to-right like
+    // Spark's aggregate, so the double sum is bit-identical) → sigmoid;
+    // the keep label compares the ROUNDED score so a libm exp() ulp
+    // can't flip it on one engine only
+    "tx_quality_model" -> {
+      val b = QualityModel.Buckets
+      val w = s"((('0x' || substring(md5(t), 1, 8))::UBIGINT % $b)" +
+        s"::DOUBLE / $b - 0.5)"
+      s"""WITH s AS (
+         |  SELECT doc_id, $toksLower AS tk FROM documents),
+         |z AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) > 0
+         |              THEN ${QualityModel.Bias} +
+         |                   list_sum(list_transform(tk, t -> $w)) / len(tk)
+         |              ELSE ${QualityModel.Bias} END AS zv
+         |  FROM s)
+         |SELECT doc_id,
+         |       round(1.0 / (1.0 + exp(-zv)), 6) AS clf_quality,
+         |       round(1.0 / (1.0 + exp(-zv)), 6) > 0.5 AS clf_keep
+         |FROM z""".stripMargin
+    },
     "tx_bm25_topk" -> {
       val stop = sqlList(Text.enStop ++ Text.ptStop ++ Text.esStop)
       s"""WITH p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,

@@ -497,6 +497,49 @@ object ScaleCheck {
     println(f"[scale] ccincr nodes=${nComp * 4}%,d delta=${nComp / 100}%,d " +
       f"scratch=$scrSecs%.2f s incremental=$incSecs%.2f s " +
       f"speedup=${scrSecs / incSecs}%.1fx")
+
+    // global-order packing: the distributed prefix sum over factor×
+    // replicated docs (replicas get disjoint id ranges so the bucket
+    // histogram, not the data, stays the same shape). Linear: two
+    // narrow shuffles whatever the row count.
+    val docsBase = graft.Tables.documents(spark, dir)
+    val dMax = docsBase.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val packDocs = docsBase
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") + col("rep") * dMax).as("doc_id"),
+        col("text"), col("source"))
+      .repartition(32).localCheckpoint(true)
+    val pkn = packDocs.count()
+    val t28 = System.nanoTime()
+    val packed = graft.text.Packing
+      .concatChunk(packDocs, "doc_id", "text", 512)
+      .agg(count(lit(1)), max(col("last_seq"))).head()
+    val pkSecs = (System.nanoTime() - t28) / 1e9
+    println(f"[scale] pack   rows=$pkn%,d seqs=${packed.getLong(1) + 1}%,d " +
+      f"secs=$pkSecs%.2f rate=${pkn / pkSecs}%,.0f docs/s")
+
+    // token-budget mixing via threshold refinement: budget scaled with
+    // the corpus so the kept fraction (and the boundary sliver) stays
+    // constant — cost must track rows, not rows × domains
+    val t29 = System.nanoTime()
+    val mixed = graft.text.Packing.mixTokenBudget(
+      packDocs.withColumn("n_tok",
+        graft.text.Text.bpeTokenCount(col("text"))),
+      "source", "doc_id", graft.text.Text.qualityScore(col("text")),
+      "n_tok", 800L * factor).count()
+    val mixSecs = (System.nanoTime() - t29) / 1e9
+    println(f"[scale] mixb   rows=$pkn%,d kept=$mixed%,d secs=$mixSecs%.2f " +
+      f"rate=${pkn / mixSecs}%,.0f docs/s")
+
+    // line-level dedup: replicas share every line, so the canonical
+    // pick collapses factor× instances map-side — the partial-agg
+    // skew story measured, not asserted
+    val t30 = System.nanoTime()
+    val ld = graft.dedup.LineDedup.docStats(packDocs, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("n_dup_removed"))).head()
+    val ldSecs = (System.nanoTime() - t30) / 1e9
+    println(f"[scale] linedd rows=$pkn%,d dups=${ld.getLong(1)}%,d " +
+      f"secs=$ldSecs%.2f rate=${pkn / ldSecs}%,.0f docs/s")
     spark.stop()
   }
 }

@@ -70,6 +70,26 @@ class PackingSpec extends SparkSpec {
     lowByPart.values.foreach(v => assert(v.size <= 1))
   }
 
+  test("FirstFitTree places every item in the same bin as a linear first-fit scan") {
+    val cap = 50L
+    val r = new scala.util.Random(13)
+    val items = Seq.fill(3000)(r.nextInt(60).toLong) // includes oversize
+    val tree = new graft.text.FirstFitTree(cap)
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    items.foreach { n =>
+      val expected =
+        if (n > cap) { fills += (cap + 1); fills.length - 1 }
+        else {
+          var i = 0
+          while (i < fills.length && fills(i) + n > cap) i += 1
+          if (i == fills.length) fills += n else fills(i) += n
+          i
+        }
+      val got = if (n > cap) tree.openPoisoned() else tree.place(n)
+      assert(got == expected, s"item $n: tree bin $got, linear bin $expected")
+    }
+  }
+
   test("mixTokenBudget equals the naive per-source window filter (boundary + full-keep paths)") {
     val r = new scala.util.Random(7)
     val d = (1L to 400L).map { i =>
