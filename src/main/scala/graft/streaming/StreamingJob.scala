@@ -735,6 +735,42 @@ object StreamingJob {
 
   case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
 
+  case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
+  case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
+                         start_off: Long, seq_first: Long, seq_last: Long,
+                         crosses: Boolean)
+
+  /** Streaming sequence-packing maintenance — the stateful twin of the
+    * batch `pipeline_pack_sequences` query: documents arrive as
+    * micro-batches and each shard's token stream keeps extending,
+    * emitting the SAME per-doc placements the batch window cumsum
+    * would produce over the full corpus. State per shard is ONE long
+    * (the running token offset), so an append-only corpus keeps its
+    * packing incrementally — no recompute of already-placed docs, no
+    * state growth with the stream. Placements are batch-slicing-
+    * invariant for doc_id-ordered arrival (the per-batch slice is
+    * sorted to pin iterator order).
+    */
+  def streamShardPack(in: Dataset[ShardDoc], seqLen: Long): Dataset[ShardPlaced] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Int, docs: Iterator[ShardDoc], state: GroupState[Long]) => {
+          var off = state.getOption.getOrElse(0L)
+          val placed = docs.toSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tokens
+            val last =
+              if (d.n_tokens > 0) (start + d.n_tokens - 1) / seqLen
+              else start / seqLen
+            ShardPlaced(d.doc_id, shard, d.n_tokens, start,
+              start / seqLen, last, last > start / seqLen)
+          }
+          state.update(off)
+          placed.iterator
+        })
+  }
+
   /** Streaming per-source token-budget admission — the arrival-order
     * twin of [[graft.text.Packing.mixTokenBudget]] (which ranks by
     * quality; a stream cannot, so admission is first-come in doc_id

@@ -402,6 +402,26 @@ object StreamingQueries {
       StreamingJob.streamDriftMonitor(s, dir, "/tmp/graft_s19")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
+    // Streaming packing maintenance: per-shard running token offset
+    // (one long of state) extends the batch packing incrementally —
+    // the drained placements equal the batch window-cumsum query
+    "s21_stream_pack_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val in = Tables.documentsStream(s, dir)
+        .select(
+          pmod(col("doc_id"), lit(graft.text.TextQueries.PackShards))
+            .cast("int").as("shard"),
+          col("doc_id"),
+          graft.text.Text.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .as[StreamingJob.ShardDoc]
+      StreamingJob.runToMemory(
+        StreamingJob.streamShardPack(
+          in, graft.text.TextQueries.PackCapacity.toLong).toDF())
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_off"), col("seq_first"), col("seq_last"),
+          col("crosses"))
+    }),
     // Streaming per-source token-budget admission: ONE long of state
     // per source; prefix-while semantics make the admitted set equal
     // the batch arrival-order window regardless of batch slicing
@@ -475,6 +495,10 @@ object StreamingQueries {
         |WHERE i.vec_id < 100 AND c.vec_id >= 100
         |  AND round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
         |      >= 0.35""".stripMargin,
+    // the drained streaming placements must equal the batch packing —
+    // the oracle IS the batch query's window-cumsum replay
+    "s21_stream_pack_maintenance" ->
+      graft.text.TextQueries.oracleSql("pipeline_pack_sequences"),
     // arrival-order (doc_id) prefix-while admission under the budget
     "s20_stream_budget_admission" -> {
       val pat = graft.text.Text.BpePattern.replace("'", "''")

@@ -36,6 +36,33 @@ class BudgetAdmissionSpec extends SparkSpec {
       == expected)
   }
 
+  test("streaming shard pack: placements carry across batches and equal one batch") {
+    import graft.streaming.StreamingJob.{ShardDoc, ShardPlaced}
+    def run(batches: Seq[Seq[ShardDoc]]): Set[ShardPlaced] = {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[ShardDoc]
+      val name = s"pack_${System.nanoTime()}"
+      val query = StreamingJob.streamShardPack(ms.toDS(), seqLen = 10L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => ms.addData(b: _*); query.processAllAvailable() }
+      query.stop()
+      spark.table(name).as[ShardPlaced].collect().toSet
+    }
+    val docs = Seq(
+      ShardDoc(0, 1, 6), ShardDoc(0, 2, 6), ShardDoc(1, 3, 4),
+      ShardDoc(0, 4, 9), ShardDoc(1, 5, 30))
+    val once = run(Seq(docs))
+    // shard 0: offsets 0,6,12 — doc 2 straddles seq 0/1 (tokens 6..11)
+    assert(once.contains(ShardPlaced(1, 0, 6, 0, 0, 0, crosses = false)))
+    assert(once.contains(ShardPlaced(2, 0, 6, 6, 0, 1, crosses = true)))
+    assert(once.contains(ShardPlaced(4, 0, 9, 12, 1, 2, crosses = true)))
+    // shard 1: doc 5 spans seqs 0..3 (tokens 4..33)
+    assert(once.contains(ShardPlaced(5, 1, 30, 4, 0, 3, crosses = true)))
+    // sliced into three micro-batches: identical placements
+    assert(run(Seq(docs.take(1), docs.slice(1, 3), docs.drop(3))) == once)
+  }
+
   test("budget admission: within-batch iterator order normalized to doc_id") {
     // arrivals out of doc_id order within one batch; doc_id order decides
     val docs = Seq(
