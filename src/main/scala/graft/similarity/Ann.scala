@@ -161,14 +161,17 @@ object Ann {
     * previous centroid.
     */
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
-                      nCentroids: Int, iters: Int): Seq[Seq[Double]] = {
-    val c = prepared(corpus, id, vec)
+                      nCentroids: Int, iters: Int): Seq[Seq[Double]] =
+    kmeansPrepared(prepared(corpus, id, vec), nCentroids, iters, seed = None)
+
+  private def kmeansPrepared(c: DataFrame, nCentroids: Int, iters: Int,
+                             seed: Option[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
     // materialize the unit vectors once: every Lloyd iteration (and the
     // seeding scan) would otherwise re-read + re-normalize the corpus
     val unit = c.filter(col("nrm") > 0)
       .select(transform(col("v"), x => x / col("nrm")).as("u"))
       .localCheckpoint(true)
-    var cents = firstNCentroids(c, nCentroids)
+    var cents = seed.getOrElse(firstNCentroids(c, nCentroids))
     for (_ <- 1 to iters) {
       val sums = unit
         .withColumn("cell", cellOf(cents, col("u")))
@@ -245,11 +248,8 @@ object Ann {
   /** Build the index at `dir`: centroids seeded from the corpus
     * (first `nCells` by id — oracle-replayable) + the assigned table.
     */
-  def ivfIndexBuild(corpus: DataFrame, id: String, vec: String,
-                    nCells: Int, dir: String): Unit = {
-    val s = corpus.sparkSession
-    val c = prepared(corpus, id, vec)
-    val cents = firstNCentroids(c, nCells)
+  private def writeCentroids(s: org.apache.spark.sql.SparkSession,
+                             cents: Seq[Seq[Double]], path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val rows = cents.zipWithIndex.map { case (v, i) =>
       org.apache.spark.sql.Row(i, v)
@@ -261,11 +261,75 @@ object Ann {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
     s.createDataFrame(rows, schema)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def ivfIndexBuild(corpus: DataFrame, id: String, vec: String,
+                    nCells: Int, dir: String): Unit = {
+    val s = corpus.sparkSession
+    val c = prepared(corpus, id, vec)
+    val cents = firstNCentroids(c, nCells)
+    writeCentroids(s, cents, s"$dir/centroids")
     // partitioned BY cell: a cell probe is a partition-pruned read —
     // `cell=K/` directories, the layout dividend on the index table
     c.withColumn("cell", cellOf(cents, col("v")))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** One-row audit of a stored index: row count plus how many rows sit
+    * in a cell that is NOT their max-cosine cell under the stored
+    * centroids. A healthy build/append/refresh keeps `misassigned` at
+    * 0 (append assigns against the same frozen centroids it stores;
+    * refresh rewrites both tables together under the swap).
+    */
+  def indexSelfCheck(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val cents = readCentroids(s, dir)
+    s.read.parquet(s"$dir/assigned")
+      .withColumn("re", cellOf(cents, col("v")))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cell") === col("re"), 0L).otherwise(1L))
+          .as("misassigned"))
+  }
+
+  /** Index maintenance: Lloyd-refine the stored centroids over the
+    * index's OWN vectors (warm-started from the stored set — the
+    * refresh resumes the optimization, it doesn't restart it), then
+    * reassign every row and atomically swap the rewritten tables in.
+    * This is the op a drift gate ([[graft.functions.Drift]]) triggers
+    * when appended deltas have skewed cell occupancy: appends assign
+    * against frozen centroids (O(delta)), and the occasional refresh
+    * re-spreads the cells at full-rebuild quality WITHOUT touching the
+    * raw corpus — the index tables are self-sufficient.
+    *
+    * Crash-safety mirrors [[graft.io.Compaction]]: the new centroid
+    * and assignment tables are staged beside the live ones and swapped
+    * by renames, never a delete-then-overwrite of a table being read.
+    */
+  def ivfIndexRefresh(s: org.apache.spark.sql.SparkSession, dir: String,
+                      iters: Int): Unit = {
+    val cents0 = readCentroids(s, dir)
+    val live = s.read.parquet(s"$dir/assigned")
+      .select(col("vid"), col("v"), col("nrm"))
+    val cents = kmeansPrepared(live, cents0.length, iters, seed = Some(cents0))
+    writeCentroids(s, cents, s"$dir/centroids_staged")
+    live.withColumn("cell", cellOf(cents, col("v")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned_staged")
+    def swap(name: String): Unit = {
+      val liveDir = new java.io.File(s"$dir/$name")
+      val staged = new java.io.File(s"$dir/${name}_staged")
+      val aside = new java.io.File(s"$dir/${name}_old")
+      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      require(liveDir.renameTo(aside), s"rename $liveDir -> $aside failed")
+      if (!staged.renameTo(liveDir)) {
+        aside.renameTo(liveDir)
+        sys.error(s"rename $staged -> $liveDir failed; rolled back")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+    }
+    swap("centroids")
+    swap("assigned")
   }
 
   private def readCentroids(s: org.apache.spark.sql.SparkSession,

@@ -82,6 +82,34 @@ object AnnQueries {
     // the stored table. Everything deterministic ⇒ the oracle replays
     // seed + assignment + probe; DedupAnnSpec pins persisted ==
     // recompute.
+    // Index refresh/rebalance: build (first-N seeding), Lloyd-refine
+    // in place via the atomic staged swap, then prove (in-plan) that
+    // the refreshed index is self-consistent (every stored cell IS the
+    // max-cosine cell under the stored centroids), conserves rows, and
+    // still clears the kmeans-tier recall floor on probes. Float-sum
+    // centroids preclude a bit-replay — contract oracle, like
+    // ann_ivf_kmeans_topk.
+    "ann_ivf_refresh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ix = s"/tmp/graft_ivf_refresh-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+      Ann.ivfIndexBuild(emb, "vec_id", "embedding", nCells = 16, ix)
+      Ann.ivfIndexRefresh(s, ix, iters = 3)
+      val q = emb.filter(col("vec_id") < NQueries)
+      val approx = Ann.ivfTopKFromIndex(q, "vec_id", "embedding", ix,
+        K, nProbe = 4)
+      val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", K)
+      val hits = exact.select(col("qid"), col("vid"))
+        .join(approx.select(col("qid"), col("vid")), Seq("qid", "vid"),
+          "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      approx.groupBy(col("qid")).agg(count(lit(1)).as("k_returned"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("k_returned"),
+          (coalesce(col("n_hits"), lit(0L)) >= lit(RecallBound * K))
+            .as("recall_ok"))
+        .crossJoin(broadcast(Ann.indexSelfCheck(s, ix)))
+    }),
     "ann_ivf_persisted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val ix = s"/tmp/graft_ivf_index-${ProcessHandle.current().pid()}"
@@ -370,6 +398,14 @@ object AnnQueries {
          |       TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    // contract: conservation + self-consistency + recall floor (the
+    // refreshed centroids are float sums — no bit replay possible)
+    "ann_ivf_refresh" ->
+      s"""SELECT vec_id AS qid, $K::BIGINT AS k_returned,
+         |       TRUE AS recall_ok,
+         |       (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+         |       0::BIGINT AS misassigned
+         |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
     // persisted-index variant: centroids seeded from the BUILD slice
     // (vec_id >= 100), the stored table covers build + appended delta
     // (vec_id >= 8), probes replay against it
