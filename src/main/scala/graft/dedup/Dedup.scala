@@ -425,6 +425,55 @@ object Dedup {
     ()
   }
 
+  /** Index maintenance: fold every `ingest=<batchId>` partition into
+    * the reserved batch partition and bound the file count — the
+    * compaction a long-running streaming ingest eventually needs
+    * (each micro-batch leaves its own small-file partition; band-probe
+    * planning cost grows with file count, not row count). Rows are
+    * conserved exactly (validated before the swap) and probe results
+    * are unchanged — MinHash has no trained state, so compaction is
+    * pure layout. Crash-safe via the same staged-rename swap as
+    * [[graft.similarity.Ann.ivfIndexRefresh]]. Run it with the
+    * ingesting stream stopped: folding live batch partitions away
+    * would make an at-least-once REPLAY of those batches append
+    * duplicates instead of idempotently overwriting.
+    */
+  def bandIndexCompact(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, "params.json")
+    require(java.nio.file.Files.exists(p),
+      s"no band index at $dir (params.json missing)")
+    val nBands = java.nio.file.Files.readString(p)
+      .stripPrefix("[").stripSuffix("]").split(",")(2).trim.toInt
+    val shingles = s.read.parquet(s"$dir/shingles")
+    val bands = s.read.parquet(s"$dir/bands")
+    val (nSh, nBd) = (shingles.count(), bands.count())
+    shingles.drop("ingest").coalesce(8)
+      .write.mode("overwrite")
+      .parquet(s"$dir/shingles_staged/ingest=$BatchIngestId")
+    // one task per band → one file per band partition
+    bands.drop("ingest").repartition(nBands, col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/bands_staged/ingest=$BatchIngestId")
+    def swap(name: String): Unit = {
+      val staged = new java.io.File(s"$dir/${name}_staged")
+      val live = new java.io.File(s"$dir/$name")
+      val aside = new java.io.File(s"$dir/${name}_old")
+      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      require(live.renameTo(aside), s"rename $live -> $aside failed")
+      if (!staged.renameTo(live)) {
+        aside.renameTo(live)
+        sys.error(s"rename $staged -> $live failed; rolled back")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+    }
+    require(s.read.parquet(s"$dir/shingles_staged").count() == nSh &&
+      s.read.parquet(s"$dir/bands_staged").count() == nBd,
+      "compacted band index lost rows — aborting swap")
+    swap("shingles")
+    swap("bands")
+  }
+
   /** The hash parameters ARE the index's model (there is no trained
     * state), so they are persisted beside the tables and validated on
     * every append/ingest/probe — a mismatched probe would otherwise

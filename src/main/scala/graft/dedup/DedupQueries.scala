@@ -105,6 +105,29 @@ object DedupQueries {
     // Deterministic seed ⇒ the oracle replays the exact cross-slice
     // Jaccard; DedupSpec pins appended == single-build and probe ==
     // corpusAdmission recompute.
+    // Index-maintenance lifecycle: batch build + two streaming-shaped
+    // ingest partitions + COMPACTION (fold ingest partitions into the
+    // batch partition, one file per band) — then the probe must return
+    // exactly what the uncompacted index (and the exact cross-slice
+    // Jaccard oracle) returns. Compaction is pure layout.
+    "dedup_index_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = s"/tmp/graft_band_compact-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+      Dedup.bandIndexBuild(docs.filter(col("doc_id") >= 300),
+        "doc_id", "text", N, ix)
+      Dedup.bandIndexIngestBatch(
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 225),
+        "doc_id", "text", N, ix, batchId = 0)
+      Dedup.bandIndexIngestBatch(
+        docs.filter(col("doc_id") >= 225 && col("doc_id") < 300),
+        "doc_id", "text", N, ix, batchId = 1)
+      Dedup.bandIndexCompact(s, ix)
+      Dedup.bandIndexProbe(docs.filter(col("doc_id") < 150),
+        "doc_id", "text", N, ix, Threshold)
+        .select(col("in_doc"), col("corpus_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     "dedup_index_persisted" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val ix = s"/tmp/graft_band_index-${ProcessHandle.current().pid()}"
@@ -438,6 +461,9 @@ object DedupQueries {
     // probe and the exact pair set coincide (same argument as
     // dedup_minhash_lsh / s11)
     "dedup_index_persisted" ->
+      crossJaccardOracle("doc_id < 150", "doc_id >= 150", Threshold),
+    // compaction is layout-only: the probe replay is identical
+    "dedup_index_compacted" ->
       crossJaccardOracle("doc_id < 150", "doc_id >= 150", Threshold),
     // contract oracle (see the query's comment): the truth-pair count
     // is DuckDB-recomputed; the recall/precision cells are literal
