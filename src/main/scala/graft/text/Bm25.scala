@@ -48,6 +48,118 @@ object Bm25 {
       .limit(nTerms)
   }
 
+  // ---- persisted posting index: build / append / probe ----
+  //
+  // Layout at `dir`:
+  //   postings/bucket=K/   (term, doc_id, dl, tf) — bucket is a hash of
+  //                        the term, so a probe is a partition-pruned
+  //                        read of only the query terms' buckets;
+  //   stats/               one row (n_docs, total_dl) covering EVERY
+  //                        indexed doc (token-less docs count toward N).
+  // Document frequencies are NOT stored: postings hold one row per
+  // (term, doc), so df for the probed terms is a count over the pruned
+  // buckets — appends never rewrite or merge a vocabulary table, they
+  // append delta postings and fold two numbers into stats. An index
+  // grown by appends scores identically to one built in a single pass
+  // (the driver-gate query proves it against the from-scratch oracle).
+
+  val IndexBuckets = 64
+
+  private def bucketed(post: DataFrame): DataFrame =
+    post.withColumn("bucket",
+      pmod(hash(col("term")), lit(IndexBuckets)))
+
+  private def writeStats(docs: DataFrame, textCol: String, dir: String,
+                         mode: String): Unit = {
+    val prev =
+      if (mode == "append")
+        docs.sparkSession.read.parquet(s"$dir/stats")
+          .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+          .getOrElse((0L, 0L))
+      else (0L, 0L)
+    val d = docs.agg(count(lit(1)),
+      sum(size(Text.tokens(lower(col(textCol)))).cast("long"))).head()
+    val merged = (prev._1 + d.getLong(0), prev._2 + d.getLong(1))
+    import docs.sparkSession.implicits._
+    val staged = s"$dir/stats_staged"
+    Seq(merged).toDF("n_docs", "total_dl")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val live = new java.io.File(s"$dir/stats")
+    val aside = new java.io.File(s"$dir/stats_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
+    if (live.exists()) require(live.renameTo(aside))
+    require(new java.io.File(staged).renameTo(live))
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
+  }
+
+  def indexBuild(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String): Unit = {
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+    bucketed(postings(docs, idCol, textCol))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    writeStats(docs, textCol, dir, "overwrite")
+  }
+
+  /** O(delta): delta postings appended, two scalars folded into stats.
+    * Existing postings are never read or rewritten.
+    */
+  def indexAppend(delta: DataFrame, idCol: String, textCol: String,
+                  dir: String): Unit = {
+    bucketed(postings(delta, idCol, textCol))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    writeStats(delta, textCol, dir, "append")
+  }
+
+  /** The same df-top-N workload selection as [[queryTerms]], derived
+    * from the STORED postings (one row per (term, doc) ⇒ count = df) —
+    * no corpus access.
+    */
+  def indexQueryTerms(s: org.apache.spark.sql.SparkSession,
+                      dir: String, nTerms: Int): DataFrame = {
+    val stop = Text.enStop ++ Text.ptStop ++ Text.esStop
+    s.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(!col("term").isInCollection(stop) && length(col("term")) >= 4)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms)
+  }
+
+  /** BM25 top-k from the stored index for an explicit query-term set:
+    * the postings read is pruned to the query terms' bucket partitions
+    * BEFORE the (broadcast) term join, df comes from counting the
+    * pruned one-row-per-(term,doc) postings, and corpus stats are two
+    * stored scalars — zero corpus-side compute at probe time.
+    */
+  def topKFromIndex(s: org.apache.spark.sql.SparkSession,
+                    queryTerms: DataFrame, dir: String, k: Int): DataFrame = {
+    val stats = s.read.parquet(s"$dir/stats").head()
+    val (n, avgdl) =
+      (stats.getLong(0).toDouble, stats.getLong(1).toDouble / stats.getLong(0))
+    val terms = queryTerms.select(col("term"))
+    val buckets = terms
+      .select(pmod(hash(col("term")), lit(IndexBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(terms), "term")
+    val df = pruned.groupBy("term").agg(count(lit(1)).as("qdf"))
+    val scored = pruned
+      .join(broadcast(df), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("qdf") + lit(0.5)) / (col("qdf") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * col("tf") * (lit(K1) + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+            lit(B) * col("dl") / lit(avgdl))), 6))
+      .select(col("term"), col("doc_id"), col("score"),
+        col("tf").cast("long").as("tf"), col("dl"))
+    graft.operators.TopK.topKPerKey(scored, keys = Seq("term"),
+      orderCols = Seq("score" -> false, "doc_id" -> true), k = k)
+  }
+
   /** Top-k docs per query term by BM25. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            nTerms: Int, k: Int): DataFrame = {

@@ -82,6 +82,20 @@ object PackingQueries {
         .select(col("term"), col("doc_id"), col("score"), col("tf"),
           col("dl"), col("rank"))),
 
+    // Persisted posting-index lifecycle: build + O(delta) append, then
+    // a bucket-pruned probe — must score identically to the
+    // from-scratch BM25 (same oracle), proving the stats fold and the
+    // stored-df derivation
+    "tx_bm25_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = s"/tmp/graft_bm25_index-${ProcessHandle.current().pid()}"
+      Bm25.indexBuild(docs.filter(col("doc_id") < 400), "doc_id", "text", ix)
+      Bm25.indexAppend(docs.filter(col("doc_id") >= 400), "doc_id", "text", ix)
+      Bm25.topKFromIndex(s, Bm25.indexQueryTerms(s, ix, NTerms), ix, K)
+        .select(col("term"), col("doc_id"), col("score"), col("tf"),
+          col("dl"), col("rank"))
+    }),
+
     // Model-based quality scoring: hashed-linear classifier, map-only
     "tx_quality_model" -> ((s, dir) => {
       val q6 = round(QualityModel.score(col("text")), 6)
@@ -164,7 +178,11 @@ object PackingQueries {
          |       round(1.0 / (1.0 + exp(-zv)), 6) > 0.5 AS clf_keep
          |FROM z""".stripMargin
     },
-    "tx_bm25_topk" -> {
+    // the stored-index probe replays the identical from-scratch BM25
+    "tx_bm25_persisted" -> bm25Oracle,
+    "tx_bm25_topk" -> bm25Oracle)
+
+  private lazy val bm25Oracle: String = {
       val stop = sqlList(Text.enStop ++ Text.ptStop ++ Text.esStop)
       s"""WITH p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,
          |              unnest($toksLower) AS term FROM documents),
@@ -187,5 +205,5 @@ object PackingQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY term
          |    ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
          |WHERE rank <= $K""".stripMargin
-    })
+  }
 }

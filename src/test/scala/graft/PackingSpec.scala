@@ -148,6 +148,23 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(1, 2, 1, 2))
   }
 
+  test("BM25 persisted index: append-grown probe equals from-scratch, bucket-pruned scan") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ix = s"/tmp/graft_bm25_spec_${System.nanoTime()}"
+    Bm25.indexBuild(d.filter(col("doc_id") < 250), "doc_id", "text", ix)
+    Bm25.indexAppend(d.filter(col("doc_id") >= 250), "doc_id", "text", ix)
+    val q = Bm25.indexQueryTerms(spark, ix, 5)
+    val fromIndex = Bm25.topKFromIndex(spark, q, ix, 3)
+    val scratch = Bm25.topK(d, "doc_id", "text", nTerms = 5, k = 3)
+    assert(fromIndex.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(fromIndex).isEmpty,
+      "index-grown probe must score identically to the one-pass build")
+    // the postings read is partition-pruned to the query terms' buckets
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+  }
+
   test("concatChunk plan: no single-partition global window") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Packing.concatChunk(d, "doc_id", "text", 512)
