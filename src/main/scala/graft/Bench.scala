@@ -50,9 +50,13 @@ object Bench {
     // bench_detail.json)
     "q21_waiting_supplier", "dedup_common_ngrams", "q20_part_promotion",
     "q2_min_cost_supplier", "dedup_containment",
-    // round-6 assembly layer
+    // round-6 assembly layer + index-maintenance lifecycle
     "pack_concat_chunk", "mix_token_budget", "dedup_paragraphs",
-    "tx_bm25_topk")
+    "tx_bm25_topk", "tx_bm25_persisted", "tx_quality_model",
+    "tx_mlt_topk", "pack_first_fit",
+    "ann_ivf_refresh", "dedup_index_compacted",
+    "s20_stream_budget_admission", "s21_stream_pack_maintenance",
+    "s22_stream_mlt_probe")
 
   /** r04 lesson: one 8 GB session running all 181 queries accumulates
     * state (GC pressure, codegen caches, listener/temp-view churn)

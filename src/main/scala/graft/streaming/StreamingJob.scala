@@ -735,6 +735,39 @@ object StreamingJob {
 
   case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
 
+  /** Streaming retrieval probe — the posting-index twin of
+    * [[streamAnnIndexProbe]]: the index is built (+ grown by an
+    * append) in batch, then query DOCUMENTS arrive as micro-batches
+    * and each batch runs the more-like-this retrieval against the
+    * STORED postings. Stream–static and stateless: per-query top-k is
+    * independent, so the drained union equals the one-shot batch
+    * probe over the same query set.
+    */
+  def streamMltProbe(corpus: DataFrame, delta: DataFrame,
+                     queries: DataFrame, id: String, text: String,
+                     k: Int, workDir: String, nFiles: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.text.Bm25.indexBuild(corpus, id, text, s"$dir/ix")
+    graft.text.Bm25.indexAppend(delta, id, text, s"$dir/ix")
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.Bm25.moreLikeThisFromIndex(s, batch, id, text,
+            s"$dir/ix", k)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
   case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
                          start_off: Long, seq_first: Long, seq_last: Long,

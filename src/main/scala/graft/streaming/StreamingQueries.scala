@@ -402,6 +402,21 @@ object StreamingQueries {
       StreamingJob.streamDriftMonitor(s, dir, "/tmp/graft_s19")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
+    // Streaming retrieval probe over the stored posting index:
+    // stateless stream–static, per-query top-k independence makes the
+    // drained union equal the one-shot batch probe (same oracle)
+    "s22_stream_mlt_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = graft.text.PackingQueries.MltSplit
+      StreamingJob.streamMltProbe(
+        docs.filter(col("doc_id") >= 300),
+        docs.filter(col("doc_id") >= split && col("doc_id") < 300),
+        docs.filter(col("doc_id") < split),
+        "doc_id", "text", graft.text.PackingQueries.MltK,
+        "/tmp/graft_s22")
+        .select(col("qid"), col("doc_id").as("cdoc"), col("score"),
+          col("n_shared"), col("rank"))
+    }),
     // Streaming packing maintenance: per-shard running token offset
     // (one long of state) extends the batch packing incrementally —
     // the drained placements equal the batch window-cumsum query
@@ -499,6 +514,9 @@ object StreamingQueries {
     // the oracle IS the batch query's window-cumsum replay
     "s21_stream_pack_maintenance" ->
       graft.text.TextQueries.oracleSql("pipeline_pack_sequences"),
+    // streamed micro-batch probes union to the one-shot retrieval —
+    // the oracle IS tx_mlt_topk's full replay
+    "s22_stream_mlt_probe" -> graft.text.PackingQueries.mltOracle,
     // arrival-order (doc_id) prefix-while admission under the budget
     "s20_stream_budget_admission" -> {
       val pat = graft.text.Text.BpePattern.replace("'", "''")

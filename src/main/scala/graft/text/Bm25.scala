@@ -103,7 +103,9 @@ object Bm25 {
   }
 
   /** O(delta): delta postings appended, two scalars folded into stats.
-    * Existing postings are never read or rewritten.
+    * Existing postings are never read or rewritten. Single-writer, like
+    * every index-maintenance path here: two concurrent appends would
+    * race the stats read-merge-swap and lose one delta's counts.
     */
   def indexAppend(delta: DataFrame, idCol: String, textCol: String,
                   dir: String): Unit = {
@@ -136,6 +138,8 @@ object Bm25 {
   def topKFromIndex(s: org.apache.spark.sql.SparkSession,
                     queryTerms: DataFrame, dir: String, k: Int): DataFrame = {
     val stats = s.read.parquet(s"$dir/stats").head()
+    require(stats.getLong(0) > 0,
+      s"posting index at $dir is empty (n_docs = 0) — avgdl undefined")
     val (n, avgdl) =
       (stats.getLong(0).toDouble, stats.getLong(1).toDouble / stats.getLong(0))
     val terms = queryTerms.select(col("term"))
@@ -157,6 +161,49 @@ object Bm25 {
       .select(col("term"), col("doc_id"), col("score"),
         col("tf").cast("long").as("tf"), col("dl"))
     graft.operators.TopK.topKPerKey(scored, keys = Seq("term"),
+      orderCols = Seq("score" -> false, "doc_id" -> true), k = k)
+  }
+
+  /** BM25 "more-like-this": each query DOCUMENT retrieves its top-k
+    * lexically closest corpus docs from the stored posting index — the
+    * candidate-generation stage of a fuzzy-dedup / near-match pass.
+    * Query side contributes term PRESENCE (distinct tokens, the
+    * standard BM25 query treatment); the score is the sum of the
+    * matched terms' BM25 contributions. Each per-term contribution is
+    * rounded to 6 decimals BEFORE the sum, so both engines sum exact
+    * 6-decimal values — float association order cannot move the total
+    * and the ranking is bit-stable across engines AND across Spark's
+    * own partial-aggregation orders.
+    *
+    * Scale: the postings read covers exactly the query docs' term
+    * set; candidates are bounded by the matched postings; the per-
+    * query cut runs the native TopK partial heaps. Stateless — the
+    * streaming twin probes each micro-batch with zero streaming state.
+    */
+  def moreLikeThisFromIndex(s: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, idCol: String,
+                            textCol: String, dir: String,
+                            k: Int): DataFrame = {
+    val stats = s.read.parquet(s"$dir/stats").head()
+    require(stats.getLong(0) > 0, s"posting index at $dir is empty")
+    val (n, avgdl) =
+      (stats.getLong(0).toDouble, stats.getLong(1).toDouble / stats.getLong(0))
+    val qTerms = queries.select(col(idCol).as("qid"),
+        explode(array_distinct(Text.tokens(lower(col(textCol))))).as("term"))
+    val post = s.read.parquet(s"$dir/postings")
+    val df = post.groupBy("term").agg(count(lit(1)).as("qdf"))
+    val contrib = post
+      .join(qTerms.hint("shuffle_hash"), "term")
+      .join(df, "term")
+      .withColumn("c", round(
+        log(lit(1.0) + (lit(n) - col("qdf") + 0.5) / (col("qdf") + 0.5)) *
+          col("tf") * (lit(K1) + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+            lit(B) * col("dl") / lit(avgdl))), 6))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"),
+        count(lit(1)).as("n_shared"))
+    graft.operators.TopK.topKPerKey(scored, keys = Seq("qid"),
       orderCols = Seq("score" -> false, "doc_id" -> true), k = k)
   }
 

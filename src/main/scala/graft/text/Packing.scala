@@ -123,7 +123,12 @@ object Packing {
       (b, acc + t)
     }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
     val offDf = broadcast(offsets.toDF("__bkt", "__boff"))
+    // explicit ROWS frame: the default RANGE frame would lump id TIES
+    // into one cumsum step (diverging from the oracle's ROWS window);
+    // ids are expected unique — with duplicates the within-tie order,
+    // hence each tied doc's offset, is not deterministic
     val w = Window.partitionBy($"__bkt").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(offDf, "__bkt")
       .withColumn("tok_start",
         $"__boff" + sum(col(tokCol).cast("long")).over(w) - col(tokCol).cast("long"))
@@ -232,6 +237,7 @@ object Packing {
     // boundary sliver: exact per-doc cumsum in doc_id order — only the
     // docs sharing the single boundary quality value per source
     val wb = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val keptBoundary = base
       .join(broadcast(boundary), base("source") === boundary("source") &&
         $"qk" === $"bqk")

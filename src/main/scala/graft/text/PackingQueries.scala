@@ -26,6 +26,8 @@ object PackingQueries {
   private val Budget = 800L
   private val NTerms = 20
   private val K = 5
+  private[graft] val MltSplit = 100
+  private[graft] val MltK = 3
 
   private val bpeTok: String = {
     val pat = Text.BpePattern.replace("'", "''")
@@ -94,6 +96,21 @@ object PackingQueries {
       Bm25.topKFromIndex(s, Bm25.indexQueryTerms(s, ix, NTerms), ix, K)
         .select(col("term"), col("doc_id"), col("score"), col("tf"),
           col("dl"), col("rank"))
+    }),
+
+    // BM25 more-like-this: incoming docs retrieve their lexically
+    // closest corpus docs from the stored posting index — fuzzy-dedup
+    // candidate generation; per-term contributions rounded BEFORE the
+    // sum so both engines total exact 6-decimal values in any order
+    "tx_mlt_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = s"/tmp/graft_mlt_index-${ProcessHandle.current().pid()}"
+      Bm25.indexBuild(docs.filter(col("doc_id") >= MltSplit),
+        "doc_id", "text", ix)
+      Bm25.moreLikeThisFromIndex(s,
+        docs.filter(col("doc_id") < MltSplit), "doc_id", "text", ix, MltK)
+        .select(col("qid"), col("doc_id").as("cdoc"), col("score"),
+          col("n_shared"), col("rank"))
     }),
 
     // Model-based quality scoring: hashed-linear classifier, map-only
@@ -180,7 +197,42 @@ object PackingQueries {
     },
     // the stored-index probe replays the identical from-scratch BM25
     "tx_bm25_persisted" -> bm25Oracle,
-    "tx_bm25_topk" -> bm25Oracle)
+    "tx_bm25_topk" -> bm25Oracle,
+    "tx_mlt_topk" -> mltOracle)
+
+  /** Full replay of moreLikeThisFromIndex: corpus = docs >= MltSplit,
+    * queries = docs < MltSplit, per-term contribution rounded before
+    * the sum (exact 6-decimal addition on both engines).
+    */
+  private[graft] lazy val mltOracle: String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id >= $MltSplit),
+       |p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,
+       |         unnest($toksLower) AS term FROM c),
+       |p AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+       |      FROM p0 GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |                 avg(len($toksLower))::DOUBLE AS avgdl
+       |          FROM c),
+       |df AS (SELECT term, count(*)::DOUBLE AS qdf FROM p GROUP BY 1),
+       |qt AS (SELECT doc_id AS qid,
+       |         unnest(list_distinct($toksLower)) AS term
+       |       FROM documents WHERE doc_id < $MltSplit),
+       |contrib AS (
+       |  SELECT qt.qid, p.doc_id AS cdoc,
+       |         round(ln(1.0 + (n - qdf + 0.5) / (qdf + 0.5)) * tf
+       |           * (${Bm25.K1} + 1.0)
+       |           / (tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
+       |              + ${Bm25.B} * dl / avgdl)), 6) AS cr
+       |  FROM qt JOIN p USING (term) JOIN df USING (term)
+       |  CROSS JOIN stats),
+       |sc AS (SELECT qid, cdoc, round(sum(cr), 6) AS score,
+       |              count(*)::BIGINT AS n_shared
+       |       FROM contrib GROUP BY 1, 2)
+       |SELECT qid, cdoc, score, n_shared, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, cdoc) AS INT) AS rank FROM sc)
+       |WHERE rank <= $MltK""".stripMargin
 
   private lazy val bm25Oracle: String = {
       val stop = sqlList(Text.enStop ++ Text.ptStop ++ Text.esStop)

@@ -165,6 +165,37 @@ class PackingSpec extends SparkSpec {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("more-like-this: shared-term census and deterministic exact-sum ranking") {
+    val d = docs(
+      (1L, "s", "spark catalyst tungsten"),            // query doc
+      (10L, "s", "spark catalyst engine"),             // shares 2 terms
+      (11L, "s", "spark runtime"),                     // shares 1
+      (12L, "s", "wholly unrelated words"))            // shares 0
+    val ix = s"/tmp/graft_mlt_spec_${System.nanoTime()}"
+    Bm25.indexBuild(d.filter(col("doc_id") >= 10), "doc_id", "text", ix)
+    val out = Bm25.moreLikeThisFromIndex(spark, d.filter(col("doc_id") === 1),
+        "doc_id", "text", ix, k = 3)
+      .orderBy("rank")
+      .select("qid", "doc_id", "n_shared", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // doc 12 shares nothing → absent; doc 10 (2 shared) outranks 11 (1)
+    assert(out.toSeq == Seq((1L, 10L, 2L, 1), (1L, 11L, 1L, 2)))
+  }
+
+  test("streaming MLT probe drains to the one-shot batch retrieval") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val streamed = graft.streaming.StreamingJob.streamMltProbe(
+      d.filter(col("doc_id") >= 300),
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+      d.filter(col("doc_id") < 100),
+      "doc_id", "text", k = 3, s"/tmp/graft_mlt_stream_${System.nanoTime()}")
+    val ix = s"/tmp/graft_mlt_batch_${System.nanoTime()}"
+    Bm25.indexBuild(d.filter(col("doc_id") >= 100), "doc_id", "text", ix)
+    val batch = Bm25.moreLikeThisFromIndex(spark,
+      d.filter(col("doc_id") < 100), "doc_id", "text", ix, k = 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("concatChunk plan: no single-partition global window") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Packing.concatChunk(d, "doc_id", "text", 512)
