@@ -82,6 +82,47 @@ object AnnQueries {
     // the stored table. Everything deterministic ⇒ the oracle replays
     // seed + assignment + probe; DedupAnnSpec pins persisted ==
     // recompute.
+    // The full maintenance loop, composed: build → skewed ingest (40
+    // near-duplicates of one corpus vector, all landing in one cell) →
+    // PSI drift gate over the 16-cell occupancy histogram (32 scalars
+    // on the driver — the gate is a decision, not a dataflow) → gate
+    // fires → refresh → self-check. What ann_ivf_refresh proves for
+    // the refresh alone, this proves for the trigger wiring.
+    "pipeline_index_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val ix = s"/tmp/graft_ivf_maint-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+      Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
+        "vec_id", "embedding", nCells = 16, ix)
+      def cellHist(): Map[Int, Long] =
+        s.read.parquet(s"$ix/assigned").groupBy("cell").count()
+          .as[(Int, Long)].collect().toMap
+      val before = cellHist()
+      val base = emb.filter(col("vec_id") === 100)
+        .select(col("embedding")).as[Seq[Float]].head()
+      // the skew must be material at ANY corpus size: 25% of the base
+      // slice, all near-duplicates of one vector → one cell's share
+      // jumps ~20 points and the PSI gate fires at every sf
+      val nBase = emb.filter(col("vec_id") >= 100).count()
+      val nDelta = math.ceil(nBase * 0.25).toLong
+      val delta = (0L until nDelta).map { i =>
+        (100000L + i, base.updated(0, base.head + (i % 7).toFloat / 100f))
+      }.toDF("vec_id", "embedding")
+      Ann.ivfIndexAppend(delta, "vec_id", "embedding", ix)
+      val after = cellHist()
+      def shares(h: Map[Int, Long]): Seq[Double] = {
+        val t = h.values.sum.toDouble
+        (0 until 16).map(c => math.max(h.getOrElse(c, 0L) / t, 1e-6))
+      }
+      val psi = shares(before).zip(shares(after))
+        .map { case (p, q) => (q - p) * math.log(q / p) }.sum
+      val fired = psi > 0.05
+      if (fired) Ann.ivfIndexRefresh(s, ix, iters = 3)
+      Ann.indexSelfCheck(s, ix)
+        .select(lit(fired).as("drift_fired"), col("misassigned"),
+          col("n_vectors"))
+    }),
     // Index refresh/rebalance: build (first-N seeding), Lloyd-refine
     // in place via the atomic staged swap, then prove (in-plan) that
     // the refreshed index is self-consistent (every stored cell IS the
@@ -398,6 +439,14 @@ object AnnQueries {
          |       TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    // the skewed ingest MUST fire the gate; the refreshed index must
+    // be self-consistent and conserve base + 25%-delta rows
+    "pipeline_index_maintenance" ->
+      s"""WITH b AS (SELECT count(*)::BIGINT AS n FROM embeddings
+         |           WHERE vec_id >= 100)
+         |SELECT true AS drift_fired, 0::BIGINT AS misassigned,
+         |       (n + CAST(ceil(n * 0.25) AS BIGINT))::BIGINT AS n_vectors
+         |FROM b""".stripMargin,
     // contract: conservation + self-consistency + recall floor (the
     // refreshed centroids are float sums — no bit replay possible)
     "ann_ivf_refresh" ->

@@ -540,6 +540,26 @@ object ScaleCheck {
     val ldSecs = (System.nanoTime() - t30) / 1e9
     println(f"[scale] linedd rows=$pkn%,d dups=${ld.getLong(1)}%,d " +
       f"secs=$ldSecs%.2f rate=${pkn / ldSecs}%,.0f docs/s")
+
+    // posting-index lifecycle at factor× corpus: build rate must be
+    // linear; the more-like-this probe for a FIXED query set touches
+    // only the query terms' postings, whose volume grows with the
+    // corpus — probed-posting throughput is the honest flat metric
+    val mltIx = s"/tmp/graft_scale_mlt_${ProcessHandle.current().pid()}"
+    val t31 = System.nanoTime()
+    graft.text.Bm25.indexBuild(
+      packDocs.filter(col("doc_id") >= 100), "doc_id", "text", mltIx)
+    val ixSecs = (System.nanoTime() - t31) / 1e9
+    val t32 = System.nanoTime()
+    val mlt = graft.text.Bm25.moreLikeThisFromIndex(spark,
+      packDocs.filter(col("doc_id") < 100), "doc_id", "text", mltIx, 3)
+      .agg(count(lit(1)), sum(col("n_shared"))).head()
+    val mltSecs = (System.nanoTime() - t32) / 1e9
+    println(f"[scale] mltix  rows=$pkn%,d matches=${mlt.getLong(0)}%,d " +
+      f"shared=${mlt.getLong(1)}%,d build=$ixSecs%.2f s probe=$mltSecs%.2f s " +
+      f"build_rate=${pkn / ixSecs}%,.0f docs/s " +
+      f"probe_rate=${mlt.getLong(1) / mltSecs}%,.0f postings/s")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mltIx))
     spark.stop()
   }
 }
