@@ -555,10 +555,18 @@ object ScaleCheck {
       packDocs.filter(col("doc_id") < 100), "doc_id", "text", mltIx, 3)
       .agg(count(lit(1)), sum(col("n_shared"))).head()
     val mltSecs = (System.nanoTime() - t32) / 1e9
-    println(f"[scale] mltix  rows=$pkn%,d matches=${mlt.getLong(0)}%,d " +
-      f"shared=${mlt.getLong(1)}%,d build=$ixSecs%.2f s probe=$mltSecs%.2f s " +
+    // honest denominator: the matched postings the probe actually
+    // scores (query docs share most of this corpus's vocabulary, so
+    // this is near the whole posting table here — worst case)
+    val qset = packDocs.filter(col("doc_id") < 100)
+      .select(explode(array_distinct(
+        graft.text.Text.tokens(lower(col("text"))))).as("term")).distinct()
+    val matchedN = spark.read.parquet(s"$mltIx/postings")
+      .join(broadcast(qset), "term").count()
+    println(f"[scale] mltix  rows=$pkn%,d matched=${matchedN}%,d " +
+      f"top=${mlt.getLong(0)}%,d build=$ixSecs%.2f s probe=$mltSecs%.2f s " +
       f"build_rate=${pkn / ixSecs}%,.0f docs/s " +
-      f"probe_rate=${mlt.getLong(1) / mltSecs}%,.0f postings/s")
+      f"probe_rate=${matchedN / mltSecs}%,.0f postings/s")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mltIx))
     spark.stop()
   }
