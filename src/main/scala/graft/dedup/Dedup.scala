@@ -448,6 +448,10 @@ object Dedup {
     val shingles = s.read.parquet(s"$dir/shingles")
     val bands = s.read.parquet(s"$dir/bands")
     val (nSh, nBd) = (shingles.count(), bands.count())
+    // an empty index (built over blank docs, or already fully expired)
+    // has nothing to fold — and a partitioned write of ZERO rows emits
+    // no files, so the staged read/swap below would fail on it
+    if (nSh == 0 && nBd == 0) return
     shingles.drop("ingest").coalesce(8)
       .write.mode("overwrite")
       .parquet(s"$dir/shingles_staged/ingest=$BatchIngestId")

@@ -311,6 +311,10 @@ object Ann {
     val cents0 = readCentroids(s, dir)
     val live = s.read.parquet(s"$dir/assigned")
       .select(col("vid"), col("v"), col("nrm"))
+    // nothing to refine or reassign on an empty index — and a
+    // partitioned write of zero rows emits no directory, which would
+    // break the staged-rename swap below
+    if (live.isEmpty) return
     val cents = kmeansPrepared(live, cents0.length, iters, seed = Some(cents0))
     writeCentroids(s, cents, s"$dir/centroids_staged")
     live.withColumn("cell", cellOf(cents, col("v")))

@@ -233,6 +233,31 @@ object TextQueries {
     //    holds the global best: count(1) ≥ count(k) for every k.
     // The exact merge table stays pinned by BpeSpec's in-memory
     // reference differential.
+    // Corpus-scale application of the TRAINED merge table: encode is a
+    // pure expression fold (12 nested merge rewrites, codegen'd, zero
+    // UDFs), so applying the tokenizer to 100 TB is map-only — the
+    // train/apply loop closed. Contract: every word round-trips
+    // (concat(symbols) == word + </w>, so no merge loses characters)
+    // and encoding never lengthens a word's symbol sequence; the
+    // initial symbol mass (chars + end marker) is replayed exactly.
+    "tx_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (merges, _) = Bpe.train(docs, "text", 12)
+      require(merges.length == 12,
+        s"tx_bpe_encode: corpus exhausted BPE merge candidates after " +
+          s"${merges.length}/12 merges — see tx_bpe_train")
+      val words = docs.select(col("doc_id"),
+        explode(Text.tokens(lower(col("text")))).as("w"))
+      words
+        .withColumn("syms", Bpe.encode(col("w"), merges))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")) + 1).as("n_init_syms"),
+          (sum(size(col("syms"))) <= sum(length(col("w")) + 1))
+            .as("compress_ok"),
+          min(concat_ws("", col("syms")) ===
+            concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
+    }),
     "tx_bpe_train" -> ((s, dir) => {
       val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", 12)
       import s.implicits._
@@ -650,6 +675,16 @@ object TextQueries {
          |            THEN round(top_c::DOUBLE / n_tokens, 6)
          |            ELSE 0.0 END AS top_word_frac
          |FROM base LEFT JOIN wc ON base.doc_id = wc.doc_id""".stripMargin,
+    // contract: initial symbol mass replayed exactly; the merge-fold's
+    // conservation and monotonicity land as in-plan booleans
+    "tx_bpe_encode" ->
+      s"""SELECT doc_id,
+         |       len($toksLower)::BIGINT AS n_words,
+         |       list_sum(list_transform($toksLower,
+         |         w -> length(w) + 1))::BIGINT AS n_init_syms,
+         |       true AS compress_ok,
+         |       true AS roundtrip_ok
+         |FROM documents WHERE len($toksLower) > 0""".stripMargin,
     "tx_bpe_tokens" -> {
       val pat = Text.BpePattern.replace("'", "''")
       s"""SELECT doc_id, len($toks)::INT AS n_ws,
