@@ -55,7 +55,7 @@ object Bench {
     "tx_bm25_topk", "tx_bm25_persisted", "tx_quality_model",
     "tx_mlt_topk", "pack_first_fit",
     "ann_ivf_refresh", "dedup_index_compacted",
-    "pipeline_index_maintenance",
+    "pipeline_index_maintenance", "ann_truncated_rerank", "tx_bpe_encode",
     "s20_stream_budget_admission", "s21_stream_pack_maintenance",
     "s22_stream_mlt_probe")
 

@@ -66,6 +66,52 @@ object Ann {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Two-stage truncated-prefix retrieval (the matryoshka pattern):
+    * stage 1 ranks on the cosine of the first `prefixDims` dimensions
+    * — half the dot-product FLOPs and, at scale, half the bytes read
+    * when the prefix is stored as its own column — and keeps
+    * `candidates` per query through the native TopK cut; stage 2
+    * exactly reranks only those candidates on the full vector. Fully
+    * deterministic (round-6 sims, id tiebreaks), so the whole
+    * two-stage cascade is replayable in the oracle — no recall floor
+    * needed, the candidate set itself is pinned. Zero-prefix vectors
+    * are excluded on both sides (their truncated cosine is undefined).
+    */
+  def truncatedRerankTopK(queries: DataFrame, corpus: DataFrame,
+                          id: String, vec: String, k: Int,
+                          prefixDims: Int, candidates: Int): DataFrame = {
+    val q = prepared(queries, id, vec)
+      .withColumn("qp", slice(col("v"), 1, prefixDims))
+      .withColumn("qpn", sqrt(dot(col("qp"), col("qp"))))
+      .filter(col("qpn") > 0)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("qp"), col("qpn"))
+    val c = prepared(corpus, id, vec)
+      .withColumn("p", slice(col("v"), 1, prefixDims))
+      .withColumn("pn", sqrt(dot(col("p"), col("p"))))
+      .filter(col("pn") > 0)
+    // stage 1 touches ONLY prefixes — the full-dim dot runs on nothing
+    // but the surviving candidates after the TopK cut
+    val stage1 = c.select(col("vid"), col("p"), col("pn"))
+      .join(broadcast(q.select(col("qid"), col("qp"), col("qpn"))),
+        col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(dot(col("qp"), col("p")) / (col("qpn") * col("pn")), 6)
+          .as("psim"))
+    val cand = graft.operators.TopK.topKPerKey(stage1, keys = Seq("qid"),
+      orderCols = Seq("psim" -> false, "vid" -> true), k = candidates,
+      rankCol = "prank")
+    val reranked = cand.select(col("qid"), col("vid"))
+      .join(c.select(col("vid"), col("v"), col("nrm")), "vid")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .select(col("qid"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vid").asc)
+    reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplanes: `planes(p)(d)` from a fixed seed.
     * Exposed within the package so the DuckDB oracle SQL embeds the
     * exact same planes as literals (no possibility of drift).

@@ -82,6 +82,16 @@ object AnnQueries {
     // the stored table. Everything deterministic ⇒ the oracle replays
     // seed + assignment + probe; DedupAnnSpec pins persisted ==
     // recompute.
+    // Two-stage truncated-prefix retrieval (matryoshka): rank on the
+    // first 32 of 64 dims, exact-rerank only the surviving 20
+    // candidates per query. Deterministic end-to-end, so the oracle
+    // replays the CASCADE (candidate cut included), not just a recall
+    // bound.
+    "ann_truncated_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.truncatedRerankTopK(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding", K, prefixDims = 32, candidates = 20)
+    }),
     // The full maintenance loop, composed: build → skewed ingest (40
     // near-duplicates of one corpus vector, all landing in one cell) →
     // PSI drift gate over the 16-cell occupancy histogram (32 scalars
@@ -439,6 +449,36 @@ object AnnQueries {
          |       TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NQueries""".stripMargin,
     "ann_ivf_topk" -> ivfOracle(nCentroids = 16, nProbe = 4),
+    // full cascade replay: prefix-cosine cut at 20, exact rerank at 5
+    "ann_truncated_rerank" ->
+      s"""WITH $nCte,
+         |np AS (
+         |  SELECT vec_id, v[1:32] AS p,
+         |         sqrt(list_dot_product(v[1:32], v[1:32])) AS pn,
+         |         v, nrm
+         |  FROM n WHERE sqrt(list_dot_product(v[1:32], v[1:32])) > 0),
+         |s1 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         round(list_dot_product(q.p, c.p) / (q.pn * c.pn), 6)
+         |           AS psim
+         |  FROM np q JOIN np c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |cand AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+         |             ORDER BY psim DESC, vid ASC) AS pr
+         |    FROM s1) WHERE pr <= 20),
+         |rr AS (
+         |  SELECT cand.qid, cand.vid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+         |           AS sim
+         |  FROM cand
+         |  JOIN np q ON q.vec_id = cand.qid
+         |  JOIN np c ON c.vec_id = cand.vid)
+         |SELECT qid, vid, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vid ASC) AS INT) AS rank FROM rr)
+         |WHERE rank <= $K""".stripMargin,
     // the skewed ingest MUST fire the gate; the refreshed index must
     // be self-consistent and conserve base + 25%-delta rows
     "pipeline_index_maintenance" ->

@@ -47,6 +47,26 @@ class IvfRefreshSpec extends SparkSpec {
       .forall(_._2 == 5L))
   }
 
+  test("truncated rerank: full-width prefix degenerates to exact brute force; half-width recalls sanely") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("qid", "vid", "sim", "rank")
+    // prefix = full 64 dims and candidates >= corpus: stage 1 IS the
+    // exact ranking, so the cascade must equal brute force row-for-row
+    val full = Ann.truncatedRerankTopK(q, emb, "vec_id", "embedding", 5,
+      prefixDims = 64, candidates = 10000)
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // half-width prefix with a 4x candidate cushion: high overlap with
+    // the exact top-5 (the matryoshka premise on correlated dims)
+    val half = Ann.truncatedRerankTopK(q, emb, "vec_id", "embedding", 5,
+      prefixDims = 32, candidates = 20)
+      .select("qid", "vid")
+    val hits = exact.select("qid", "vid")
+      .join(half, Seq("qid", "vid"), "left_semi").count()
+    assert(hits >= 20, s"recall collapsed: $hits/40 exact hits survived")
+  }
+
   test("refresh after a skewed append re-spreads what frozen-centroid ingest cannot") {
     val ix = freshIndex()
     // a delta of near-duplicate vectors of corpus vector 0: frozen
