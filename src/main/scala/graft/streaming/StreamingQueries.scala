@@ -402,6 +402,19 @@ object StreamingQueries {
       StreamingJob.streamDriftMonitor(s, dir, "/tmp/graft_s19")),
     "s15_stream_semantic_admission" -> ((s, dir) =>
       streamSemanticAdmission(s, dir)),
+    // Streaming model-gated admission: the hashed-linear quality
+    // classifier scores each arriving doc INSIDE the stream's map
+    // stage (one codegen'd Project — no state, no shuffle) and only
+    // docs over the threshold pass; the drained admitted set equals
+    // the batch filter, which is the oracle
+    "s23_stream_quality_gate" -> ((s, dir) => {
+      val q6 = round(graft.text.QualityModel.score(col("text")), 6)
+      val admitted = Tables.documentsStream(s, dir)
+        .select(col("doc_id"), q6.as("clf_quality"))
+        .filter(col("clf_quality") > 0.5)
+      StreamingJob.runToMemory(admitted)
+        .select(col("doc_id"), col("clf_quality"))
+    }),
     // Streaming retrieval probe over the stored posting index:
     // stateless stream–static, per-query top-k independence makes the
     // drained union equal the one-shot batch probe (same oracle)
@@ -517,6 +530,24 @@ object StreamingQueries {
     // streamed micro-batch probes union to the one-shot retrieval —
     // the oracle IS tx_mlt_topk's full replay
     "s22_stream_mlt_probe" -> graft.text.PackingQueries.mltOracle,
+    // stateless map-stage scoring: admitted set == the batch filter
+    "s23_stream_quality_gate" -> {
+      val b = graft.text.QualityModel.Buckets
+      val toksLower = """list_filter(regexp_split_to_array(trim(lower(text)),""" +
+        """ '\s+'), t -> t != '')"""
+      val w = s"((('0x' || substring(md5(t), 1, 8))::UBIGINT % $b)" +
+        s"::DOUBLE / $b - 0.5)"
+      s"""WITH z AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len($toksLower) > 0
+         |              THEN ${graft.text.QualityModel.Bias} +
+         |                   list_sum(list_transform($toksLower, t -> $w))
+         |                   / len($toksLower)
+         |              ELSE ${graft.text.QualityModel.Bias} END AS zv
+         |  FROM documents)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS clf_quality
+         |FROM z WHERE round(1.0 / (1.0 + exp(-zv)), 6) > 0.5""".stripMargin
+    },
     // arrival-order (doc_id) prefix-while admission under the budget
     "s20_stream_budget_admission" -> {
       val pat = graft.text.Text.BpePattern.replace("'", "''")
