@@ -4,13 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Driver-contract registrations for sequence packing, token-budget
-  * dataset mixing, BM25 retrieval, and line-level corpus dedup — the
-  * assembly layer between a curated corpus and a training run.
+/** Driver-contract registrations for the assembly layer between a
+  * curated corpus and a training run: sequence packing, token-budget
+  * dataset mixing, line-level corpus dedup, BM25 retrieval (from
+  * scratch, from the persisted posting index, and the more-like-this
+  * doc-as-query form), and the hashed-linear quality classifier.
   *
-  * Oracle style: pack_concat_chunk / mix_token_budget / dedup_paragraphs
-  * / tx_bm25_topk re-derive the full computation in DuckDB SQL (window
-  * cumsums, inverted index, BM25 formula) and hash-match row-for-row.
+  * Oracle style: everything except pack_first_fit re-derives the full
+  * computation in DuckDB SQL (window cumsums, inverted index, BM25
+  * formula, md5-bucketed model scoring) and hash-matches row-for-row.
   * pack_first_fit is partitioning-dependent in its bin ids, so its
   * oracle is a CONTRACT: the invariants first-fit guarantees
   * (doc/token conservation, zero cap violations, ≤ one half-empty bin
