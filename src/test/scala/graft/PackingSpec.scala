@@ -112,6 +112,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("tokenOffsets property: equals naive for random ids/counts/bucket widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (trial <- 0 until 5) {
+      val g = for {
+        n <- Gen.chooseNum(1, 120)
+        ids <- Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+        toks <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+      } yield ids.distinct.zip(toks) // unique ids: the documented domain
+      val rows = g.apply(Gen.Parameters.default, Seed(7L + trial)).get
+      val buckets = Seq(1, 3, 17, 256)(trial % 4)
+      val d = rows.toDF("doc_id", "n")
+      val got = Packing.tokenOffsets(d, "doc_id", "n", buckets)
+        .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+      val naive = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, acc, acc + n) }
+        .drop(1).map { case (id, start, _) => id -> start }.toMap
+      assert(got == naive, s"trial $trial buckets=$buckets")
+    }
+  }
+
   test("LineDedup: canonical first occurrence survives, dup instances counted with chars") {
     val d = docs(
       (1L, "s", "alpha\nshared line\nbeta"),
