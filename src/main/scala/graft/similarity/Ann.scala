@@ -310,11 +310,29 @@ object Ann {
       .repartition(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Live root of a stored IVF index. A refresh publishes each new
+    * (centroids, assigned) PAIR under `dir/epoch_N/` and flips the
+    * single `dir/CURRENT` pointer file atomically — the two tables can
+    * never be observed from different epochs, closing the window the
+    * old two-rename swap left (a crash between renames paired new
+    * centroids with old assignments). A freshly built index has no
+    * pointer and lives directly under `dir`.
+    */
+  def ivfRoot(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "CURRENT")
+    if (java.nio.file.Files.exists(p))
+      s"$dir/${java.nio.file.Files.readString(p).trim}"
+    else dir
+  }
+
   def ivfIndexBuild(corpus: DataFrame, id: String, vec: String,
                     nCells: Int, dir: String): Unit = {
     val s = corpus.sparkSession
     val c = prepared(corpus, id, vec)
     val cents = firstNCentroids(c, nCells)
+    // a rebuild resets the epoch history: stale epoch dirs + a CURRENT
+    // pointer from a previous life would misdirect every reader
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     writeCentroids(s, cents, s"$dir/centroids")
     // partitioned BY cell: a cell probe is a partition-pruned read —
     // `cell=K/` directories, the layout dividend on the index table
@@ -331,7 +349,7 @@ object Ann {
   def indexSelfCheck(s: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     val cents = readCentroids(s, dir)
-    s.read.parquet(s"$dir/assigned")
+    s.read.parquet(s"${ivfRoot(dir)}/assigned")
       .withColumn("re", cellOf(cents, col("v")))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("cell") === col("re"), 0L).otherwise(1L))
@@ -348,43 +366,55 @@ object Ann {
     * re-spreads the cells at full-rebuild quality WITHOUT touching the
     * raw corpus — the index tables are self-sufficient.
     *
-    * Crash-safety mirrors [[graft.io.Compaction]]: the new centroid
-    * and assignment tables are staged beside the live ones and swapped
-    * by renames, never a delete-then-overwrite of a table being read.
+    * Crash-safety: both rewritten tables are staged together under a
+    * fresh `epoch_N/` directory and published by ONE atomic flip of
+    * the `CURRENT` pointer file ([[ivfRoot]]) — a crash at any point
+    * leaves either the complete old pair or the complete new pair
+    * visible, never new centroids with old assignments (the window the
+    * previous per-table rename swap had). Single-writer, as everywhere
+    * in the index-maintenance layer.
     */
   def ivfIndexRefresh(s: org.apache.spark.sql.SparkSession, dir: String,
                       iters: Int): Unit = {
+    val root = ivfRoot(dir)
     val cents0 = readCentroids(s, dir)
-    val live = s.read.parquet(s"$dir/assigned")
+    val live = s.read.parquet(s"$root/assigned")
       .select(col("vid"), col("v"), col("nrm"))
     // nothing to refine or reassign on an empty index — and a
-    // partitioned write of zero rows emits no directory, which would
-    // break the staged-rename swap below
+    // partitioned write of zero rows emits no assigned directory,
+    // which would leave the new epoch half-formed
     if (live.isEmpty) return
     val cents = kmeansPrepared(live, cents0.length, iters, seed = Some(cents0))
-    writeCentroids(s, cents, s"$dir/centroids_staged")
+    val nextEpoch =
+      if (root == dir) 1
+      else root.substring(root.lastIndexOf('_') + 1).toInt + 1
+    val stagedRoot = s"$dir/epoch_$nextEpoch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagedRoot))
+    writeCentroids(s, cents, s"$stagedRoot/centroids")
     live.withColumn("cell", cellOf(cents, col("v")))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/assigned_staged")
-    def swap(name: String): Unit = {
-      val liveDir = new java.io.File(s"$dir/$name")
-      val staged = new java.io.File(s"$dir/${name}_staged")
-      val aside = new java.io.File(s"$dir/${name}_old")
-      org.apache.commons.io.FileUtils.deleteQuietly(aside)
-      require(liveDir.renameTo(aside), s"rename $liveDir -> $aside failed")
-      if (!staged.renameTo(liveDir)) {
-        aside.renameTo(liveDir)
-        sys.error(s"rename $staged -> $liveDir failed; rolled back")
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      .parquet(s"$stagedRoot/assigned")
+    val tmp = java.nio.file.Paths.get(dir, "CURRENT_staged")
+    java.nio.file.Files.writeString(tmp, s"epoch_$nextEpoch")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the previous epoch is unreferenced once the pointer flips;
+    // best-effort cleanup (an in-flight reader of the old pair is the
+    // documented single-writer caveat, same as before)
+    if (root != dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    else {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$dir/centroids"))
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$dir/assigned"))
     }
-    swap("centroids")
-    swap("assigned")
   }
 
   private def readCentroids(s: org.apache.spark.sql.SparkSession,
                             dir: String): Seq[Seq[Double]] =
-    s.read.parquet(s"$dir/centroids").orderBy(col("idx"))
+    s.read.parquet(s"${ivfRoot(dir)}/centroids").orderBy(col("idx"))
       .collect().map(_.getSeq[Double](1)).toSeq
 
   /** Ingest new vectors: assign against the STORED centroids, append.
@@ -395,14 +425,16 @@ object Ann {
                      dir: String): Unit = {
     val cents = readCentroids(delta.sparkSession, dir)
     prepared(delta, id, vec).withColumn("cell", cellOf(cents, col("v")))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"${ivfRoot(dir)}/assigned")
   }
 
   /** Top-k from the stored index — no assignment pass at query time. */
   def ivfTopKFromIndex(queries: DataFrame, id: String, vec: String,
                        dir: String, k: Int, nProbe: Int): DataFrame = {
     val s = queries.sparkSession
-    probeAssigned(queries, id, vec, s.read.parquet(s"$dir/assigned"),
+    probeAssigned(queries, id, vec,
+      s.read.parquet(s"${ivfRoot(dir)}/assigned"),
       readCentroids(s, dir), k, nProbe)
   }
 

@@ -106,7 +106,7 @@ object AnnQueries {
       Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
         "vec_id", "embedding", nCells = 16, ix)
       def cellHist(): Map[Int, Long] =
-        s.read.parquet(s"$ix/assigned").groupBy("cell").count()
+        s.read.parquet(s"${Ann.ivfRoot(ix)}/assigned").groupBy("cell").count()
           .as[(Int, Long)].collect().toMap
       val before = cellHist()
       val base = emb.filter(col("vec_id") === 100)

@@ -77,8 +77,11 @@ object Bm25 {
           .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
           .getOrElse((0L, 0L))
       else (0L, 0L)
+    // sum() over zero rows is SQL-null: an empty corpus build or an
+    // empty delta append must still write/fold zeros, not NPE
     val d = docs.agg(count(lit(1)),
-      sum(size(Text.tokens(lower(col(textCol)))).cast("long"))).head()
+      coalesce(sum(size(Text.tokens(lower(col(textCol)))).cast("long")),
+        lit(0L))).head()
     val merged = (prev._1 + d.getLong(0), prev._2 + d.getLong(1))
     import docs.sparkSession.implicits._
     val staged = s"$dir/stats_staged"
@@ -88,7 +91,13 @@ object Bm25 {
     val aside = new java.io.File(s"$dir/stats_old")
     org.apache.commons.io.FileUtils.deleteQuietly(aside)
     if (live.exists()) require(live.renameTo(aside))
-    require(new java.io.File(staged).renameTo(live))
+    if (!new java.io.File(staged).renameTo(live)) {
+      // roll the aside copy back so a failed swap leaves the index
+      // with its previous (readable) stats rather than none at all —
+      // same recovery contract as bandIndexCompact/ivfIndexRefresh
+      if (aside.exists()) aside.renameTo(live)
+      sys.error(s"stats swap at $dir failed; previous stats restored")
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(aside)
   }
 

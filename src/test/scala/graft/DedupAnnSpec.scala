@@ -275,7 +275,7 @@ class DedupAnnSpec extends SparkSpec {
     assert(fromIndex == recomputed)
     // append touched nothing that existed: the build-slice rows are
     // byte-identical before and after the delta append
-    val cells = spark.read.parquet(s"$ix/assigned")
+    val cells = spark.read.parquet(s"${Ann.ivfRoot(ix)}/assigned")
     assert(cells.filter(col("vid") >= 100).count() ==
       emb.filter(col("vec_id") >= 100).count())
     // the index is cell-partitioned: a one-cell probe is a

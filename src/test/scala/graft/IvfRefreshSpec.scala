@@ -17,7 +17,7 @@ class IvfRefreshSpec extends SparkSpec {
   }
 
   private def assignments(ix: String): Map[Long, Int] =
-    spark.read.parquet(s"$ix/assigned")
+    spark.read.parquet(s"${Ann.ivfRoot(ix)}/assigned")
       .select(col("vid").cast("long"), col("cell").cast("int"))
       .as[(Long, Int)].collect().toMap
 
@@ -45,6 +45,30 @@ class IvfRefreshSpec extends SparkSpec {
       "vec_id", "embedding", ix, k = 5, nProbe = 3)
     assert(probe.groupBy("qid").count().as[(Long, Long)].collect()
       .forall(_._2 == 5L))
+  }
+
+  test("refresh publishes centroids+assigned as one epoch behind a single pointer flip") {
+    val ix = freshIndex()
+    assert(Ann.ivfRoot(ix) == ix) // fresh build: no pointer yet
+    Ann.ivfIndexRefresh(spark, ix, iters = 1)
+    assert(Ann.ivfRoot(ix) == s"$ix/epoch_1")
+    // the pair lives TOGETHER under the epoch; the base-dir tables the
+    // pointer no longer references are cleaned up
+    assert(new java.io.File(s"$ix/epoch_1/centroids").exists())
+    assert(new java.io.File(s"$ix/epoch_1/assigned").exists())
+    assert(!new java.io.File(s"$ix/centroids").exists())
+    assert(!new java.io.File(s"$ix/assigned").exists())
+    Ann.ivfIndexRefresh(spark, ix, iters = 1)
+    assert(Ann.ivfRoot(ix) == s"$ix/epoch_2")
+    assert(!new java.io.File(s"$ix/epoch_1").exists())
+    // appends land in the live epoch and probes read it
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val chk = Ann.indexSelfCheck(spark, ix).as[(Long, Long)].head()
+    assert(chk._2 == 0L)
+    // a rebuild resets the epoch history entirely
+    Ann.ivfIndexBuild(emb, "vec_id", "embedding", nCells = 8, ix)
+    assert(Ann.ivfRoot(ix) == ix)
+    assert(!new java.io.File(s"$ix/epoch_2").exists())
   }
 
   test("truncated rerank: full-width prefix degenerates to exact brute force; half-width recalls sanely") {

@@ -186,6 +186,26 @@ class PackingSpec extends SparkSpec {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("BM25 index: empty corpus builds zero stats, empty delta folds a no-op") {
+    val d = docs((1L, "s", "spark engine"))
+    val empty = d.filter(col("doc_id") < 0)
+    val ix = s"/tmp/graft_bm25_empty_${System.nanoTime()}"
+    // an empty build must write (0, 0) stats — not NPE on a null sum
+    Bm25.indexBuild(empty, "doc_id", "text", ix)
+    val st0 = spark.read.parquet(s"$ix/stats").as[(Long, Long)].head()
+    assert(st0 == ((0L, 0L)))
+    // probing the empty index fails with the explicit guard, not a NaN
+    val e = intercept[IllegalArgumentException] {
+      Bm25.topKFromIndex(spark, d.select(lit("spark").as("term")), ix, 1)
+    }
+    assert(e.getMessage.contains("empty"))
+    // growing it from empty, then an empty delta append, stays exact
+    Bm25.indexAppend(d, "doc_id", "text", ix)
+    Bm25.indexAppend(empty, "doc_id", "text", ix)
+    val st1 = spark.read.parquet(s"$ix/stats").as[(Long, Long)].head()
+    assert(st1 == ((1L, 2L)))
+  }
+
   test("more-like-this: shared-term census and deterministic exact-sum ranking") {
     val d = docs(
       (1L, "s", "spark catalyst tungsten"),            // query doc
