@@ -115,6 +115,67 @@ object Multimodal {
       bos.toByteArray
     }
 
+    case class AudioInfo(sampleRate: Int, channels: Int, nSamples: Long,
+                         rms: Double, peak: Int)
+
+    /** Real audio decode: 16-bit signed PCM WAV through the JDK's
+      * `javax.sound.sampled` (zero added dependencies — the same
+      * pattern that made the image path real). Reports the container's
+      * true sample rate / channel count and two sample-domain
+      * features: RMS amplitude and absolute peak. None when the
+      * payload isn't a parseable 16-bit PCM stream (caller decides the
+      * fallback, mirroring [[decodeImage]]'s contract).
+      */
+    def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var i = 0
+          var sumSq = 0.0
+          var peak = 0
+          while (i < n) {
+            val (lo, hi) =
+              if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
+              else (bytes(2 * i), bytes(2 * i + 1))
+            val s = ((hi.toInt << 8) | (lo & 0xFF)).toShort.toInt
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, n,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
+        }
+      } catch { case _: Exception => None }
+
+    /** WAV fixture encoder: 16-bit PCM mono, little-endian — the
+      * canonical 44-byte RIFF layout, so [[decodeAudio]] recovers the
+      * exact samples (PCM is lossless).
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)            // PCM
+        .putShort(1)            // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
     def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var i = 0
@@ -249,6 +310,30 @@ object Multimodal {
         case None => DecodedMedia(r.media_id, r.modality,
           decoded = false, r.meta.format, r.meta.width, r.meta.height,
           r.meta.channels, Codec.decodeStub(r.payload, dim))
+      }
+    })
+  }
+
+  case class AudioStats(media_id: Long, decoded: Boolean,
+                        sample_rate: Int, channels: Int, n_samples: Long,
+                        rms: Double, peak: Int)
+
+  /** Audio feature pass with the REAL WAV decode: parseable 16-bit
+    * PCM payloads report container-truth sample rate / channels and
+    * sample-domain RMS + peak (`decoded = true`); anything else
+    * degrades to a deterministic byte-level stub (`decoded = false`,
+    * metadata claims passed through) — one bad file degrades, it does
+    * not fail the job. Same partition-batched map-only plumbing as
+    * [[decodeFeatures]]: no shuffle at any corpus size.
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codec.decodeAudio(r.payload) match {
+        case Some(a) => AudioStats(r.media_id, decoded = true,
+          a.sampleRate, a.channels, a.nSamples, a.rms, a.peak)
+        case None => AudioStats(r.media_id, decoded = false,
+          0, r.meta.channels, r.payload.length.toLong, 0.0, 0)
       }
     })
   }

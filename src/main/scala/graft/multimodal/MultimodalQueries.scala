@@ -114,6 +114,39 @@ object MultimodalQueries {
         (round(col("fsum") * 255) ===
           ((col("media_id") * 31) % 255 + 1) * 6).as("mass_ok"))
     }),
+    // REAL audio decode over generated WAV fixtures: each document
+    // becomes a 16-bit PCM mono WAV (sample count + amplitude
+    // deterministic functions of doc_id; samples alternate ±amp so
+    // RMS = peak = amp exactly — a perfect-square sqrt is exact in
+    // double). The contract oracle recomputes what the decode must
+    // recover:
+    //  · decoded: javax.sound accepted every fixture;
+    //  · sample_rate / channels: container truth (the fixture's
+    //    metadata struct LIES — claims 0 channels — so matching these
+    //    proves the codec read the RIFF header, not the claim);
+    //  · n_samples: recomputed from doc_id;
+    //  · rms_ok / peak_ok: sample-domain features equal the planted
+    //    amplitude exactly — one flipped sample byte fails the row.
+    "mm_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val n = (id % 50 + 10).toInt
+        val amp = ((id % 512) + 1).toInt * 32 // ≤ 16416, inside Short
+        val samples = Array.tabulate[Short](n)(i =>
+          (if (i % 2 == 0) amp else -amp).toShort)
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.Codec.encodeWav(8000, samples),
+          Multimodal.MediaMeta("audio/wav", 0, 0, 0))
+      })
+      Multimodal.audioStats(media).toDF()
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_samples"),
+          (round(col("rms")) === (col("media_id") % 512 + 1) * 32)
+            .as("rms_ok"),
+          (col("peak") === (col("media_id") % 512 + 1) * 32)
+            .as("peak_ok"))
+    }),
     // frame-sampling plumbing; the stub's byte-range frames make the
     // stats pure arithmetic, so this one IS oracle-checked
     "mm_frame_stats" -> ((s, dir) => {
@@ -146,6 +179,14 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, TRUE AS decoded,
         |       3 AS width, 2 AS height,
         |       TRUE AS px_ok, TRUE AS mass_ok
+        |FROM documents""".stripMargin,
+    // real-audio contract: header truth + sample-domain invariants,
+    // shape columns recomputed from doc_id
+    "mm_audio_real" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       8000 AS sample_rate, 1 AS channels,
+        |       (doc_id % 50 + 10)::BIGINT AS n_samples,
+        |       TRUE AS rms_ok, TRUE AS peak_ok
         |FROM documents""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

@@ -87,6 +87,65 @@ object Bpe {
     (learned.result(), vocab)
   }
 
+  /** Batched merge learning — the standard large-vocabulary
+    * optimization: one pair-count pass learns up to `batch` mutually
+    * NON-OVERLAPPING merges (no symbol appears in two selected pairs),
+    * so a 32k-vocabulary run needs merges/batch driver round-trips
+    * instead of one per merge. Non-overlap is what keeps the batch
+    * honest: merging (a,b) can only create/destroy pairs that contain
+    * a or b, so every other selected pair's count is EXACTLY what the
+    * pass measured — the approximation relative to classic BPE is
+    * only that pairs created mid-batch can't be chosen until the next
+    * pass. With `batch = 1` this IS [[train]], merge for merge
+    * (differentially pinned in BpeSpec).
+    *
+    * Driver state stays bounded: one ordered candidate collect of
+    * O(batch) rows per pass (4·batch+8 — each selected pair can block
+    * at most the later candidates sharing its two symbols; an
+    * under-filled batch is benign, the next pass re-counts).
+    */
+  def trainBatched(docs: DataFrame, textCol: String, merges: Int,
+                   batch: Int): (Seq[Merge], DataFrame) = {
+    require(merges >= 0, "merges must be non-negative")
+    require(batch >= 1, "batch must be positive")
+    var vocab = wordVocab(docs, textCol)
+      .withColumn("syms", initialSymbols(col("w")))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val want = math.min(batch, merges - rank)
+      val cands = vocab
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p.0").as("a"), col("p.1").as("b"), col("n"))
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(4 * want + 8).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = cands.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            if (used(a) || used(b)) false
+            else { used += a; used += b; true }
+          }.take(want).toSeq
+        for ((a, b, cnt) <- picked) {
+          rank += 1
+          learned += Merge(rank, a, b, cnt)
+          vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+        }
+        // truncate lineage once per pass: `batch` chained HOF rewrite
+        // projects is the deepest plan this loop may stack
+        vocab = vocab.localCheckpoint()
+      }
+    }
+    (learned.result(), vocab)
+  }
+
   /** Encode a word column with a learned merge table (merges applied
     * in rank order — BPE encode-by-replay; production encoders use the
     * equivalent priority-queue form, same result).

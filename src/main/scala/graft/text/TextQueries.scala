@@ -217,11 +217,12 @@ object TextQueries {
           round(avg(col("dg")), 6).as("avg_digit"))
     }),
     // BPE tokenizer TRAINING: learn the merge table from the corpus
-    // (one corpus pass builds the weighted word vocabulary; each of
-    // the 12 merge iterations runs over distinct words only — see
-    // text/Bpe.scala for the 100 TB shape). The sequential merge
-    // recursion is not SQL-expressible, so the ORACLE checks the
-    // learned table by CONTRACT (the a37 trick) — per merge rank:
+    // (one corpus pass builds the weighted word vocabulary; merge
+    // learning then runs over distinct words only, 48 merges in 6
+    // batched pair-count passes — see text/Bpe.scala for the 100 TB
+    // shape). The sequential merge recursion is not SQL-expressible,
+    // so the ORACLE checks the learned table by CONTRACT (the a37
+    // trick) — per merge rank:
     //  · count_pos: the merged pair was actually observed (count ≥ 1);
     //  · parts_known: each side is a base symbol (single char or the
     //    </w> marker) or the output of an EARLIER merge — the
@@ -259,16 +260,21 @@ object TextQueries {
             concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
     }),
     "tx_bpe_train" -> ((s, dir) => {
-      val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", 12)
+      // past-toy vocabulary growth runs the BATCHED learner: 48 merges
+      // in 6 pair-count passes (top-8 non-overlapping pairs per pass —
+      // the large-vocab optimization, see Bpe.trainBatched), instead
+      // of 48 sequential 1-row driver argmax round-trips
+      val (merges, _) = Bpe.trainBatched(Tables.documents(s, dir),
+        "text", merges = 48, batch = 8)
       import s.implicits._
-      // the contract oracle pins ranks 1..12, so a corpus that
+      // the contract oracle pins ranks 1..48, so a corpus that
       // exhausts merge candidates early (tiny sf dir, degenerate
       // text) must fail with a MESSAGE here, not as a row-count/hash
       // mismatch at the gate — and an empty list would throw on .max
-      require(merges.length == 12,
+      require(merges.length == 48,
         s"tx_bpe_train: corpus exhausted BPE merge candidates after " +
-          s"${merges.length}/12 merges — the contract oracle pins ranks " +
-          "1..12; run on a larger corpus or lower the iteration count")
+          s"${merges.length}/48 merges — the contract oracle pins ranks " +
+          "1..48; run on a larger corpus or lower the iteration count")
       val outputs = merges.map(m => m.left + m.right)
       val maxCount = merges.map(_.count).max
       val rows = merges.map { m =>
@@ -439,7 +445,7 @@ object TextQueries {
     // contract oracle (see the query's comment): fully literal — the
     // rank domain is pinned, every structural invariant must hold
     "tx_bpe_train" ->
-      """SELECT unnest(range(1, 13))::INT AS rank, TRUE AS count_pos,
+      """SELECT unnest(range(1, 49))::INT AS rank, TRUE AS count_pos,
         |       TRUE AS parts_known, TRUE AS counts_ranked""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH k AS (

@@ -67,6 +67,89 @@ class BpeSpec extends SparkSpec {
     assert(gotSyms == refVocab)
   }
 
+  /** Reference for [[Bpe.trainBatched]]: same candidate truncation,
+    * same greedy non-overlap selection, plain collections.
+    */
+  private def referenceTrainBatched(words: Map[String, Long], merges: Int,
+                                    batch: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[String, (Long, Seq[String])] = words.map { case (w, n) =>
+      w -> (n, w.split("").filter(_.nonEmpty).toSeq :+ Bpe.EndOfWord)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (out.size < merges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((_, (n, syms)) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val want = math.min(batch, merges - out.size)
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.take(4 * want + 8)
+          .iterator.filter { case ((a, b), _) =>
+            if (used(a) || used(b)) false
+            else { used += a; used += b; true }
+          }.take(want).toSeq
+        for (((a, b), c) <- picked) {
+          out += ((a, b, c))
+          vocab = vocab.map { case (w, (n, syms)) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            for (s <- syms)
+              if (merged.nonEmpty && merged.last == a && s == b) {
+                merged.remove(merged.size - 1); merged += (a + b)
+              } else merged += s
+            w -> (n, merged.toSeq)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBatched with batch=1 IS train, merge for merge") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (seq, _) = Bpe.train(docs, "text", 10)
+    val (bat, _) = Bpe.trainBatched(docs, "text", 10, batch = 1)
+    assert(bat.map(m => (m.rank, m.left, m.right, m.count)) ==
+      seq.map(m => (m.rank, m.left, m.right, m.count)))
+  }
+
+  test("trainBatched: 48 merges, ≤ merges/batch driver passes, equals batched reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = docs
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler
+      .SparkListenerJobEnd): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (got, _) =
+      try Bpe.trainBatched(docs, "text", merges = 48, batch = 8)
+      finally {
+        // listener delivery is async: give the bus a beat to drain
+        // (an undercount would only make the ≤ assertion vacuous,
+        // never flaky-fail it)
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(got.length == 48)
+    assert(got.map(_.rank) == (1 to 48))
+    // job count scales with the 6 PASSES, not the 48 merges — the
+    // whole point of batching. Per pass: one candidate collect (AQE
+    // runs it as ~3 stage-jobs) + one lineage checkpoint, plus the
+    // initial vocab checkpoint. A sequential learner runs the same
+    // ~4 jobs per MERGE — ≥ 150 here.
+    assert(jobs.get() <= 4 * 6 + 2,
+      s"expected ≤ ${4 * 6 + 2} jobs for 6 batched passes, saw ${jobs.get()}")
+    // batch members never overlap: applying them in measured order is
+    // exact, which the plain-collections reference differential pins
+    val ref = referenceTrainBatched(words, 48, 8)
+    assert(got.map(m => (m.left, m.right, m.count)) == ref)
+  }
+
   test("mergePair is greedy left-to-right: a consumed symbol can't restart") {
     val got = Seq(Seq("a", "a", "a"), Seq("x", "a", "a", "y"))
       .toDF("s").select(Bpe.mergePair(col("s"), "a", "a"))

@@ -232,4 +232,32 @@ class IoMultimodalSpec extends SparkSpec {
     val out = Multimodal.resizeMedia(media, 3, 2).collect()(0)
     assert(out.meta.format == "unknown" && out.payload.length == 6)
   }
+
+  test("decodeAudio: WAV round-trip recovers rate, channels, samples, exact RMS/peak") {
+    import Multimodal.Codec
+    // alternating ±1200: RMS = peak = 1200 exactly (perfect-square
+    // sqrt is exact in double), mean-free regardless of parity
+    val samples = Array.tabulate[Short](41)(i =>
+      (if (i % 2 == 0) 1200 else -1200).toShort)
+    val wav = Codec.encodeWav(16000, samples)
+    val a = Codec.decodeAudio(wav).get
+    assert(a.sampleRate == 16000 && a.channels == 1 && a.nSamples == 41L)
+    assert(a.rms == 1200.0 && a.peak == 1200)
+    // zero-length audio: no division blowup
+    val silent = Codec.decodeAudio(Codec.encodeWav(8000, Array.empty)).get
+    assert(silent.nSamples == 0L && silent.rms == 0.0 && silent.peak == 0)
+    // non-WAV payloads decline; the Dataset pass degrades them flagged
+    assert(Codec.decodeAudio("not audio at all".getBytes).isEmpty)
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav,
+        Multimodal.MediaMeta("audio/wav", 0, 0, 0)), // meta lies: 0 ch
+      Multimodal.MediaRow(2L, "audio", "garbage".getBytes,
+        Multimodal.MediaMeta("audio/wav", 0, 0, 7))).toDS()
+    val out = Multimodal.audioStats(media).collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).sample_rate == 16000 &&
+      out(0).channels == 1 && out(0).rms == 1200.0)
+    assert(!out(1).decoded && out(1).channels == 7 &&
+      out(1).n_samples == 7L) // stub: claim passed through, byte count
+  }
 }
