@@ -415,14 +415,38 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = hashedShingles(docs, id, text, n)
       .filter(size(col("hs")) > 0).localCheckpoint(true)
-    sh.write.mode(mode).parquet(shinglesPath)
-    sh.select(col("doc"),
+    writeSignedKernel(sh, numHashes, bands, shinglesPath, bandsPath, mode)
+    sh.unpersist()
+    ()
+  }
+
+  /** The two index writes from an already-materialized signature set —
+    * split out of [[writeBandKernel]] so the streaming ingest-probe
+    * fast path can reuse ONE signature pass for both writes AND the
+    * probe without a second kernel implementation.
+    */
+  private def writeSignedKernel(sh: DataFrame, numHashes: Int, bands: Int,
+                                shinglesPath: String, bandsPath: String,
+                                mode: String,
+                                concurrent: Boolean = false): Unit = {
+    def wrShingles(): Unit = sh.write.mode(mode).parquet(shinglesPath)
+    def wrBands(): Unit = sh.select(col("doc"),
         posexplode(graft.functions.TextHashing
           .minhashBands(col("hs"), numHashes, bands, seed = 7L))
           .as(Seq("band", "bh")))
       .write.mode(mode).partitionBy("band").parquet(bandsPath)
-    sh.unpersist()
-    ()
+    // the two writes are independent reads of the same materialized
+    // signature blocks; at micro-batch size their cost is per-job
+    // fixed floor, so the streaming fast path overlaps them (the
+    // corpus-scale batch build keeps them sequential — there the cost
+    // is real I/O and overlap would just contend)
+    if (concurrent) {
+      val ec = scala.concurrent.ExecutionContext.global
+      Seq(scala.concurrent.Future(wrShingles())(ec),
+        scala.concurrent.Future(wrBands())(ec))
+        .foreach(scala.concurrent.Await
+          .result(_, scala.concurrent.duration.Duration.Inf))
+    } else { wrShingles(); wrBands() }
   }
 
   /** Index maintenance: fold every `ingest=<batchId>` partition into
@@ -553,18 +577,27 @@ object Dedup {
                      dir: String, threshold: Double, numHashes: Int = 128,
                      bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val s = incoming.sparkSession
     checkIndexParams(dir, n, numHashes, bands)
-    graft.functions.TextHashing.register(s)
+    graft.functions.TextHashing.register(incoming.sparkSession)
+    probeSignatures(incoming
+      .select(col(id).as("doc"),
+        graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
+      .filter(size(col("hs")) > 0), dir, threshold, numHashes, bands)
+  }
+
+  /** Probe body over precomputed signatures (`doc`, `hs`) — shared by
+    * [[bandIndexProbe]] and the streaming ingest-probe fast path.
+    */
+  private def probeSignatures(sigs: DataFrame, dir: String,
+                              threshold: Double, numHashes: Int,
+                              bands: Int): DataFrame = {
+    val s = sigs.sparkSession
     val cIndex = s.read.parquet(s"$dir/bands")
       .select(col("doc").as("corpus_doc"), col("band"), col("bh"))
     val cArr = s.read.parquet(s"$dir/shingles")
       .select(col("doc").as("corpus_doc"), col("hs").as("shc"))
-    val sEx = incoming
-      .select(col(id).as("in_doc"),
-        graft.functions.TextHashing.ngramHashes(col(text), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("in_doc"), col("hs"),
+    val sEx = sigs
+      .select(col("doc").as("in_doc"), col("hs"),
         posexplode(graft.functions.TextHashing
           .minhashBands(col("hs"), numHashes, bands, seed = 7L))
           .as(Seq("band", "bh")))
@@ -577,6 +610,34 @@ object Dedup {
         (size(array_intersect(col("hs"), col("shc"))).cast("double") /
           size(array_union(col("hs"), col("shc")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fused streaming ingest + probe: ONE signature pass over the
+    * micro-batch feeds the two idempotent `ingest=<batchId>` index
+    * writes AND the probe of the (now self-inclusive) stored index —
+    * [[bandIndexIngestBatch]] followed by [[bandIndexProbe]] computes
+    * the batch's n-gram/MinHash signatures twice and spends an extra
+    * checkpoint job per trigger, which at micro-batch cadence is pure
+    * fixed floor. Identical write kernel and probe body, so results
+    * cannot diverge from the unfused pair.
+    */
+  def bandIndexIngestProbeBatch(delta: DataFrame, id: String, text: String,
+                                n: Int, dir: String, batchId: Long,
+                                threshold: Double, numHashes: Int = 128,
+                                bands: Int = 32): DataFrame = {
+    require(batchId >= 0,
+      s"ingest batchId must be non-negative (got $batchId) — ingest=" +
+        s"$BatchIngestId is reserved for batch build/append writes")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    writeIndexParams(dir, n, numHashes, bands, createOnly = true)
+    checkIndexParams(dir, n, numHashes, bands)
+    graft.functions.TextHashing.register(delta.sparkSession)
+    val sh = hashedShingles(delta, id, text, n)
+      .filter(size(col("hs")) > 0).localCheckpoint(true)
+    writeSignedKernel(sh, numHashes, bands,
+      s"$dir/shingles/ingest=$batchId", s"$dir/bands/ingest=$batchId",
+      "overwrite", concurrent = true)
+    probeSignatures(sh, dir, threshold, numHashes, bands)
   }
 
   /** Connected components over a near-dup pair list → dedup groups:
@@ -621,8 +682,19 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v")).localCheckpoint(true)
     val defaultWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val width = math.max(1L,
-      math.min(defaultWidth.toLong, edges.count() / edgesPerTask + 1)).toInt
+    // the width heuristic needs a MAGNITUDE, not an exact row count:
+    // the eager checkpoint just materialized every edge block, so read
+    // their total size straight off the block manager instead of
+    // spending a whole counting job per CC call (16 MB/task ≈ the
+    // 500k-edges-of-32-byte-rows clamp the row-count form used);
+    // fall back to the count when the storage lookup can't see it
+    val bytesPerTask = math.max(1L, edgesPerTask * 32)
+    val width = checkpointedBytes(edges) match {
+      case Some(b) => math.max(1L,
+        math.min(defaultWidth.toLong, b / bytesPerTask + 1)).toInt
+      case None => math.max(1L,
+        math.min(defaultWidth.toLong, edges.count() / edgesPerTask + 1)).toInt
+    }
     val star = edges.repartition(width, col("u")).as[(Long, Long)]
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -707,11 +779,17 @@ object Dedup {
     * be normalized (long doc/component, checkpointed).
     */
   private def componentsAppendParts(lab: DataFrame, newPairs: DataFrame,
-                                    aCol: String, bCol: String)
+                                    aCol: String, bCol: String,
+                                    pairsPinned: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val edges = newPairs
+    // three consumers (touched discovery, star union, CC) justify
+    // materializing an expensive pair stream ONCE — but when the
+    // caller already pinned it (the streaming merge checkpoints the
+    // probe output inside the trigger), a second checkpoint is a
+    // whole wasted pass per merge
+    val sel = newPairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint(true)
+    val edges = if (pairsPinned) sel else sel.localCheckpoint(true)
     val touched = broadcast(lab
       .join(edges.select(col("u").as("doc"))
         .union(edges.select(col("v").as("doc"))).distinct(), Seq("doc"))
@@ -744,7 +822,8 @@ object Dedup {
     * the band index this composes with.
     */
   def labelsMerge(dir: String, newPairs: DataFrame, aCol: String,
-                  bCol: String, nBuckets: Int = 16): Unit = {
+                  bCol: String, nBuckets: Int = 16,
+                  pairsPinned: Boolean = false): Unit = {
     val s = newPairs.sparkSession
     val lab =
       if (new java.io.File(dir).exists())
@@ -756,18 +835,30 @@ object Dedup {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("component",
               org.apache.spark.sql.types.LongType)))))
-    val (touched, relabeled0) =
-      componentsAppendParts(lab, newPairs, aCol, bCol)
-    val relabeled = relabeled0.localCheckpoint(true)
-    if (relabeled.isEmpty) return
+    val (touched, relabeled) =
+      componentsAppendParts(lab, newPairs, aCol, bCol, pairsPinned)
+    // componentsAppendParts' labeling comes back already
+    // localCheckpoint'd (connectedComponents materializes its result);
+    // re-checkpointing it here was one whole extra pass per merge
     val bucketOf = (c: Column) => pmod(c, lit(nBuckets.toLong)).cast("int")
-    val affected = broadcast(
-      relabeled.select(bucketOf(col("doc")).as("bucket")).distinct())
+    // the affected-bucket set is ≤ nBuckets driver scalars — collect
+    // it (doubling as the emptiness check, one job instead of two)
+    // and push it as an isin FILTER: on the partitioned labels read
+    // that is a partition-pruned scan, where the previous broadcast
+    // join over a recomputed bucket column read every bucket
+    val buckets = relabeled
+      .select(bucketOf(col("doc")).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
     // every previously-present doc of an affected bucket lands in the
     // rewrite: untouched-component rows via keep, touched-component
     // rows via relabeled (which covers all touched members + delta)
-    val keep = lab.withColumn("bucket", bucketOf(col("doc")))
-      .join(affected, Seq("bucket"))
+    val keep = (if (new java.io.File(dir).exists())
+        s.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+          .select(col("doc").cast("long").as("doc"),
+            col("component").cast("long").as("component"),
+            col("bucket").cast("int").as("bucket"))
+      else lab.withColumn("bucket", bucketOf(col("doc"))).limit(0))
       .join(touched, Seq("component"), "left_anti")
       .select(col("doc"), col("component"), col("bucket"))
     keep.union(relabeled
@@ -777,6 +868,18 @@ object Dedup {
       .partitionBy("bucket")
       .parquet(dir)
   }
+
+  /** Materialized byte size of a localCheckpoint'd dataset, straight
+    * from the block manager (no job). None when the plan isn't the
+    * expected checkpoint leaf or its blocks aren't visible.
+    */
+  private def checkpointedBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed.collectLeaves().headOption.flatMap {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id).map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
 
   /** Min-label fixpoint over an undirected graph given as (node, label)
     * star edges (label is itself a node id). Returns every mentioned

@@ -434,25 +434,53 @@ object StreamingJob {
     docs.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    // Label merging runs as a SERIALIZED BACKGROUND fold, off the
+    // trigger's critical path: ingest and edge discovery are the
+    // latency-critical admission work, while the label table is an
+    // eventually-consistent derived view — exactly how a production
+    // maintenance loop schedules it. Correctness is unchanged:
+    //  · the edge set is PINNED (localCheckpoint) inside the trigger,
+    //    against exactly the index state its own ingest produced —
+    //    the async merge can never observe a later batch's index;
+    //  · merges execute one at a time in submission order (single
+    //    thread), so merge k reads the labels merge k-1 wrote;
+    //  · the drain awaits the fold before the final read, and a merge
+    //    failure fails the query (checked each trigger + at drain).
+    // At-least-once replay: a redelivered batch re-pins the same
+    // edges and labelsMerge is a fixpoint under duplicates, as before.
+    val mergeExec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val mergeErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
-        graft.dedup.Dedup.bandIndexIngestBatch(b, id, text, n,
-          s"$dir/ix", batchId)
-        val edges = graft.dedup.Dedup.bandIndexProbe(b, id, text, n,
-            s"$dir/ix", threshold)
+        if (mergeErr.get() != null) throw mergeErr.get()
+        // fused ingest+probe: one signature pass (and one checkpoint
+        // job) per trigger serves both index writes and the probe —
+        // see Dedup.bandIndexIngestProbeBatch
+        val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
+            id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
           .select(least(col("in_doc"), col("corpus_doc")).as("a"),
             greatest(col("in_doc"), col("corpus_doc")).as("b"))
-          .distinct()
-        graft.dedup.Dedup.labelsMerge(s"$dir/labels", edges, "a", "b",
-          nBuckets)
+          .distinct().localCheckpoint(true)
+        mergeExec.submit(new Runnable {
+          def run(): Unit =
+            try graft.dedup.Dedup.labelsMerge(s"$dir/labels", edges,
+              "a", "b", nBuckets, pairsPinned = true)
+            catch { case t: Throwable => mergeErr.compareAndSet(null, t) }
+        })
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      mergeExec.shutdown()
+      mergeExec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    if (mergeErr.get() != null) throw mergeErr.get()
     s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
   }
 
