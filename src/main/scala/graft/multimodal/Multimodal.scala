@@ -190,6 +190,61 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, every)).toSeq
 
+    // ---- GVID: a minimal length-prefixed frame container ----
+    //
+    // This container has no compressed-video codec in the sandbox to
+    // stand behind it, so the wire format is OURS and documented:
+    //   "GVID" | int32 frameCount | { int32 len | len bytes } × count
+    // (big-endian ints). What it buys: the DEMUX path — container
+    // validation, bounded frame iteration, per-frame handoff to the
+    // REAL image codec — is real executable code with real failure
+    // modes (truncated payloads, lying headers), which is the part of
+    // video handling a Spark pipeline owns; swapping an MP4 demuxer
+    // in changes these two functions and nothing downstream.
+
+    def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(
+        8 + frames.map(_.length + 4).sum)
+      bb.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** Real demux: validates the magic + every frame's length prefix
+      * against the payload's actual extent. None for non-GVID or
+      * truncated payloads (caller decides the fallback, mirroring
+      * [[decodeImage]]).
+      */
+    def demuxFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+      try {
+        if (payload.length < 8 ||
+          new String(payload, 0, 4, "US-ASCII") != "GVID") None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(payload, 4, payload.length - 4)
+          val n = bb.getInt()
+          if (n < 0) None
+          else {
+            val out = Seq.newBuilder[Array[Byte]]
+            var i = 0
+            var ok = true
+            while (ok && i < n) {
+              if (bb.remaining() < 4) ok = false
+              else {
+                val len = bb.getInt()
+                if (len < 0 || bb.remaining() < len) ok = false
+                else {
+                  val f = new Array[Byte](len)
+                  bb.get(f)
+                  out += f
+                  i += 1
+                }
+              }
+            }
+            if (ok) Some(out.result()) else None
+          }
+        }
+      } catch { case _: Exception => None }
+
     /** Real image resize: ImageIO decode → nearest-neighbor rescale
       * on a Graphics2D canvas → lossless PNG re-encode (so a solid
       * color survives bit-exactly and fixture pixels stay checkable).
@@ -355,6 +410,37 @@ object Multimodal {
       val fs = Codec.sampleFrames(r.payload, every)
       if (fs.isEmpty) FrameStats(r.media_id, 0, 0, 0)
       else FrameStats(r.media_id, fs.length, fs.head.length, fs.last.length)
+    })
+  }
+
+  case class VideoStats(media_id: Long, decoded: Boolean, n_frames: Int,
+                        frame_w: Int, frame_h: Int, first_lum: Double,
+                        last_lum: Double)
+
+  /** Video feature pass with the REAL demux + per-frame image decode:
+    * GVID payloads ([[Codec.demuxFrames]]) report their true frame
+    * count, the first frame's pixel dimensions, and first/last-frame
+    * mean luminance through the same `javax.imageio` codec the image
+    * path uses (`decoded = true`); non-GVID or truncated payloads —
+    * and frames ImageIO can't read — degrade to the deterministic
+    * byte-level stub (`decoded = false`). Map-only partition-batched
+    * plumbing, as everywhere in this layer.
+    */
+  def videoStats(media: Dataset[MediaRow]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    def lum(frame: Array[Byte]): Option[(Int, Int, Double)] =
+      Codec.decodeImage(frame, 1).map { case (m, f) =>
+        (m.width, m.height, f(0).toDouble / (m.width * m.height))
+      }
+    media.mapPartitions(_.map { r =>
+      Codec.demuxFrames(r.payload).flatMap { fs =>
+        if (fs.isEmpty) Some(VideoStats(r.media_id, decoded = true,
+          0, 0, 0, 0.0, 0.0))
+        else for (a <- lum(fs.head); z <- lum(fs.last))
+          yield VideoStats(r.media_id, decoded = true, fs.length,
+            a._1, a._2, a._3, z._3)
+      }.getOrElse(VideoStats(r.media_id, decoded = false,
+        0, 0, 0, 0.0, 0.0))
     })
   }
 

@@ -147,6 +147,42 @@ object MultimodalQueries {
           (col("peak") === (col("media_id") % 512 + 1) * 32)
             .as("peak_ok"))
     }),
+    // REAL container demux + per-frame REAL image decode: each
+    // document becomes a GVID container (a documented length-prefixed
+    // frame format — see Codec.encodeVideo; the sandbox has no
+    // compressed-video codec to put behind a real MP4 demux) holding
+    // k solid-gray PNG frames, k/dims/grays deterministic functions
+    // of doc_id. The contract oracle recomputes what the demux +
+    // frame codec must recover: true frame count (the metadata struct
+    // LIES — claims 0×0, 0 channels), first-frame pixel dims, and
+    // first/last-frame mean luminance equal to the planted grays
+    // exactly — a dropped/reordered frame or an off-by-one in the
+    // length-prefix walk fails the row.
+    "mm_video_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val k = (id % 4 + 1).toInt
+        val w = (id % 5 + 1).toInt
+        val h = (id % 3 + 1).toInt
+        val frames = (0 until k).map { i =>
+          val g = ((id * 31 + i * 17) % 255).toInt + 1
+          Multimodal.Codec.encodePng(w, h,
+            (_, _) => (g << 16) | (g << 8) | g)
+        }
+        Multimodal.MediaRow(id, "video",
+          Multimodal.Codec.encodeVideo(frames),
+          Multimodal.MediaMeta("video/gvid", 0, 0, 0))
+      })
+      Multimodal.videoStats(media).toDF()
+        .select(col("media_id"), col("decoded"), col("n_frames"),
+          col("frame_w"), col("frame_h"),
+          (round(col("first_lum") * 255) ===
+            (col("media_id") * 31) % 255 + 1).as("first_ok"),
+          (round(col("last_lum") * 255) ===
+            (col("media_id") * 31 + (col("media_id") % 4) * 17) % 255 + 1)
+            .as("last_ok"))
+    }),
     // frame-sampling plumbing; the stub's byte-range frames make the
     // stats pure arithmetic, so this one IS oracle-checked
     "mm_frame_stats" -> ((s, dir) => {
@@ -179,6 +215,15 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, TRUE AS decoded,
         |       3 AS width, 2 AS height,
         |       TRUE AS px_ok, TRUE AS mass_ok
+        |FROM documents""".stripMargin,
+    // real-demux contract: container truth + per-frame codec
+    // invariants, shape columns recomputed from doc_id
+    "mm_video_real" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       (doc_id % 4 + 1)::INT AS n_frames,
+        |       (doc_id % 5 + 1)::INT AS frame_w,
+        |       (doc_id % 3 + 1)::INT AS frame_h,
+        |       TRUE AS first_ok, TRUE AS last_ok
         |FROM documents""".stripMargin,
     // real-audio contract: header truth + sample-domain invariants,
     // shape columns recomputed from doc_id

@@ -340,6 +340,39 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("fused ingest+probe equals the unfused ingest-then-probe pair") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+    // unfused reference: ingest, then probe the (self-inclusive) index
+    val ixA = java.nio.file.Files.createTempDirectory("graft_fuse_a").toString
+    Dedup.bandIndexBuild(base, "doc_id", "text", 3, ixA)
+    Dedup.bandIndexIngestBatch(batch, "doc_id", "text", 3, ixA, 0L)
+    val unfused = Dedup.bandIndexProbe(batch, "doc_id", "text", 3, ixA, 0.5)
+      .select("in_doc", "corpus_doc", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // fused: one signature pass, same writes, same probe body
+    val ixB = java.nio.file.Files.createTempDirectory("graft_fuse_b").toString
+    Dedup.bandIndexBuild(base, "doc_id", "text", 3, ixB)
+    val fused = Dedup.bandIndexIngestProbeBatch(batch, "doc_id", "text",
+        3, ixB, 0L, 0.5)
+      .select("in_doc", "corpus_doc", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fused == unfused)
+    // and the index the fused call left behind answers identically
+    val probe2 = Dedup.bandIndexProbe(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", 3, ixB, 0.5)
+    val probe2A = Dedup.bandIndexProbe(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", 3, ixA, 0.5)
+    assert(probe2.exceptAll(probe2A).isEmpty &&
+      probe2A.exceptAll(probe2).isEmpty)
+    // reserved-slot guard carried over
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexIngestProbeBatch(batch, "doc_id", "text", 3, ixB,
+        -1L, 0.5)
+    }
+  }
+
   test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val left = emb.filter(col("vec_id") < 40)

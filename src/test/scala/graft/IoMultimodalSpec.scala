@@ -233,6 +233,37 @@ class IoMultimodalSpec extends SparkSpec {
     assert(out.meta.format == "unknown" && out.payload.length == 6)
   }
 
+  test("GVID demux: round-trip, truncation/lying-header rejection, per-frame decode") {
+    import Multimodal.Codec
+    val f1 = Codec.encodePng(2, 2, (_, _) => 0x646464) // gray 100
+    val f2 = Codec.encodePng(2, 2, (_, _) => 0xC8C8C8) // gray 200
+    val vid = Codec.encodeVideo(Seq(f1, f2))
+    val back = Codec.demuxFrames(vid).get
+    assert(back.length == 2)
+    assert(back(0).sameElements(f1) && back(1).sameElements(f2))
+    // empty container is valid (zero frames), not an error
+    assert(Codec.demuxFrames(Codec.encodeVideo(Seq.empty)).get.isEmpty)
+    // truncated payload: the length-prefix walk must detect the lie
+    assert(Codec.demuxFrames(vid.dropRight(3)).isEmpty)
+    // header claims more frames than the payload holds
+    val lying = vid.clone()
+    lying(7) = 9 // frame count int32's low byte: 2 -> 9
+    assert(Codec.demuxFrames(lying).isEmpty)
+    // wrong magic degrades, flagged, in the Dataset pass
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", vid,
+        Multimodal.MediaMeta("video/gvid", 0, 0, 0)),
+      Multimodal.MediaRow(2L, "video", "AVI?nope".getBytes,
+        Multimodal.MediaMeta("video/gvid", 0, 0, 0))).toDS()
+    val out = Multimodal.videoStats(media).collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).n_frames == 2 &&
+      out(0).frame_w == 2 && out(0).frame_h == 2)
+    assert(math.round(out(0).first_lum * 255) == 100 &&
+      math.round(out(0).last_lum * 255) == 200)
+    assert(!out(1).decoded && out(1).n_frames == 0)
+  }
+
   test("decodeAudio: WAV round-trip recovers rate, channels, samples, exact RMS/peak") {
     import Multimodal.Codec
     // alternating ±1200: RMS = peak = 1200 exactly (perfect-square
