@@ -559,9 +559,15 @@ object Dedup {
     // first batch stamps the params; later batches (and restarts)
     // validate against them
     writeIndexParams(dir, n, numHashes, bands, createOnly = true)
-    writeBandKernel(delta, id, text, n, numHashes, bands,
+    val sh = hashedShingles(delta, id, text, n)
+      .filter(size(col("hs")) > 0).localCheckpoint(true)
+    // micro-batch writes are per-job fixed floor, so overlap them —
+    // same rationale as the fused ingest+probe path
+    writeSignedKernel(sh, numHashes, bands,
       s"$dir/shingles/ingest=$batchId", s"$dir/bands/ingest=$batchId",
-      "overwrite")
+      "overwrite", concurrent = true)
+    sh.unpersist()
+    ()
   }
 
   /** Near-dup-check `incoming` against the STORED index — the

@@ -438,37 +438,47 @@ object StreamingJob {
     // trigger's critical path: ingest and edge discovery are the
     // latency-critical admission work, while the label table is an
     // eventually-consistent derived view — exactly how a production
-    // maintenance loop schedules it. Correctness is unchanged:
-    //  · the edge set is PINNED (localCheckpoint) inside the trigger,
-    //    against exactly the index state its own ingest produced —
-    //    the async merge can never observe a later batch's index;
-    //  · merges execute one at a time in submission order (single
-    //    thread), so merge k reads the labels merge k-1 wrote;
+    // maintenance loop schedules it. Correctness:
+    //  · the trigger writes its edge set DURABLY to
+    //    `labels_queue/batch=<id>` (idempotent overwrite) against
+    //    exactly the index state its own ingest produced, BEFORE the
+    //    batch commits — so a crash between commit and fold loses
+    //    nothing: [[recoverPendingLabelMerges]] folds any unmarked
+    //    queue partition on restart (component merging is
+    //    order-independent — the union graph's components don't
+    //    depend on edge arrival order — so recovery needs no
+    //    coordination with live batches beyond the single-writer
+    //    serialization the executor provides);
+    //  · merges execute one at a time (single thread), so merge k
+    //    reads the labels merge k-1 wrote, and each marks its queue
+    //    partition `_MERGED` only after the labels write lands;
     //  · the drain awaits the fold before the final read, and a merge
     //    failure fails the query (checked each trigger + at drain).
-    // At-least-once replay: a redelivered batch re-pins the same
-    // edges and labelsMerge is a fixpoint under duplicates, as before.
+    // At-least-once replay: a redelivered batch overwrites its own
+    // queue partition and labelsMerge is a fixpoint under duplicates.
     val mergeExec = java.util.concurrent.Executors.newSingleThreadExecutor()
     val mergeErr =
       new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    recoverPendingLabelMerges(s, dir, nBuckets)
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (mergeErr.get() != null) throw mergeErr.get()
-        // fused ingest+probe: one signature pass (and one checkpoint
-        // job) per trigger serves both index writes and the probe —
-        // see Dedup.bandIndexIngestProbeBatch
-        val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
+        // fused ingest+probe: one signature pass per trigger serves
+        // both index writes and the probe — see
+        // Dedup.bandIndexIngestProbeBatch
+        val part = s"$dir/labels_queue/batch=$batchId"
+        graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
           .select(least(col("in_doc"), col("corpus_doc")).as("a"),
             greatest(col("in_doc"), col("corpus_doc")).as("b"))
-          .distinct().localCheckpoint(true)
+          .distinct()
+          .write.mode("overwrite").parquet(part)
         mergeExec.submit(new Runnable {
           def run(): Unit =
-            try graft.dedup.Dedup.labelsMerge(s"$dir/labels", edges,
-              "a", "b", nBuckets, pairsPinned = true)
+            try foldQueuePartition(s, part, s"$dir/labels", nBuckets)
             catch { case t: Throwable => mergeErr.compareAndSet(null, t) }
         })
         ()
@@ -482,6 +492,41 @@ object StreamingJob {
     }
     if (mergeErr.get() != null) throw mergeErr.get()
     s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
+  }
+
+  /** Fold one durable edge-queue partition into the labels table and
+    * mark it done. The `_MERGED` marker lands only after the labels
+    * write — a crash mid-fold leaves the partition unmarked and
+    * [[recoverPendingLabelMerges]] re-folds it (idempotent fixpoint).
+    * Underscore-prefixed files are invisible to parquet readers.
+    */
+  private def foldQueuePartition(s: SparkSession, part: String,
+                                 labelsDir: String, nBuckets: Int): Unit = {
+    // pairsPinned: the queue partition IS durable materialized edge
+    // state — its three consumers re-scan a tiny parquet leaf, which
+    // is cheaper than a whole re-checkpoint pass per fold
+    graft.dedup.Dedup.labelsMerge(labelsDir, s.read.parquet(part),
+      "a", "b", nBuckets, pairsPinned = true)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(part, "_MERGED"), "")
+  }
+
+  /** Crash recovery for the async label fold: fold every edge-queue
+    * partition that has no `_MERGED` marker (batch order, though
+    * component merging is order-independent). Returns how many were
+    * recovered. Safe on a fresh or absent queue.
+    */
+  def recoverPendingLabelMerges(s: SparkSession, dir: String,
+                                nBuckets: Int): Int = {
+    val queue = new java.io.File(s"$dir/labels_queue")
+    if (!queue.isDirectory) return 0
+    val pending = queue.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filterNot(f => new java.io.File(f, "_MERGED").exists())
+      .sortBy(_.getName.stripPrefix("batch=").toLong)
+    pending.foreach(p =>
+      foldQueuePartition(s, p.getPath, s"$dir/labels", nBuckets))
+    pending.size
   }
 
   /** Streaming ANN-join admission — the vector twin of

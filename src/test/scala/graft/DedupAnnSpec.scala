@@ -373,6 +373,28 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("async label fold: durable queue recovery folds unmarked partitions exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lblq").toString
+    // seed a labels table from an initial edge set
+    Dedup.labelsMerge(s"$dir/labels", Seq((1L, 2L), (3L, 4L)).toDF("a", "b"),
+      "a", "b", nBuckets = 4)
+    // a crash after batch commit left one queue partition written but
+    // unfolded (no _MERGED marker) — the window the durable queue
+    // exists to cover
+    Seq((2L, 3L)).toDF("a", "b")
+      .write.parquet(s"$dir/labels_queue/batch=7")
+    assert(graft.streaming.StreamingJob
+      .recoverPendingLabelMerges(spark, dir, 4) == 1)
+    val lab = spark.read.parquet(s"$dir/labels")
+      .select("doc", "component").as[(Long, Long)].collect().toMap
+    // the bridging edge merged both components down to min-id 1
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // marker written -> recovery is now a no-op; labels unchanged
+    assert(graft.streaming.StreamingJob
+      .recoverPendingLabelMerges(spark, dir, 4) == 0)
+    assert(new java.io.File(s"$dir/labels_queue/batch=7/_MERGED").exists())
+  }
+
   test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val left = emb.filter(col("vec_id") < 40)
