@@ -522,6 +522,11 @@ object StreamingJob {
     if (!queue.isDirectory) return 0
     val pending = queue.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      // _SUCCESS gates on the WRITE having committed: a crash mid-write
+      // leaves a partial partition whose batch never committed either —
+      // the stream will redeliver and overwrite it, so folding (or
+      // failing on) the torn files here would be wrong twice over
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
       .filterNot(f => new java.io.File(f, "_MERGED").exists())
       .sortBy(_.getName.stripPrefix("batch=").toLong)
     pending.foreach(p =>

@@ -393,6 +393,15 @@ class DedupAnnSpec extends SparkSpec {
     assert(graft.streaming.StreamingJob
       .recoverPendingLabelMerges(spark, dir, 4) == 0)
     assert(new java.io.File(s"$dir/labels_queue/batch=7/_MERGED").exists())
+    // a torn partition (crash mid-write: no _SUCCESS) is skipped, not
+    // folded and not an error — its batch never committed and will be
+    // redelivered over it
+    val torn = new java.io.File(s"$dir/labels_queue/batch=9")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(torn.getPath, "part-torn.parquet"), "junk")
+    assert(graft.streaming.StreamingJob
+      .recoverPendingLabelMerges(spark, dir, 4) == 0)
   }
 
   test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
