@@ -135,6 +135,46 @@ object Packing {
       .drop("__bkt", "__boff")
   }
 
+  /** Deterministic epoch shuffle: every document gets a reproducible
+    * position in a pseudo-random permutation keyed by (id, epoch) —
+    * the training-data ordering op (each epoch sees the corpus in a
+    * different but replayable order; a re-run, a resumed job, or a
+    * different cluster layout produces the identical order).
+    *
+    * The shuffle key is the first 8 md5 hex digits of `id:epoch` —
+    * cross-engine replayable (DuckDB: `('0x'||substring(md5(..),1,8))
+    * ::UBIGINT`), uniform in [0, 2^32); ties (birthday-expected ≪ 1
+    * per corpus, but possible) break on the id, so positions stay
+    * deterministic even under key collisions. Positions come from the
+    * same distributed-rank shape as [[tokenOffsets]]: the key's
+    * uniformity makes its high bits a range bucket, per-bucket counts
+    * fold to ≤`buckets` driver scalars, and each bucket ranks its own
+    * rows in parallel under a broadcast offset — no global sort, no
+    * single-partition window, at any corpus size. Epochs are
+    * independent permutations; positions are a permutation of
+    * 0..N-1 by construction (spec-pinned).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val key = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":$epoch"))), 1, 8), 16, 10).cast("long")
+    val span = (1L << 32) / buckets
+    val keyed = docs.select(col(idCol), key.as("skey"))
+      .withColumn("__bkt", (col("skey") / lit(span)).cast("long"))
+    val counts = keyed.groupBy($"__bkt").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (b, n)) =>
+      (b, acc + n)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offDf = broadcast(offsets.toDF("__bkt", "__boff"))
+    val w = Window.partitionBy($"__bkt").orderBy(col("skey"), col(idCol))
+    keyed.join(offDf, "__bkt")
+      .withColumn("pos", $"__boff" + row_number().over(w) - 1)
+      .drop("__bkt", "__boff")
+  }
+
   /** GPT-style concat-and-chunk packing: the corpus is one token stream
     * in `idCol` order, cut into fixed `maxLen` training sequences; docs
     * may straddle a cut. Emits per-doc placement: absolute token

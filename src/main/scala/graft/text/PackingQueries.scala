@@ -45,6 +45,14 @@ object PackingQueries {
     "pack_concat_chunk" -> ((s, dir) =>
       Packing.concatChunk(Tables.documents(s, dir), "doc_id", "text", SeqLen)),
 
+    // Deterministic epoch shuffle: reproducible pseudo-random training
+    // order, positions assigned by the distributed-rank shape (no
+    // global sort/window); the oracle replays the identical md5-prefix
+    // key and a global ROW_NUMBER over (key, id)
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      Packing.epochShuffle(Tables.documents(s, dir), "doc_id", epoch = 3)
+        .select(col("doc_id"), col("skey"), col("pos"))),
+
     // Partition-local first-fit-decreasing packing; contract output
     "pack_first_fit" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -123,6 +131,16 @@ object PackingQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "sample_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(doc_id::VARCHAR || ':3'), 1, 8))
+        |           ::UBIGINT::BIGINT AS skey
+        |  FROM documents)
+        |SELECT doc_id, skey,
+        |       (row_number() OVER (ORDER BY skey, doc_id) - 1)::BIGINT
+        |         AS pos
+        |FROM k""".stripMargin,
     "pack_concat_chunk" ->
       s"""WITH t AS (SELECT doc_id, $bpeTok AS n_tokens FROM documents),
          |c AS (SELECT doc_id, n_tokens,

@@ -237,6 +237,40 @@ class PackingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("epochShuffle: exact permutation, epoch independence, no global window") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = d.count()
+    val e3 = Packing.epochShuffle(d, "doc_id", epoch = 3)
+    // positions are EXACTLY 0..N-1 — a permutation, not just ranks
+    val pos = e3.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n))
+    // deterministic: a re-run reproduces every position
+    val again = Packing.epochShuffle(d, "doc_id", epoch = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val first = e3.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(first == again)
+    // distributed rank equals the naive global window, row for row
+    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":3"))), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("skey"), col("doc_id"))
+    val naive = d.select(col("doc_id"), key.as("skey"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(first == naive)
+    // a different epoch is a different permutation
+    val e4 = Packing.epochShuffle(d, "doc_id", epoch = 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(first != e4)
+    // the operator's own plan has no single-partition exchange
+    val plan = e3.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "epoch shuffle must not collapse to a global window:\n" + plan)
+    // empty input: empty permutation, no blowup
+    assert(Packing.epochShuffle(d.filter(col("doc_id") < 0),
+      "doc_id", 1).count() == 0L)
+  }
+
   test("concatChunk plan: no single-partition global window") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Packing.concatChunk(d, "doc_id", "text", 512)
