@@ -146,6 +146,32 @@ object Bpe {
     (learned.result(), vocab)
   }
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT a training
+    * pipeline ships between the train job and every encode job. One
+    * tiny rank-ordered parquet; overwrite is atomic enough for the
+    * single-writer train step (encoders read a complete table or the
+    * previous one).
+    */
+  def saveMerges(s: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+                 dir: String): Unit = {
+    import s.implicits._
+    merges.toDF().repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table, rank-ordered — ready for
+    * [[encode]]. Fails loudly on an empty/missing artifact rather
+    * than silently encoding with zero merges.
+    */
+  def loadMerges(s: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Merge] = {
+    import s.implicits._
+    val m = s.read.parquet(dir).as[Merge].collect().sortBy(_.rank).toSeq
+    require(m.nonEmpty, s"no BPE merge table at $dir")
+    require(m.map(_.rank) == (1 to m.length),
+      s"BPE merge table at $dir has non-contiguous ranks — torn write?")
+    m
+  }
+
   /** Encode a word column with a learned merge table (merges applied
     * in rank order — BPE encode-by-replay; production encoders use the
     * equivalent priority-queue form, same result).

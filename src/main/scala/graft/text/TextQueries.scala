@@ -259,6 +259,35 @@ object TextQueries {
           min(concat_ws("", col("syms")) ===
             concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
     }),
+    // The tokenizer-ARTIFACT lifecycle: train → persist the merge
+    // table → load it in a (conceptually separate) encode job → apply
+    // to the corpus. The driver-side require pins the artifact
+    // round-trip exactly; the corpus-side encode then carries the same
+    // conservation/monotonicity contract as tx_bpe_encode — so a
+    // corrupted or reordered artifact fails loudly, not as subtly
+    // different tokens downstream.
+    "tx_bpe_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (merges, _) = Bpe.trainBatched(docs, "text", 16, batch = 4)
+      require(merges.length == 16,
+        s"tx_bpe_persisted: corpus exhausted merges at ${merges.length}/16")
+      val mdir = s"/tmp/graft_bpe_merges-${ProcessHandle.current().pid()}"
+      Bpe.saveMerges(s, merges, mdir)
+      val loaded = Bpe.loadMerges(s, mdir)
+      require(loaded == merges,
+        "persisted BPE merge table must round-trip rank-for-rank")
+      val words = docs.select(col("doc_id"),
+        explode(Text.tokens(lower(col("text")))).as("w"))
+      words
+        .withColumn("syms", Bpe.encode(col("w"), loaded))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")) + 1).as("n_init_syms"),
+          (sum(size(col("syms"))) <= sum(length(col("w")) + 1))
+            .as("compress_ok"),
+          min(concat_ws("", col("syms")) ===
+            concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
+    }),
     "tx_bpe_train" -> ((s, dir) => {
       // past-toy vocabulary growth runs the BATCHED learner: 48 merges
       // in 6 pair-count passes (top-8 non-overlapping pairs per pass —
@@ -684,6 +713,16 @@ object TextQueries {
     // contract: initial symbol mass replayed exactly; the merge-fold's
     // conservation and monotonicity land as in-plan booleans
     "tx_bpe_encode" ->
+      s"""SELECT doc_id,
+         |       len($toksLower)::BIGINT AS n_words,
+         |       list_sum(list_transform($toksLower,
+         |         w -> length(w) + 1))::BIGINT AS n_init_syms,
+         |       true AS compress_ok,
+         |       true AS roundtrip_ok
+         |FROM documents WHERE len($toksLower) > 0""".stripMargin,
+    // same contract through the persisted-artifact path (the exact
+    // table round-trip is a driver-side require in the query)
+    "tx_bpe_persisted" ->
       s"""SELECT doc_id,
          |       len($toksLower)::BIGINT AS n_words,
          |       list_sum(list_transform($toksLower,

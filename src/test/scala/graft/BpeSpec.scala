@@ -158,6 +158,28 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == Seq("x", "aa", "y"))
   }
 
+  test("merge table persists and loads rank-for-rank; empty/torn artifacts fail loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, _) = Bpe.trainBatched(docs, "text", 10, batch = 4)
+    val dir = s"/tmp/graft_bpe_save_${System.nanoTime()}"
+    Bpe.saveMerges(spark, merges, dir)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+    // encoding through the loaded artifact equals the in-session table
+    val w = docs.select(explode(Text.tokens(lower(col("text")))).as("w"))
+    val diff = w.withColumn("a", Bpe.encode(col("w"), merges))
+      .withColumn("b", Bpe.encode(col("w"), Bpe.loadMerges(spark, dir)))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // an empty artifact refuses to encode-with-zero-merges silently
+    val empty = s"/tmp/graft_bpe_save_empty_${System.nanoTime()}"
+    Bpe.saveMerges(spark, Seq.empty, empty)
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, empty))
+    // a rank gap (torn/mixed write) is rejected
+    val torn = s"/tmp/graft_bpe_save_torn_${System.nanoTime()}"
+    Bpe.saveMerges(spark, merges.filter(_.rank != 3), torn)
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, torn))
+  }
+
   test("encode replays the learned merges: every training word round-trips") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (merges, finalVocab) = Bpe.train(docs, "text", 8)
