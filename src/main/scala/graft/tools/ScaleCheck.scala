@@ -568,6 +568,35 @@ object ScaleCheck {
       f"build_rate=${pkn / ixSecs}%,.0f docs/s " +
       f"probe_rate=${matchedN / mltSecs}%,.0f postings/s")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mltIx))
+
+    // ---- round-7 operators at factor× corpus ----
+
+    // epoch shuffle: the distributed rank must stay two narrow
+    // shuffles at any size; the permutation property is ASSERTED
+    // inside the audit (exact 0..N-1), not sampled
+    val t33 = System.nanoTime()
+    val sh = graft.text.Packing.epochShuffle(packDocs, "doc_id", 3)
+      .agg(count(lit(1)), min(col("pos")), max(col("pos")),
+        countDistinct(col("pos"))).head()
+    val shSecs = (System.nanoTime() - t33) / 1e9
+    assert(sh.getLong(1) == 0L && sh.getLong(2) == sh.getLong(0) - 1 &&
+      sh.getLong(3) == sh.getLong(0), "epochShuffle must be a permutation")
+    println(f"[scale] eshuf  rows=${sh.getLong(0)}%,d secs=$shSecs%.2f " +
+      f"rate=${sh.getLong(0) / shSecs}%,.0f docs/s")
+
+    // batched BPE training: pair-count passes run over the DISTINCT
+    // word vocabulary (shared by all replicas), so factor× corpus pays
+    // only the one extra corpus scan of the vocab build — the property
+    // that makes 100 TB training tractable. Rate over exploded words.
+    val wcount = packDocs.select(explode(graft.text.Text.tokens(
+      lower(col("text"))))).count()
+    val t34 = System.nanoTime()
+    val (bm, _) = graft.text.Bpe.trainBatched(packDocs, "text", 48, 8)
+    val bpeSecs = (System.nanoTime() - t34) / 1e9
+    assert(bm.length == 48)
+    println(f"[scale] bpetr  words=$wcount%,d merges=48 secs=$bpeSecs%.2f " +
+      f"rate=${wcount / bpeSecs}%,.0f words/s")
+
     spark.stop()
   }
 }
