@@ -829,6 +829,10 @@ object StreamingJob {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     graft.text.Bm25.indexBuild(corpus, id, text, s"$dir/ix")
     graft.text.Bm25.indexAppend(delta, id, text, s"$dir/ix")
+    // the index is FROZEN for the whole probe stream (built+appended
+    // above, probes only from here on), so corpus stats are two
+    // constants — read once, not once per trigger
+    val stats = graft.text.Bm25.readStats(s, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
@@ -837,7 +841,7 @@ object StreamingJob {
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.text.Bm25.moreLikeThisFromIndex(s, batch, id, text,
-            s"$dir/ix", k)
+            s"$dir/ix", k, stats = Some(stats))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())

@@ -189,14 +189,25 @@ object Bm25 {
     * query cut runs the native TopK partial heaps. Stateless — the
     * streaming twin probes each micro-batch with zero streaming state.
     */
-  def moreLikeThisFromIndex(s: org.apache.spark.sql.SparkSession,
-                            queries: DataFrame, idCol: String,
-                            textCol: String, dir: String,
-                            k: Int): DataFrame = {
+  /** Read an index's corpus stats once — for callers that probe a
+    * FROZEN index repeatedly (the streaming twin probes per
+    * micro-batch) and shouldn't re-pay the stats scan every time. A
+    * caller that appends to the index between probes must re-read.
+    */
+  def readStats(s: org.apache.spark.sql.SparkSession,
+                dir: String): (Double, Double) = {
     val stats = s.read.parquet(s"$dir/stats").head()
     require(stats.getLong(0) > 0, s"posting index at $dir is empty")
-    val (n, avgdl) =
-      (stats.getLong(0).toDouble, stats.getLong(1).toDouble / stats.getLong(0))
+    (stats.getLong(0).toDouble,
+      stats.getLong(1).toDouble / stats.getLong(0))
+  }
+
+  def moreLikeThisFromIndex(s: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, idCol: String,
+                            textCol: String, dir: String, k: Int,
+                            stats: Option[(Double, Double)] = None)
+  : DataFrame = {
+    val (n, avgdl) = stats.getOrElse(readStats(s, dir))
     val qTerms = queries.select(col(idCol).as("qid"),
         explode(array_distinct(Text.tokens(lower(col(textCol))))).as("term"))
       .localCheckpoint()
