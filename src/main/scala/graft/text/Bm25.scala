@@ -208,9 +208,13 @@ object Bm25 {
                             stats: Option[(Double, Double)] = None)
   : DataFrame = {
     val (n, avgdl) = stats.getOrElse(readStats(s, dir))
+    // deliberately NOT checkpointed: qTerms is a pure tokenization of
+    // the (micro-batch-sized) query set with two consumers — each
+    // recomputing a cheap map-only projection beats paying a whole
+    // materialization job per probe, which at streaming cadence is
+    // pure fixed floor
     val qTerms = queries.select(col(idCol).as("qid"),
         explode(array_distinct(Text.tokens(lower(col(textCol))))).as("term"))
-      .localCheckpoint()
     // order of operations is the probe's scale story: (1) prune the
     // postings scan to the query batch's term set — bucket partition
     // pruning first, then a broadcast semi-join on the (small,
