@@ -429,13 +429,23 @@ object Ann {
       .parquet(s"${ivfRoot(dir)}/assigned")
   }
 
+  /** Read a stored index's centroid table once — for callers probing
+    * a FROZEN index repeatedly (the streaming admission twin probes
+    * per micro-batch) that shouldn't re-collect it every time. A
+    * caller that refreshes the index between probes must re-read
+    * (refresh swaps the epoch the pointer resolves to).
+    */
+  def indexCentroids(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Seq[Seq[Double]] = readCentroids(s, dir)
+
   /** Top-k from the stored index — no assignment pass at query time. */
   def ivfTopKFromIndex(queries: DataFrame, id: String, vec: String,
-                       dir: String, k: Int, nProbe: Int): DataFrame = {
+                       dir: String, k: Int, nProbe: Int,
+                       cents: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val s = queries.sparkSession
     probeAssigned(queries, id, vec,
       s.read.parquet(s"${ivfRoot(dir)}/assigned"),
-      readCentroids(s, dir), k, nProbe)
+      cents.getOrElse(readCentroids(s, dir)), k, nProbe)
   }
 
   /** ANN similarity JOIN: every LEFT vector matched to its single

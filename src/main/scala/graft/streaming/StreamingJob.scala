@@ -559,6 +559,9 @@ object StreamingJob {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     graft.similarity.Ann.ivfIndexBuild(corpus, id, vec, nCells, s"$dir/ix")
     graft.similarity.Ann.ivfIndexAppend(delta, id, vec, s"$dir/ix")
+    // the index is FROZEN for the whole probe stream — centroids are
+    // a constant, collected once, not once per trigger
+    val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
@@ -567,7 +570,7 @@ object StreamingJob {
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.similarity.Ann.ivfTopKFromIndex(batch, id, vec,
-            s"$dir/ix", k, nProbe)
+            s"$dir/ix", k, nProbe, cents = Some(cents))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())
