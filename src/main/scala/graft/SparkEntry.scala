@@ -51,6 +51,7 @@ object SparkEntry {
       graft.similarity.EmbeddingQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.PackingQueries.queries ++
+      graft.text.HybridQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
@@ -140,6 +141,7 @@ object SparkEntry {
       graft.similarity.EmbeddingQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.PackingQueries.oracleSql ++
+      graft.text.HybridQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql ++

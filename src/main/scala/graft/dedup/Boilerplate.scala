@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring-level boilerplate REMOVAL — the consumer of
+  * [[Dedup.commonNgrams]]'s repeated-span signal. Mining tells you a
+  * license header repeats across the crawl; this operator actually
+  * strips every occurrence of those spans from every document, the
+  * fixed-`n` approximation of suffix-array substring dedup (Lee et
+  * al., "Deduplicating Training Data Makes Language Models Better" —
+  * public arXiv:2107.06499): any duplicated substring of ≥ n words is
+  * covered by its length-n windows, so masking all boilerplate
+  * n-gram occurrences masks the span.
+  *
+  * Output is over the canonical whitespace token stream (the same
+  * tokenization as [[Dedup.shingles]]): per document, the surviving
+  * token text, total/removed token counts, and how many distinct
+  * boilerplate spans hit the doc.
+  *
+  * Shape at scale, 100 TB lens:
+  *  - the boiler-set mine is [[Dedup.commonNgrams]]: one shingling
+  *    pass, one map-side-combined groupBy on the gram (heavy hitters
+  *    collapse BEFORE the shuffle — the skewed key is exactly what
+  *    partial aggregation absorbs);
+  *  - occurrence detection joins each doc's (start, gram) stream to a
+  *    BROADCAST of the boiler set — the `minDf` filter is what keeps
+  *    that set small (spans become boilerplate only by repeating
+  *    across many documents; the threshold caps the candidate
+  *    universe at corpus_grams / minDf). Map-only, no token shuffle;
+  *  - coverage folds to one `(doc, sorted position set)` row per hit
+  *    document (bounded by the doc's own length — the same "a doc
+  *    fits in its task" invariant every per-doc operator here relies
+  *    on), and the final strip is a broadcast-or-shuffle join of that
+  *    SMALL cover table back to the corpus followed by a map-only
+  *    indexed filter. The full token table is never shuffled.
+  */
+object Boilerplate {
+
+  /** Strip every occurrence of each word n-gram that appears in at
+    * least `minDf` distinct documents. Total: every input doc comes
+    * back (possibly with zero tokens removed, possibly fully
+    * stripped).
+    *
+    * Returns (doc, n_tokens, n_removed, n_spans, clean_text) where
+    * `n_spans` counts DISTINCT boilerplate grams occurring in the doc
+    * and `clean_text` is the uncovered tokens rejoined with single
+    * spaces (the operator's contract is the token stream, not raw
+    * byte offsets).
+    */
+  def stripSpans(docs: DataFrame, id: String, text: String, n: Int,
+                 minDf: Int): DataFrame = {
+    val toks = graft.text.Text.tokens(col(text))
+    val base = docs.select(col(id).as("doc"), toks.as("tk"))
+
+    // boiler set: repeated-span mine, distinct-in-doc ⇒ df = doc count
+    val boiler = Dedup.commonNgrams(docs, id, text, n, minDf)
+      .select(col("ngram"))
+
+    // every occurrence start (NOT distinct — stripping needs them all):
+    // gram at 0-based start i spans positions [i, i+n-1]
+    val occs = base.select(col("doc"), posexplode(
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(0), size(col("tk")) - n), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("tk"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("start", "ngram")))
+
+    // map-only hit detection (broadcast), then one fold to a per-doc
+    // cover: the sorted set of masked positions + distinct span count
+    val cover = occs.join(broadcast(boiler), "ngram")
+      .select(col("doc"), col("ngram"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_set(col("p"))).as("cov"),
+        size(collect_set(col("ngram"))).as("n_spans"))
+
+    // strip = indexed filter against the doc's own cover row; docs
+    // with no hits pass through whole (left join, empty cover)
+    base.join(cover, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("tk")).as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        array_join(filter(col("tk"), (_, i) =>
+          coalesce(!array_contains(col("cov"), i), lit(true))), " ")
+          .as("clean_text"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-contract registrations for the round-7 retrieval/cleaning
+  * extensions:
+  *
+  *  - `tx_hybrid_rrf` — hybrid retrieval: the BM25 more-like-this leg
+  *    (stored posting index) and the embedding-cosine leg fused by
+  *    reciprocal rank fusion ([[Retrieval.rrfFuse]]). The oracle
+  *    replays BOTH legs end-to-end in DuckDB (the existing
+  *    mlt/bruteforce oracle derivations, restricted to the shared
+  *    corpus split) and then the integer-rank fusion — RRF's ranks-only
+  *    arithmetic is why the whole cascade stays bit-replayable.
+  *  - `dedup_strip_boilerplate` — substring-level boilerplate REMOVAL
+  *    ([[graft.dedup.Boilerplate.stripSpans]]): every occurrence of
+  *    every word n-gram shared by ≥ minDf docs is masked out of the
+  *    token stream; full token-level replay in SQL.
+  *
+  * Both compose operators the engine already trusts (posting index,
+  * brute-force cosine, native TopK, commonNgrams) — the new surface is
+  * the composition, so the oracles deliberately re-derive everything
+  * from the raw tables rather than trusting any intermediate.
+  */
+object HybridQueries {
+
+  /** Query docs: ids below the split; corpus: the rest (same split as
+    * tx_mlt_topk so the two lexical derivations stay comparable).
+    */
+  private val Split = 100
+  private val HK = 5
+  private val NGram = 5
+  private val MinDf = 2
+
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
+  private val toksRaw =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val ix = s"/tmp/graft_hybrid_index-${ProcessHandle.current().pid()}"
+      Bm25.indexBuild(docs.filter(col("doc_id") >= Split),
+        "doc_id", "text", ix)
+      val lex = Bm25.moreLikeThisFromIndex(s,
+          docs.filter(col("doc_id") < Split), "doc_id", "text", ix, HK)
+        .select(col("qid"), col("doc_id").as("doc"), col("rank"))
+      val vec = graft.similarity.Ann.bruteForceTopK(
+          emb.filter(col("vec_id") < Split),
+          emb.filter(col("vec_id") >= Split), "vec_id", "embedding", HK)
+        .select(col("qid"), col("vid").as("doc"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, HK)
+    }),
+
+    "dedup_strip_boilerplate" -> ((s, dir) =>
+      graft.dedup.Boilerplate.stripSpans(
+        Tables.documents(s, dir), "doc_id", "text", NGram, MinDf)))
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_hybrid_rrf" ->
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id >= $Split),
+         |p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,
+         |         unnest($toksLower) AS term FROM c),
+         |p AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+         |      FROM p0 GROUP BY 1, 2, 3),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 avg(len($toksLower))::DOUBLE AS avgdl
+         |          FROM c),
+         |df AS (SELECT term, count(*)::DOUBLE AS qdf FROM p GROUP BY 1),
+         |qt AS (SELECT doc_id AS qid,
+         |         unnest(list_distinct($toksLower)) AS term
+         |       FROM documents WHERE doc_id < $Split),
+         |contrib AS (
+         |  SELECT qt.qid, p.doc_id AS doc,
+         |         round(ln(1.0 + (n - qdf + 0.5) / (qdf + 0.5)) * tf
+         |           * (${Bm25.K1} + 1.0)
+         |           / (tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
+         |              + ${Bm25.B} * dl / avgdl)), 6) AS cr
+         |  FROM qt JOIN p USING (term) JOIN df USING (term)
+         |  CROSS JOIN stats),
+         |sc AS (SELECT qid, doc, round(sum(cr), 6) AS score
+         |       FROM contrib GROUP BY 1, 2),
+         |lex AS (SELECT qid, doc, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc) AS INT) AS rank FROM sc)
+         |  WHERE rank <= $HK),
+         |nv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |       FROM embeddings),
+         |sims AS (SELECT q.vec_id AS qid, c2.vec_id AS doc,
+         |           round(list_dot_product(q.v, c2.v)
+         |             / (q.nrm * c2.nrm), 6) AS sim
+         |         FROM nv q JOIN nv c2
+         |           ON q.vec_id < $Split AND c2.vec_id >= $Split),
+         |vec AS (SELECT qid, doc, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, doc) AS INT) AS rank FROM sims)
+         |  WHERE rank <= $HK),
+         |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+         |        coalesce(l.doc, v.doc) AS doc,
+         |        coalesce(l.rank, 0) AS lex_rank,
+         |        coalesce(v.rank, 0) AS vec_rank,
+         |        coalesce((1.0::DOUBLE) / (l.rank + ${Retrieval.RrfC}),
+         |                 0.0::DOUBLE)
+         |        + coalesce((1.0::DOUBLE) / (v.rank + ${Retrieval.RrfC}),
+         |                   0.0::DOUBLE) AS rrf_raw
+         |      FROM lex l FULL JOIN vec v
+         |        ON l.qid = v.qid AND l.doc = v.doc)
+         |SELECT qid, doc, lex_rank, vec_rank,
+         |       round(rrf_raw, 6) AS rrf, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_raw DESC, doc) AS INT) AS rank FROM f)
+         |WHERE rank <= $HK""".stripMargin,
+
+    "dedup_strip_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksRaw AS tk FROM documents),
+         |g AS (SELECT doc_id, (i - 1)::BIGINT AS start,
+         |        list_aggregate(tk[i:i+${NGram - 1}], 'string_agg', ' ')
+         |          AS ngram
+         |      FROM t, unnest(range(1, len(tk) - ${NGram - 2})) AS u(i)),
+         |boiler AS (SELECT ngram FROM (
+         |    SELECT ngram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+         |  WHERE nd >= $MinDf),
+         |hits AS (SELECT g.doc_id, g.ngram, g.start
+         |         FROM g JOIN boiler USING (ngram)),
+         |cov AS (SELECT doc_id, p
+         |        FROM hits, unnest(range(start, start + $NGram)) AS r(p)
+         |        GROUP BY 1, 2),
+         |spans AS (SELECT doc_id, count(DISTINCT ngram)::INT AS n_spans
+         |          FROM hits GROUP BY 1),
+         |pos AS (SELECT doc_id, (i - 1)::BIGINT AS p, tk[i] AS tok
+         |        FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.tok
+         |         FROM pos LEFT JOIN cov
+         |           ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |        FROM kept GROUP BY 1),
+         |rm AS (SELECT doc_id, count(*)::INT AS n_removed
+         |       FROM cov GROUP BY 1)
+         |SELECT t.doc_id AS doc, len(t.tk)::INT AS n_tokens,
+         |       coalesce(rm.n_removed, 0) AS n_removed,
+         |       coalesce(spans.n_spans, 0) AS n_spans,
+         |       coalesce(agg.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN rm USING (doc_id)
+         |LEFT JOIN spans USING (doc_id)
+         |LEFT JOIN agg USING (doc_id)""".stripMargin)
+}

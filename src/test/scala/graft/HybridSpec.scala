@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Boilerplate
+import graft.text.Retrieval
+
+/** Units for the round-7 retrieval/cleaning extensions: RRF fusion
+  * against hand-computed scores, and boilerplate span-stripping edge
+  * cases (overlapping occurrences, fully-stripped docs, docs shorter
+  * than the gram, empty docs).
+  */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse matches hand-computed reciprocal rank fusion") {
+    // q1: doc 10 is rank 1 lexically and rank 2 in vector space;
+    // doc 20 lex-only rank 2; doc 30 vec-only rank 1
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "doc", "rank")
+    val vec = Seq((1L, 30L, 1), (1L, 10L, 2)).toDF("qid", "doc", "rank")
+    val out = Retrieval.rrfFuse(lex, vec, k = 3).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5))).sortBy(_._5)
+    val both = 1.0 / 61 + 1.0 / 62 // doc 10
+    assert(out.head == (10L, 1, 2, math.rint(both * 1e6) / 1e6, 1))
+    // doc 30 (vec rank 1) beats doc 20 (lex rank 2): 1/61 > 1/62
+    assert(out(1) == (30L, 0, 1, math.rint(1.0 / 61 * 1e6) / 1e6, 2))
+    assert(out(2) == (20L, 2, 0, math.rint(1.0 / 62 * 1e6) / 1e6, 3))
+  }
+
+  test("rrfFuse ties between leg-exclusive docs break on doc id") {
+    val lex = Seq((1L, 50L, 1)).toDF("qid", "doc", "rank")
+    val vec = Seq((1L, 40L, 1)).toDF("qid", "doc", "rank")
+    val out = Retrieval.rrfFuse(lex, vec, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(5)))
+    assert(out.toSet == Set((40L, 1), (50L, 2))) // same rrf, 40 < 50
+  }
+
+  test("stripSpans removes every occurrence, not just the first") {
+    val docs = Seq(
+      (1L, "the same header here body one the same header here"),
+      (2L, "the same header here body two"),
+      (3L, "unique text with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripSpans(docs, "doc_id", "text", n = 4,
+        minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).sortBy(_._1)
+    // two shared 4-grams: "the same header here" (twice in doc 1) and
+    // "same header here body"; their occurrence cover leaves only the
+    // token after the shared run in each doc
+    assert(out(0) == ((1L, 10, 9, 2, "one")))
+    assert(out(1) == ((2L, 6, 5, 2, "two")))
+    assert(out(2)._3 == 0)
+    assert(out(2)._5 == "unique text with nothing shared at all")
+  }
+
+  test("stripSpans overlapping grams mask the union of positions") {
+    // docs share a 6-token run ⇒ three overlapping 4-grams, but the
+    // cover is the 6 positions, each counted once
+    val run = "a b c d e f"
+    val docs = Seq((1L, s"$run tail1"), (2L, s"head2 $run"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.stripSpans(docs, "doc_id", "text", n = 4,
+        minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).sortBy(_._1)
+    assert(out(0) == ((1L, 7, 6, 3, "tail1")))
+    assert(out(1) == ((2L, 7, 6, 3, "head2")))
+  }
+
+  test("stripSpans is total: short, empty, and fully-covered docs") {
+    val docs = Seq(
+      (1L, "common words only"), (2L, "common words only"), // fully covered
+      (3L, "ab"),                                           // shorter than n
+      (4L, "   ")                                           // no tokens
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripSpans(docs, "doc_id", "text", n = 3,
+        minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 3, 3, "")))
+    assert(out(1) == ((2L, 3, 3, "")))
+    assert(out(2) == ((3L, 1, 0, "ab")))
+    assert(out(3) == ((4L, 0, 0, "")))
+  }
+}

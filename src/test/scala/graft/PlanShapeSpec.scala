@@ -305,4 +305,32 @@ class PlanShapeSpec extends SparkSpec {
           s"exchange:\n$plan")
     }
   }
+
+  test("boilerplate strip broadcasts the boiler set (map-only hit detection)") {
+    withPlainPlans {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val plan = graft.dedup.Boilerplate
+        .stripSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+        .queryExecution.executedPlan
+      val txt = plan.toString
+      // occurrence detection must be the broadcast join — a shuffle on
+      // the gram key would funnel boilerplate-hot grams (the very
+      // thing being stripped) through single reducers
+      assert(txt.contains("BroadcastHashJoin"),
+        s"boiler-set join must broadcast:\n$txt")
+      // exchanges carry grams and per-doc cover rows only; the token
+      // stream itself (explode of tk) must never feed an exchange, so
+      // every shuffle input is an aggregate/join of the SMALL tables
+      val shuffledGenerate = plan.collect {
+        case e: ShuffleExchangeExec if e.child.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.nonEmpty && e.child.collectFirst {
+          case a if a.nodeName.contains("HashAggregate") => a
+        }.isEmpty => e
+      }
+      assert(shuffledGenerate.isEmpty,
+        s"raw exploded token/gram stream must aggregate before any " +
+          s"exchange:\n$txt")
+    }
+  }
 }
