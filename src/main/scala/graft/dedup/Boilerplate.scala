@@ -50,6 +50,14 @@ object Boilerplate {
     */
   def stripSpans(docs: DataFrame, id: String, text: String, n: Int,
                  minDf: Int): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    // minDf = 1 would make EVERY n-gram boilerplate (each occurs in
+    // its own doc): the broadcast set becomes the full gram universe
+    // and the strip degenerates to deleting all >= n-token text —
+    // never what a cleaning pass means. Refuse loudly.
+    require(minDf >= 2,
+      s"minDf must be >= 2 (a span is boilerplate only when SHARED " +
+        s"across documents), got $minDf")
     val toks = graft.text.Text.tokens(col(text))
     val base = docs.select(col(id).as("doc"), toks.as("tk"))
 

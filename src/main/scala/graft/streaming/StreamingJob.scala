@@ -853,6 +853,56 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming HYBRID retrieval probe — the fusion of
+    * [[streamMltProbe]] (lexical leg, stored posting index) and the
+    * vector leg in one admission stream: each arriving query doc
+    * carries text AND embedding, each micro-batch probes both legs
+    * and fuses them with [[graft.text.Retrieval.rrfFuse]] before the
+    * idempotent per-batch write. Stream–static and stateless — both
+    * legs are frozen (postings on disk, corpus embeddings a static
+    * broadcast-side table) and per-query fusion is independent, so
+    * the drained union equals the one-shot batch fusion over the
+    * same query set, which is exactly what the shared
+    * `tx_hybrid_rrf` oracle replays.
+    */
+  def streamHybridProbe(docs: DataFrame, emb: DataFrame, id: String,
+                        text: String, vec: String, split: Int, k: Int,
+                        workDir: String, nFiles: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.text.Bm25.indexBuild(docs.filter(col(id) >= split), id, text,
+      s"$dir/ix")
+    // both legs are FROZEN for the whole probe stream: stats read
+    // once, and the corpus-side embeddings are a static stream–static
+    // join side (the batch query side is what broadcasts per trigger)
+    val stats = graft.text.Bm25.readStats(s, s"$dir/ix")
+    val corpusEmb = emb.filter(col("vec_id") >= split)
+    val queries = docs.filter(col(id) < split)
+      .join(emb.select(col("vec_id").as(id), col(vec)), id)
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lex = graft.text.Bm25.moreLikeThisFromIndex(s, batch, id,
+            text, s"$dir/ix", k, stats = Some(stats))
+          .select(col("qid"), col("doc_id").as("doc"), col("rank"))
+        val v = graft.similarity.Ann.bruteForceTopK(
+            batch.select(col(id).as("vec_id"), col(vec)), corpusEmb,
+            "vec_id", vec, k)
+          .select(col("qid"), col("vid").as("doc"), col("rank"))
+        graft.text.Retrieval.rrfFuse(lex, v, k)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
   case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
                          start_off: Long, seq_first: Long, seq_last: Long,

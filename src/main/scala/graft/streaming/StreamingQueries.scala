@@ -430,6 +430,17 @@ object StreamingQueries {
         .select(col("qid"), col("doc_id").as("cdoc"), col("score"),
           col("n_shared"), col("rank"))
     }),
+    // Streaming HYBRID admission: every arriving doc probes BOTH
+    // frozen legs (posting index + corpus embeddings) and the RRF
+    // fusion is written per batch — per-query independence makes the
+    // drained union equal the one-shot tx_hybrid_rrf (shared oracle)
+    "s24_stream_hybrid_probe" -> ((s, dir) =>
+      StreamingJob.streamHybridProbe(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text", "embedding",
+        graft.text.HybridQueries.Split, graft.text.HybridQueries.HK,
+        "/tmp/graft_s24")
+        .select(col("qid"), col("doc"), col("lex_rank"),
+          col("vec_rank"), col("rrf"), col("rank"))),
     // Streaming packing maintenance: per-shard running token offset
     // (one long of state) extends the batch packing incrementally —
     // the drained placements equal the batch window-cumsum query
@@ -530,6 +541,9 @@ object StreamingQueries {
     // streamed micro-batch probes union to the one-shot retrieval —
     // the oracle IS tx_mlt_topk's full replay
     "s22_stream_mlt_probe" -> graft.text.PackingQueries.mltOracle,
+    // streamed per-batch fusion unions to the one-shot hybrid probe
+    "s24_stream_hybrid_probe" ->
+      graft.text.HybridQueries.oracleSql("tx_hybrid_rrf"),
     // stateless map-stage scoring: admitted set == the batch filter
     "s23_stream_quality_gate" -> {
       val b = graft.text.QualityModel.Buckets

@@ -29,8 +29,8 @@ object HybridQueries {
   /** Query docs: ids below the split; corpus: the rest (same split as
     * tx_mlt_topk so the two lexical derivations stay comparable).
     */
-  private val Split = 100
-  private val HK = 5
+  private[graft] val Split = 100
+  private[graft] val HK = 5
   private val NGram = 5
   private val MinDf = 2
 

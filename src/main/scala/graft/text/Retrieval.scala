@@ -35,6 +35,10 @@ object Retrieval {
     */
   def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
               c: Int = RrfC): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(c >= 1, s"RRF constant must be positive (c = -rank would " +
+      s"divide by zero; c < 1 defeats the soft rank-1 dominance the " +
+      s"constant exists for), got $c")
     val l = lex.select(col("qid"), col("doc"),
       col("rank").cast("int").as("lex_rank"))
     val v = vec.select(col("qid"), col("doc"),

@@ -68,6 +68,22 @@ class HybridSpec extends SparkSpec {
     assert(out(1) == ((2L, 7, 6, 3, "head2")))
   }
 
+  test("streamed hybrid probe drains to the one-shot batch fusion") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingJob.streamHybridProbe(
+        Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        "doc_id", "text", "embedding",
+        graft.text.HybridQueries.Split, graft.text.HybridQueries.HK,
+        "/tmp/graft_hybrid_spec")
+      .select("qid", "doc", "lex_rank", "vec_rank", "rrf", "rank")
+    val batch = graft.text.HybridQueries
+      .queries("tx_hybrid_rrf")(spark, dir)
+      .select("qid", "doc", "lex_rank", "vec_rank", "rrf", "rank")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "micro-batched two-leg fusion must union to the batch result")
+  }
+
   test("stripSpans is total: short, empty, and fully-covered docs") {
     val docs = Seq(
       (1L, "common words only"), (2L, "common words only"), // fully covered
