@@ -48,8 +48,16 @@ object Boilerplate {
     * spaces (the operator's contract is the token stream, not raw
     * byte offsets).
     */
+  /** @param broadcastBoiler hit detection joins the occurrence stream
+    *        to the boiler set by BROADCAST (the default — the minDf
+    *        threshold bounds the set at corpus_grams/minDf, and
+    *        boilerplate-hot grams would skew a shuffled join's
+    *        reducers). If a permissive minDf on a huge corpus pushes
+    *        the mined set past broadcast size, set false: plain
+    *        shuffle join, AQE skew-split as the backstop.
+    */
   def stripSpans(docs: DataFrame, id: String, text: String, n: Int,
-                 minDf: Int): DataFrame = {
+                 minDf: Int, broadcastBoiler: Boolean = true): DataFrame = {
     require(n >= 1, s"span length must be positive, got $n")
     // minDf = 1 would make EVERY n-gram boilerplate (each occurs in
     // its own doc): the broadcast set becomes the full gram universe
@@ -77,7 +85,8 @@ object Boilerplate {
 
     // map-only hit detection (broadcast), then one fold to a per-doc
     // cover: the sorted set of masked positions + distinct span count
-    val cover = occs.join(broadcast(boiler), "ngram")
+    val boilerSide = if (broadcastBoiler) broadcast(boiler) else boiler
+    val cover = occs.join(boilerSide, "ngram")
       .select(col("doc"), col("ngram"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
       .groupBy(col("doc"))

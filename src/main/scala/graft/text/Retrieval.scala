@@ -32,6 +32,13 @@ object Retrieval {
     * ranks are 1-based so 0 is unambiguous). Ties in fused score
     * (e.g. a lex-only rank-r doc vs a vec-only rank-r doc) break on
     * doc id.
+    *
+    * Precondition: each leg is a RANKING — at most one row per
+    * (qid, doc), ranks unique within a qid (what any top-k operator
+    * emits). A leg with duplicate (qid, doc) rows would fan out the
+    * full-outer join and double-count its reciprocal term; this is a
+    * contract on the legs, not re-checked here (a distinct pass per
+    * fuse would tax every caller for a malformed input).
     */
   def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
               c: Int = RrfC): DataFrame = {

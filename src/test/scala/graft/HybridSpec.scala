@@ -84,6 +84,14 @@ class HybridSpec extends SparkSpec {
       "micro-batched two-leg fusion must union to the batch result")
   }
 
+  test("stripSpans shuffle-join path equals the broadcast path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = Boilerplate.stripSpans(docs, "doc_id", "text", 5, 2)
+    val sh = Boilerplate.stripSpans(docs, "doc_id", "text", 5, 2,
+      broadcastBoiler = false)
+    assert(b.exceptAll(sh).isEmpty && sh.exceptAll(b).isEmpty)
+  }
+
   test("stripSpans is total: short, empty, and fully-covered docs") {
     val docs = Seq(
       (1L, "common words only"), (2L, "common words only"), // fully covered
