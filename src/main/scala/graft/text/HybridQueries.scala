@@ -58,7 +58,43 @@ object HybridQueries {
 
     "dedup_strip_boilerplate" -> ((s, dir) =>
       graft.dedup.Boilerplate.stripSpans(
-        Tables.documents(s, dir), "doc_id", "text", NGram, MinDf)))
+        Tables.documents(s, dir), "doc_id", "text", NGram, MinDf)),
+
+    // The mine→mask→curate loop closed as ONE declarative plan:
+    // boilerplate strip → drop fully-stripped docs → collapse the
+    // exact duplicates the CLEANING ITSELF exposes (two docs that
+    // differed only in boilerplate become identical — the Lee et al.
+    // motivation, and non-degenerate here: 45 of 500 sf0.01 docs
+    // collapse) → quality gate on the CLEANED text → per-split
+    // doc/token budgets with the drop census.
+    "pipeline_curation_v3" -> ((s, dir) => {
+      val stripped = graft.dedup.Boilerplate.stripSpans(
+          Tables.documents(s, dir), "doc_id", "text", NGram, MinDf)
+        .filter(col("clean_text") =!= "")
+      val keepers = stripped.groupBy(col("clean_text"))
+        .agg(min(col("doc")).as("doc"))
+        .select(col("doc"), lit(true).as("is_keeper"))
+      val b = graft.functions.Binning.knuthBucket(col("doc"))
+      val q = graft.text.Text.qualityScore(col("clean_text"))
+      stripped.join(keepers, Seq("doc"), "left")
+        .withColumn("is_keeper", coalesce(col("is_keeper"), lit(false)))
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          sum(when(col("is_keeper") && q >= 0.45, 1L).otherwise(0L))
+            .as("n_docs"),
+          sum(when(!col("is_keeper"), 1L).otherwise(0L))
+            .as("n_exact_collapsed"),
+          sum(when(col("is_keeper") && q < 0.45, 1L).otherwise(0L))
+            .as("n_quality_dropped"),
+          sum(when(col("is_keeper") && q >= 0.45,
+            (col("n_tokens") - col("n_removed")).cast("long"))
+            .otherwise(0L)).as("ws_tokens"),
+          sum(when(col("is_keeper") && q >= 0.45,
+            graft.text.Text.bpeTokenCount(col("clean_text")).cast("long"))
+            .otherwise(0L)).as("bpe_tokens"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "tx_hybrid_rrf" ->
@@ -118,7 +154,39 @@ object HybridQueries {
          |    ORDER BY rrf_raw DESC, doc) AS INT) AS rank FROM f)
          |WHERE rank <= $HK""".stripMargin,
 
-    "dedup_strip_boilerplate" ->
+    "dedup_strip_boilerplate" -> stripOracle,
+
+    "pipeline_curation_v3" -> {
+      val bpePat = Text.BpePattern.replace("'", "''")
+      s"""WITH strip AS ($stripOracle),
+         |ne AS (SELECT doc, n_tokens, n_removed, clean_text
+         |       FROM strip WHERE clean_text != ''),
+         |k AS (SELECT clean_text, min(doc) AS kdoc FROM ne GROUP BY 1),
+         |f0 AS (SELECT ne.doc, ne.n_tokens, ne.n_removed,
+         |         ne.clean_text AS text, (ne.doc = k.kdoc) AS is_keeper
+         |       FROM ne JOIN k USING (clean_text)),
+         |f AS (SELECT *, (${graft.text.TextQueries.qualitySql}) AS qv,
+         |        CASE WHEN (doc % 100) * 61 % 100 < 80 THEN 'train'
+         |             WHEN (doc % 100) * 61 % 100 < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM f0)
+         |SELECT split,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_docs,
+         |  sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_exact_collapsed,
+         |  sum(CASE WHEN is_keeper AND qv < 0.45 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_quality_dropped,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45
+         |           THEN n_tokens - n_removed ELSE 0 END)
+         |    ::BIGINT AS ws_tokens,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45
+         |           THEN len(regexp_extract_all(text, '$bpePat'))
+         |           ELSE 0 END)::BIGINT AS bpe_tokens
+         |FROM f GROUP BY 1""".stripMargin
+    })
+
+  private lazy val stripOracle: String =
       s"""WITH t AS (SELECT doc_id, $toksRaw AS tk FROM documents),
          |g AS (SELECT doc_id, (i - 1)::BIGINT AS start,
          |        list_aggregate(tk[i:i+${NGram - 1}], 'string_agg', ' ')
@@ -151,5 +219,5 @@ object HybridQueries {
          |       coalesce(agg.clean_text, '') AS clean_text
          |FROM t LEFT JOIN rm USING (doc_id)
          |LEFT JOIN spans USING (doc_id)
-         |LEFT JOIN agg USING (doc_id)""".stripMargin)
+         |LEFT JOIN agg USING (doc_id)""".stripMargin
 }
