@@ -58,7 +58,6 @@ object Boilerplate {
     */
   def stripSpans(docs: DataFrame, id: String, text: String, n: Int,
                  minDf: Int, broadcastBoiler: Boolean = true): DataFrame = {
-    require(n >= 1, s"span length must be positive, got $n")
     // minDf = 1 would make EVERY n-gram boilerplate (each occurs in
     // its own doc): the broadcast set becomes the full gram universe
     // and the strip degenerates to deleting all >= n-token text —
@@ -66,12 +65,26 @@ object Boilerplate {
     require(minDf >= 2,
       s"minDf must be >= 2 (a span is boilerplate only when SHARED " +
         s"across documents), got $minDf")
+    // boiler set: repeated-span mine, distinct-in-doc ⇒ df = doc count
+    stripWithBoiler(docs, id, text, n,
+      Dedup.commonNgrams(docs, id, text, n, minDf).select(col("ngram")),
+      broadcastBoiler)
+  }
+
+  /** The masking half alone: strip every occurrence of the given
+    * `boiler` grams (one `ngram` string column of space-joined word
+    * n-grams — [[Dedup.commonNgrams]] output, or any externally
+    * curated blocklist). This is the streaming-admission form: the
+    * set is mined ONCE from the static corpus, and arriving documents
+    * are cleaned against it map-only (per-doc work only — no
+    * corpus-wide mine per batch).
+    */
+  def stripWithBoiler(docs: DataFrame, id: String, text: String, n: Int,
+                      boiler: DataFrame,
+                      broadcastBoiler: Boolean = true): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
     val toks = graft.text.Text.tokens(col(text))
     val base = docs.select(col(id).as("doc"), toks.as("tk"))
-
-    // boiler set: repeated-span mine, distinct-in-doc ⇒ df = doc count
-    val boiler = Dedup.commonNgrams(docs, id, text, n, minDf)
-      .select(col("ngram"))
 
     // every occurrence start (NOT distinct — stripping needs them all):
     // gram at 0-based start i spans positions [i, i+n-1]
@@ -85,7 +98,9 @@ object Boilerplate {
 
     // map-only hit detection (broadcast), then one fold to a per-doc
     // cover: the sorted set of masked positions + distinct span count
-    val boilerSide = if (broadcastBoiler) broadcast(boiler) else boiler
+    val boilerGrams = boiler.select(col("ngram"))
+    val boilerSide =
+      if (broadcastBoiler) broadcast(boilerGrams) else boilerGrams
     val cover = occs.join(boilerSide, "ngram")
       .select(col("doc"), col("ngram"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("p"))

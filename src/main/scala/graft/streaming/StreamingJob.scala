@@ -916,6 +916,46 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming boilerplate-strip admission — the cleaning stage of
+    * the admission family (s15 semantic, s20 budget, s23 quality):
+    * the boiler set is mined ONCE from the static corpus
+    * ([[graft.dedup.Dedup.commonNgrams]], pinned in cache for the
+    * stream's life), and every arriving document is cleaned against
+    * it per micro-batch via
+    * [[graft.dedup.Boilerplate.stripWithBoiler]] — per-doc work only,
+    * broadcast hit detection, zero streaming state, no corpus-wide
+    * mine per trigger. Per-doc independence makes the drained union
+    * equal the one-shot batch strip over the same split, which is
+    * what the oracle replays.
+    */
+  def streamBoilerStrip(docs: DataFrame, id: String, text: String,
+                        n: Int, minDf: Int, split: Int, workDir: String,
+                        nFiles: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val boiler = graft.dedup.Dedup.commonNgrams(
+        docs.filter(col(id) >= split), id, text, n, minDf)
+      .select(col("ngram")).cache()
+    boiler.count()
+    val queries = docs.filter(col(id) < split)
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Boilerplate
+          .stripWithBoiler(batch, id, text, n, boiler)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
   case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
                          start_off: Long, seq_first: Long, seq_last: Long,

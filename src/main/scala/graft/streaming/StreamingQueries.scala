@@ -434,6 +434,16 @@ object StreamingQueries {
     // frozen legs (posting index + corpus embeddings) and the RRF
     // fusion is written per batch — per-query independence makes the
     // drained union equal the one-shot tx_hybrid_rrf (shared oracle)
+    // Streaming cleaning admission: boiler set mined once from the
+    // static corpus, arriving docs stripped per micro-batch (map-only
+    // broadcast hit detection, zero streaming state) — drained union
+    // equals the one-shot cross-split strip the oracle replays
+    "s25_stream_boiler_strip" -> ((s, dir) =>
+      StreamingJob.streamBoilerStrip(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, minDf = 3,
+        split = graft.text.HybridQueries.Split, "/tmp/graft_s25")
+        .select(col("doc"), col("n_tokens"), col("n_removed"),
+          col("n_spans"), col("clean_text"))),
     "s24_stream_hybrid_probe" -> ((s, dir) =>
       StreamingJob.streamHybridProbe(Tables.documents(s, dir),
         Tables.embeddings(s, dir), "doc_id", "text", "embedding",
@@ -544,6 +554,11 @@ object StreamingQueries {
     // streamed per-batch fusion unions to the one-shot hybrid probe
     "s24_stream_hybrid_probe" ->
       graft.text.HybridQueries.oracleSql("tx_hybrid_rrf"),
+    // corpus-mined boiler set applied to the streamed-in split
+    "s25_stream_boiler_strip" ->
+      graft.text.HybridQueries.stripOracleFor(3, 3,
+        s"doc_id >= ${graft.text.HybridQueries.Split}",
+        s"doc_id < ${graft.text.HybridQueries.Split}"),
     // stateless map-stage scoring: admitted set == the batch filter
     "s23_stream_quality_gate" -> {
       val b = graft.text.QualityModel.Buckets

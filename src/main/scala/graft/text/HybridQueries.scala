@@ -187,23 +187,36 @@ object HybridQueries {
     })
 
   private lazy val stripOracle: String =
+    stripOracleFor(NGram, MinDf, "TRUE", "TRUE")
+
+  /** Full token-level strip replay, parameterized: the boiler set is
+    * mined over `mineFilter` docs and the strip applied to
+    * `stripFilter` docs (both TRUE for the batch self-mine form; a
+    * split pair for the streaming-admission twin).
+    */
+  private[graft] def stripOracleFor(n: Int, minDf: Int,
+                                    mineFilter: String,
+                                    stripFilter: String): String =
       s"""WITH t AS (SELECT doc_id, $toksRaw AS tk FROM documents),
          |g AS (SELECT doc_id, (i - 1)::BIGINT AS start,
-         |        list_aggregate(tk[i:i+${NGram - 1}], 'string_agg', ' ')
+         |        list_aggregate(tk[i:i+${n - 1}], 'string_agg', ' ')
          |          AS ngram
-         |      FROM t, unnest(range(1, len(tk) - ${NGram - 2})) AS u(i)),
+         |      FROM t, unnest(range(1, len(tk) - ${n - 2})) AS u(i)),
          |boiler AS (SELECT ngram FROM (
-         |    SELECT ngram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
-         |  WHERE nd >= $MinDf),
-         |hits AS (SELECT g.doc_id, g.ngram, g.start
-         |         FROM g JOIN boiler USING (ngram)),
+         |    SELECT ngram, count(DISTINCT doc_id) AS nd FROM g
+         |    WHERE $mineFilter GROUP BY 1)
+         |  WHERE nd >= $minDf),
+         |sg AS (SELECT * FROM g WHERE $stripFilter),
+         |hits AS (SELECT sg.doc_id, sg.ngram, sg.start
+         |         FROM sg JOIN boiler USING (ngram)),
          |cov AS (SELECT doc_id, p
-         |        FROM hits, unnest(range(start, start + $NGram)) AS r(p)
+         |        FROM hits, unnest(range(start, start + $n)) AS r(p)
          |        GROUP BY 1, 2),
          |spans AS (SELECT doc_id, count(DISTINCT ngram)::INT AS n_spans
          |          FROM hits GROUP BY 1),
+         |st AS (SELECT * FROM t WHERE $stripFilter),
          |pos AS (SELECT doc_id, (i - 1)::BIGINT AS p, tk[i] AS tok
-         |        FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |        FROM st, unnest(range(1, len(tk) + 1)) AS u(i)),
          |kept AS (SELECT pos.doc_id, pos.p, pos.tok
          |         FROM pos LEFT JOIN cov
          |           ON pos.doc_id = cov.doc_id AND pos.p = cov.p
@@ -213,11 +226,11 @@ object HybridQueries {
          |        FROM kept GROUP BY 1),
          |rm AS (SELECT doc_id, count(*)::INT AS n_removed
          |       FROM cov GROUP BY 1)
-         |SELECT t.doc_id AS doc, len(t.tk)::INT AS n_tokens,
+         |SELECT st.doc_id AS doc, len(st.tk)::INT AS n_tokens,
          |       coalesce(rm.n_removed, 0) AS n_removed,
          |       coalesce(spans.n_spans, 0) AS n_spans,
          |       coalesce(agg.clean_text, '') AS clean_text
-         |FROM t LEFT JOIN rm USING (doc_id)
+         |FROM st LEFT JOIN rm USING (doc_id)
          |LEFT JOIN spans USING (doc_id)
          |LEFT JOIN agg USING (doc_id)""".stripMargin
 }

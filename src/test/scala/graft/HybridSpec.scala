@@ -84,6 +84,20 @@ class HybridSpec extends SparkSpec {
       "micro-batched two-leg fusion must union to the batch result")
   }
 
+  test("streamed boiler strip drains to the one-shot cross-split strip") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = graft.text.HybridQueries.Split
+    val streamed = graft.streaming.StreamingJob.streamBoilerStrip(
+      docs, "doc_id", "text", n = 3, minDf = 3, split,
+      "/tmp/graft_s25_spec")
+    val batch = Boilerplate.stripWithBoiler(
+      docs.filter(col("doc_id") < split), "doc_id", "text", 3,
+      graft.dedup.Dedup.commonNgrams(
+        docs.filter(col("doc_id") >= split), "doc_id", "text", 3, 3))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stripSpans shuffle-join path equals the broadcast path") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val b = Boilerplate.stripSpans(docs, "doc_id", "text", 5, 2)
