@@ -71,6 +71,52 @@ object Boilerplate {
       broadcastBoiler)
   }
 
+  /** Persisted gram-df index — the mine made incremental, same
+    * lifecycle discipline as the band/IVF/posting indexes: build pays
+    * the corpus once, an append pays the DELTA only (partial df rows
+    * land beside the existing ones — nothing is read or rewritten),
+    * and the boiler read folds partials at threshold time. Partial
+    * counts sum to the true document frequency because corpus appends
+    * are DISJOINT by document (the standard growing-corpus semantics;
+    * same single-writer caveat as every index-maintenance path here).
+    * Rows are bucketed by gram hash so the fold's shuffle key is
+    * uniform even when one gram saturates the corpus.
+    */
+  def gramIndexBuild(docs: DataFrame, id: String, text: String, n: Int,
+                     dir: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    gramPartials(docs, id, text, n)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** O(delta): the new docs' gram partials appended as-is. */
+  def gramIndexAppend(delta: DataFrame, id: String, text: String,
+                      n: Int, dir: String): Unit =
+    gramPartials(delta, id, text, n)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+
+  private val GramBuckets = 64
+
+  private def gramPartials(docs: DataFrame, id: String, text: String,
+                           n: Int): DataFrame =
+    Dedup.commonNgrams(docs, id, text, n, minDf = 1)
+      .select(col("ngram"), col("df"),
+        pmod(hash(col("ngram")), lit(GramBuckets)).as("bucket"))
+
+  /** The boiler set at threshold `minDf`, folded from the stored
+    * partials — equals the one-shot [[Dedup.commonNgrams]] mine over
+    * the union corpus (partial dfs are per-append distinct-doc
+    * counts over disjoint doc sets, so their sum IS the union df).
+    */
+  def boilerFromIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+                      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    s.read.parquet(dir)
+      .groupBy(col("ngram")).agg(sum(col("df")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("ngram"))
+  }
+
   /** The masking half alone: strip every occurrence of the given
     * `boiler` grams (one `ngram` string column of space-joined word
     * n-grams — [[Dedup.commonNgrams]] output, or any externally

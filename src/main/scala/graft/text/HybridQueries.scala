@@ -60,6 +60,22 @@ object HybridQueries {
       graft.dedup.Boilerplate.stripSpans(
         Tables.documents(s, dir), "doc_id", "text", NGram, MinDf)),
 
+    // The mine made incremental: gram-df index built on one corpus
+    // slice, grown by an O(delta) append of the other, boiler set
+    // folded from the stored partials at threshold time — must strip
+    // EXACTLY like the one-shot self-mine (oracle shared verbatim),
+    // proving the partial-df fold (disjoint appends ⇒ sum = union df)
+    "dedup_strip_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ix = s"/tmp/graft_gramix-${ProcessHandle.current().pid()}"
+      graft.dedup.Boilerplate.gramIndexBuild(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", NGram, ix)
+      graft.dedup.Boilerplate.gramIndexAppend(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", NGram, ix)
+      graft.dedup.Boilerplate.stripWithBoiler(docs, "doc_id", "text",
+        NGram, graft.dedup.Boilerplate.boilerFromIndex(s, ix, MinDf))
+    }),
+
     // The mine→mask→curate loop closed as ONE declarative plan:
     // boilerplate strip → drop fully-stripped docs → collapse the
     // exact duplicates the CLEANING ITSELF exposes (two docs that
@@ -155,6 +171,9 @@ object HybridQueries {
          |WHERE rank <= $HK""".stripMargin,
 
     "dedup_strip_boilerplate" -> stripOracle,
+    // the grown index must mine the identical boiler set, so the
+    // strip replay is shared verbatim with the one-shot form
+    "dedup_strip_incremental" -> stripOracle,
 
     "pipeline_curation_v3" -> {
       val bpePat = Text.BpePattern.replace("'", "''")

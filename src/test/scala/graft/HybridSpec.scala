@@ -98,6 +98,21 @@ class HybridSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("gram index grown by append mines the one-shot boiler set") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ix = s"/tmp/graft_gramix_spec-${ProcessHandle.current().pid()}"
+    Boilerplate.gramIndexBuild(docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", 5, ix)
+    Boilerplate.gramIndexAppend(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", 5, ix)
+    val grown = Boilerplate.boilerFromIndex(spark, ix, 2)
+    val scratch = graft.dedup.Dedup
+      .commonNgrams(docs, "doc_id", "text", 5, 2).select("ngram")
+    assert(grown.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(grown).isEmpty,
+      "partial-df fold over disjoint appends must equal the union mine")
+  }
+
   test("stripSpans shuffle-join path equals the broadcast path") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val b = Boilerplate.stripSpans(docs, "doc_id", "text", 5, 2)
