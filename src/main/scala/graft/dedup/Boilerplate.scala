@@ -111,7 +111,10 @@ object Boilerplate {
   def boilerFromIndex(s: org.apache.spark.sql.SparkSession, dir: String,
                       minDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    s.read.parquet(dir)
+    // explicit schema: an index built from an EMPTY corpus slice is a
+    // committed dir with zero part files — schema inference would
+    // throw where "no grams yet ⇒ empty boiler set" is the answer
+    s.read.schema("ngram STRING, df BIGINT, bucket INT").parquet(dir)
       .groupBy(col("ngram")).agg(sum(col("df")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("ngram"))

@@ -113,6 +113,20 @@ class HybridSpec extends SparkSpec {
       "partial-df fold over disjoint appends must equal the union mine")
   }
 
+  test("gram index built from an empty slice reads as an empty boiler set") {
+    import spark.implicits._
+    val ix = s"/tmp/graft_gramix_empty-${ProcessHandle.current().pid()}"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Boilerplate.gramIndexBuild(empty, "doc_id", "text", 5, ix)
+    assert(Boilerplate.boilerFromIndex(spark, ix, 2).isEmpty)
+    // and an append onto it brings the index live
+    Boilerplate.gramIndexAppend(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text"),
+      "doc_id", "text", 5, ix)
+    assert(Boilerplate.boilerFromIndex(spark, ix, 2).collect()
+      .map(_.getString(0)).toSet == Set("a b c d e"))
+  }
+
   test("stripSpans shuffle-join path equals the broadcast path") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val b = Boilerplate.stripSpans(docs, "doc_id", "text", 5, 2)
