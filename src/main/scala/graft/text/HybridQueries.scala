@@ -33,6 +33,8 @@ object HybridQueries {
   private[graft] val HK = 5
   private val NGram = 5
   private val MinDf = 2
+  private[graft] val TrainSteps = 3
+  private[graft] val TrainLr = 1.0
 
   private val toksLower =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
@@ -74,6 +76,19 @@ object HybridQueries {
         docs.filter(col("doc_id") < 250), "doc_id", "text", NGram, ix)
       graft.dedup.Boilerplate.stripWithBoiler(docs, "doc_id", "text",
         NGram, graft.dedup.Boilerplate.boilerFromIndex(s, ix, MinDf))
+    }),
+
+    // The quality classifier TRAINED in-engine: 3 full-batch
+    // quantized-GD steps distilling the heuristic rule into the
+    // hashed-linear model, labels and features both derived in-plan;
+    // the oracle replays every update CTE-for-CTE (round-6 weights
+    // make every sum order-free — see QualityModel.train scaladoc)
+    "tx_quality_train" -> ((s, dir) => {
+      import s.implicits._
+      val (w, b) = QualityModel.train(Tables.documents(s, dir), "text",
+        TrainSteps, TrainLr)
+      (w.zipWithIndex.map { case (wt, i) => (i, wt) } :+ (-1 -> b))
+        .toDF("slot", "weight")
     }),
 
     // The mine→mask→curate loop closed as ONE declarative plan:
@@ -171,6 +186,68 @@ object HybridQueries {
          |WHERE rank <= $HK""".stripMargin,
 
     "dedup_strip_boilerplate" -> stripOracle,
+
+    // full replay of the 3-step quantized GD: step 1 closed-form
+    // (w=0, b=0 ⇒ p = 0.5 exactly), steps 2-3 recompute z from the
+    // previous weight table. Every sum is over exact 1e-6 multiples
+    // (round-before-sum + round-6 weight updates), so no GROUP BY
+    // order anywhere can move a value — see QualityModel.train.
+    "tx_quality_train" -> {
+      val B = QualityModel.Buckets
+      val lr = TrainLr
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksLower AS tk, len($toksLower)::BIGINT AS n,
+         |         (CASE WHEN (${TextQueries.qualitySql}) >= 0.45
+         |               THEN 1.0 ELSE 0.0 END) AS y
+         |  FROM documents WHERE len($toksLower) > 0),
+         |nn AS (SELECT count(*)::DOUBLE AS nd FROM d),
+         |stok AS (
+         |  SELECT doc_id, y, n,
+         |         (('0x' || substring(md5(t), 1, 8))::UBIGINT % $B)::INT
+         |           AS slot
+         |  FROM (SELECT doc_id, y, n, unnest(tk) AS t FROM d)),
+         |g1 AS (SELECT slot, sum(round((0.5 - y) / n, 6)) AS g
+         |       FROM stok GROUP BY 1),
+         |w1 AS (SELECT slot, round(0.0 - $lr * g / nd, 6) AS w
+         |       FROM g1, nn),
+         |b1v AS (SELECT round(0.0 - $lr *
+         |          (SELECT sum(round(0.5 - y, 6)) FROM d) / nd, 6) AS b
+         |        FROM nn),
+         |sw2 AS (SELECT doc_id, sum(coalesce(w1.w, 0.0)) AS sw
+         |        FROM stok LEFT JOIN w1 USING (slot) GROUP BY 1),
+         |e2 AS (SELECT d.doc_id, d.y, d.n,
+         |         round(1.0 / (1.0 + exp(-((SELECT b FROM b1v)
+         |           + sw2.sw / d.n))), 6) - d.y AS err
+         |       FROM d JOIN sw2 USING (doc_id)),
+         |g2 AS (SELECT s.slot, sum(round(e2.err / e2.n, 6)) AS g
+         |       FROM stok s JOIN e2 USING (doc_id) GROUP BY 1),
+         |w2 AS (SELECT coalesce(w1.slot, g2.slot) AS slot,
+         |         round(coalesce(w1.w, 0.0)
+         |           - $lr * coalesce(g2.g, 0.0) / nd, 6) AS w
+         |       FROM w1 FULL JOIN g2 ON w1.slot = g2.slot, nn),
+         |b2v AS (SELECT round((SELECT b FROM b1v) - $lr *
+         |          (SELECT sum(round(err, 6)) FROM e2) / nd, 6) AS b
+         |        FROM nn),
+         |sw3 AS (SELECT doc_id, sum(coalesce(w2.w, 0.0)) AS sw
+         |        FROM stok LEFT JOIN w2 USING (slot) GROUP BY 1),
+         |e3 AS (SELECT d.doc_id, d.y, d.n,
+         |         round(1.0 / (1.0 + exp(-((SELECT b FROM b2v)
+         |           + sw3.sw / d.n))), 6) - d.y AS err
+         |       FROM d JOIN sw3 USING (doc_id)),
+         |g3 AS (SELECT s.slot, sum(round(e3.err / e3.n, 6)) AS g
+         |       FROM stok s JOIN e3 USING (doc_id) GROUP BY 1),
+         |w3 AS (SELECT coalesce(w2.slot, g3.slot) AS slot,
+         |         round(coalesce(w2.w, 0.0)
+         |           - $lr * coalesce(g3.g, 0.0) / nd, 6) AS w
+         |       FROM w2 FULL JOIN g3 ON w2.slot = g3.slot, nn),
+         |b3v AS (SELECT round((SELECT b FROM b2v) - $lr *
+         |          (SELECT sum(round(err, 6)) FROM e3) / nd, 6) AS b
+         |        FROM nn)
+         |SELECT r.i::INT AS slot, coalesce(w3.w, 0.0) AS weight
+         |FROM range(0, $B) r(i) LEFT JOIN w3 ON w3.slot = r.i
+         |UNION ALL
+         |SELECT -1, (SELECT b FROM b3v)""".stripMargin
+    },
     // the grown index must mine the identical boiler set, so the
     // strip replay is shared verbatim with the one-shot form
     "dedup_strip_incremental" -> stripOracle,

@@ -48,4 +48,90 @@ object QualityModel {
     val z = when(size(toks) > 0, lit(Bias) + pooled).otherwise(lit(Bias))
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** The hash slot of one token — the feature index both [[score]]'s
+    * fixed weights and [[train]]'s learned weights key on.
+    */
+  def tokenSlot(t: Column): Column =
+    (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % Buckets)
+      .cast("int")
+
+  /** Score with LEARNED weights (a `Buckets`-sized array + bias from
+    * [[train]]): same map-only one-Project dataflow as [[score]] —
+    * the weight array rides the plan as a literal.
+    */
+  def scoreWith(text: Column, w: Seq[Double], bias: Double): Column = {
+    val toks = Text.tokens(lower(text))
+    val wLit = typedLit(w)
+    val pooled = aggregate(
+      transform(toks, t => element_at(wLit, tokenSlot(t) + 1)),
+      lit(0.0), (acc, x) => acc + x) / size(toks)
+    val z = when(size(toks) > 0, lit(bias) + pooled).otherwise(lit(bias))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** TRAIN the classifier in-engine: full-batch logistic-regression
+    * gradient descent distilling the heuristic rule
+    * ([[Text.qualityScore]] ≥ 0.45) into the hashed-linear model —
+    * the CCNet-style move of turning a hand-written filter into a
+    * learnable one, here with the LABELS as well as the features
+    * derived inside the plan.
+    *
+    * Each step is ONE wide aggregate pass over the corpus (plus a
+    * one-row bias aggregate): per doc, z folds the weight-array
+    * literal over the token stream (map-only, same dataflow as
+    * scoring), and the per-token gradient contributions collapse in a
+    * slot-keyed map-side-combined groupBy — driver state is the
+    * `Buckets`-sized weight vector, independent of corpus size
+    * (the [[graft.similarity.Ann]] centroid discipline).
+    *
+    * QUANTIZED determinism — what makes training itself
+    * oracle-replayable: the predicted probability is rounded to 6
+    * decimals (absorbing the libm `exp` ulp), each gradient
+    * contribution is rounded BEFORE the sum (summing exact 1e-6
+    * multiples is associative in doubles far past any corpus size,
+    * so Spark's partial-agg order cannot move the total), and the
+    * updated weights/bias re-round to 6 decimals — so every z in the
+    * NEXT step sums exact multiples again, order-free. DuckDB
+    * replays all `steps` updates CTE-for-CTE, bit-for-bit.
+    *
+    * Tokenless docs carry no feature signal and are excluded (their
+    * gradient is bias-only; the exclusion is part of the documented
+    * contract, mirrored in the oracle).
+    */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            steps: Int, lr: Double): (IndexedSeq[Double], Double) = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    val toks = Text.tokens(lower(col(textCol)))
+    val base = docs.select(toks.as("tk"),
+        (Text.qualityScore(col(textCol)) >= 0.45).cast("double").as("y"))
+      .filter(size(col("tk")) > 0)
+      .localCheckpoint()
+    val nDocs = base.count().toDouble
+    require(nDocs > 0, "cannot train on a corpus with no token-ful docs")
+    var w = IndexedSeq.fill(Buckets)(0.0)
+    var b = 0.0
+    for (_ <- 1 to steps) {
+      val wLit = typedLit(w)
+      val z = lit(b) + aggregate(
+        transform(col("tk"), t => element_at(wLit, tokenSlot(t) + 1)),
+        lit(0.0), (acc, x) => acc + x) / size(col("tk"))
+      val stepped = base.select(col("tk"), size(col("tk")).as("n"),
+        (round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")).as("err"))
+      val grads = stepped
+        .select(explode(col("tk")).as("t"),
+          round(col("err") / col("n"), 6).as("g"))
+        .groupBy(tokenSlot(col("t")).as("slot"))
+        .agg(sum(col("g")).as("grad"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val bGrad = stepped.agg(sum(round(col("err"), 6))).head().getDouble(0)
+      w = w.indices.map(j =>
+        round6(w(j) - lr * grads.getOrElse(j, 0.0) / nDocs))
+      b = round6(b - lr * bGrad / nDocs)
+    }
+    (w, b)
+  }
 }
