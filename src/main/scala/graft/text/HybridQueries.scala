@@ -91,6 +91,21 @@ object HybridQueries {
         .toDF("slot", "weight")
     }),
 
+    // Artifact lifecycle closed: train → persist → load → score.
+    // The loaded weight table must score every doc exactly as the
+    // in-memory result of training would (validated read, same
+    // one-Project scoring plan)
+    "tx_quality_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = s"/tmp/graft_qmodel-${ProcessHandle.current().pid()}"
+      val (w0, b0) = QualityModel.train(docs, "text", TrainSteps, TrainLr)
+      QualityModel.saveModel(s, w0, b0, m)
+      val (w, b) = QualityModel.loadModel(s, m)
+      val q6 = round(QualityModel.scoreWith(col("text"), w, b), 6)
+      docs.select(col("doc_id"), q6.as("clf_quality"),
+        (q6 > 0.5).as("clf_keep"))
+    }),
+
     // The mine→mask→curate loop closed as ONE declarative plan:
     // boilerplate strip → drop fully-stripped docs → collapse the
     // exact duplicates the CLEANING ITSELF exposes (two docs that
@@ -194,8 +209,75 @@ object HybridQueries {
     // order anywhere can move a value — see QualityModel.train.
     "tx_quality_train" -> {
       val B = QualityModel.Buckets
+      s"""WITH $trainCtes
+         |SELECT r.i::INT AS slot, coalesce(w3.w, 0.0) AS weight
+         |FROM range(0, $B) r(i) LEFT JOIN w3 ON w3.slot = r.i
+         |UNION ALL
+         |SELECT -1, (SELECT b FROM b3v)""".stripMargin
+    },
+
+    // train → persist → load → score: the loaded artifact must score
+    // every doc exactly as the in-memory trained weights would —
+    // the oracle chains the full training replay into the scoring
+    // replay (w3 weights are round-6 multiples, so the per-doc sum
+    // is order-free and plain SUM/GROUP BY replays the HOF fold)
+    "tx_quality_persisted" ->
+      s"""WITH $trainCtes,
+         |sw4 AS (SELECT doc_id, sum(coalesce(w3.w, 0.0)) AS sw
+         |        FROM stok LEFT JOIN w3 USING (slot) GROUP BY 1),
+         |alld AS (SELECT doc_id, len($toksLower)::BIGINT AS n
+         |         FROM documents),
+         |q AS (SELECT alld.doc_id,
+         |        round(1.0 / (1.0 + exp(-(CASE WHEN alld.n > 0
+         |          THEN (SELECT b FROM b3v) + coalesce(sw4.sw, 0.0) / alld.n
+         |          ELSE (SELECT b FROM b3v) END))), 6) AS qv
+         |      FROM alld LEFT JOIN sw4 USING (doc_id))
+         |SELECT doc_id, qv AS clf_quality, qv > 0.5 AS clf_keep
+         |FROM q""".stripMargin,
+
+    // the grown index must mine the identical boiler set, so the
+    // strip replay is shared verbatim with the one-shot form
+    "dedup_strip_incremental" -> stripOracle,
+
+
+    "pipeline_curation_v3" -> {
+      val bpePat = Text.BpePattern.replace("'", "''")
+      s"""WITH strip AS ($stripOracle),
+         |ne AS (SELECT doc, n_tokens, n_removed, clean_text
+         |       FROM strip WHERE clean_text != ''),
+         |k AS (SELECT clean_text, min(doc) AS kdoc FROM ne GROUP BY 1),
+         |f0 AS (SELECT ne.doc, ne.n_tokens, ne.n_removed,
+         |         ne.clean_text AS text, (ne.doc = k.kdoc) AS is_keeper
+         |       FROM ne JOIN k USING (clean_text)),
+         |f AS (SELECT *, (${graft.text.TextQueries.qualitySql}) AS qv,
+         |        CASE WHEN (doc % 100) * 61 % 100 < 80 THEN 'train'
+         |             WHEN (doc % 100) * 61 % 100 < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM f0)
+         |SELECT split,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_docs,
+         |  sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_exact_collapsed,
+         |  sum(CASE WHEN is_keeper AND qv < 0.45 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_quality_dropped,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45
+         |           THEN n_tokens - n_removed ELSE 0 END)
+         |    ::BIGINT AS ws_tokens,
+         |  sum(CASE WHEN is_keeper AND qv >= 0.45
+         |           THEN len(regexp_extract_all(text, '$bpePat'))
+         |           ELSE 0 END)::BIGINT AS bpe_tokens
+         |FROM f GROUP BY 1""".stripMargin
+    })
+
+  /** The 3-step quantized-GD replay as a reusable CTE chain (through
+    * `w3`/`b3v`): shared by the weight-table oracle and the
+    * persisted-artifact scoring oracle.
+    */
+  private lazy val trainCtes: String = {
       val lr = TrainLr
-      s"""WITH d AS (
+      val B = QualityModel.Buckets
+      s"""d AS (
          |  SELECT doc_id, $toksLower AS tk, len($toksLower)::BIGINT AS n,
          |         (CASE WHEN (${TextQueries.qualitySql}) >= 0.45
          |               THEN 1.0 ELSE 0.0 END) AS y
@@ -242,45 +324,8 @@ object HybridQueries {
          |       FROM w2 FULL JOIN g3 ON w2.slot = g3.slot, nn),
          |b3v AS (SELECT round((SELECT b FROM b2v) - $lr *
          |          (SELECT sum(round(err, 6)) FROM e3) / nd, 6) AS b
-         |        FROM nn)
-         |SELECT r.i::INT AS slot, coalesce(w3.w, 0.0) AS weight
-         |FROM range(0, $B) r(i) LEFT JOIN w3 ON w3.slot = r.i
-         |UNION ALL
-         |SELECT -1, (SELECT b FROM b3v)""".stripMargin
-    },
-    // the grown index must mine the identical boiler set, so the
-    // strip replay is shared verbatim with the one-shot form
-    "dedup_strip_incremental" -> stripOracle,
-
-    "pipeline_curation_v3" -> {
-      val bpePat = Text.BpePattern.replace("'", "''")
-      s"""WITH strip AS ($stripOracle),
-         |ne AS (SELECT doc, n_tokens, n_removed, clean_text
-         |       FROM strip WHERE clean_text != ''),
-         |k AS (SELECT clean_text, min(doc) AS kdoc FROM ne GROUP BY 1),
-         |f0 AS (SELECT ne.doc, ne.n_tokens, ne.n_removed,
-         |         ne.clean_text AS text, (ne.doc = k.kdoc) AS is_keeper
-         |       FROM ne JOIN k USING (clean_text)),
-         |f AS (SELECT *, (${graft.text.TextQueries.qualitySql}) AS qv,
-         |        CASE WHEN (doc % 100) * 61 % 100 < 80 THEN 'train'
-         |             WHEN (doc % 100) * 61 % 100 < 90 THEN 'val'
-         |             ELSE 'test' END AS split
-         |      FROM f0)
-         |SELECT split,
-         |  sum(CASE WHEN is_keeper AND qv >= 0.45 THEN 1 ELSE 0 END)
-         |    ::BIGINT AS n_docs,
-         |  sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
-         |    ::BIGINT AS n_exact_collapsed,
-         |  sum(CASE WHEN is_keeper AND qv < 0.45 THEN 1 ELSE 0 END)
-         |    ::BIGINT AS n_quality_dropped,
-         |  sum(CASE WHEN is_keeper AND qv >= 0.45
-         |           THEN n_tokens - n_removed ELSE 0 END)
-         |    ::BIGINT AS ws_tokens,
-         |  sum(CASE WHEN is_keeper AND qv >= 0.45
-         |           THEN len(regexp_extract_all(text, '$bpePat'))
-         |           ELSE 0 END)::BIGINT AS bpe_tokens
-         |FROM f GROUP BY 1""".stripMargin
-    })
+         |        FROM nn)""".stripMargin
+  }
 
   private lazy val stripOracle: String =
     stripOracleFor(NGram, MinDf, "TRUE", "TRUE")

@@ -73,6 +73,35 @@ object QualityModel {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Persist a trained model — the classifier ARTIFACT the curation
+    * pipeline ships from the train job to every scoring job (the
+    * [[Bpe.saveMerges]] discipline): one tiny parquet of
+    * (slot, weight) rows with the bias at slot -1.
+    */
+  def saveModel(s: org.apache.spark.sql.SparkSession, w: Seq[Double],
+                bias: Double, dir: String): Unit = {
+    import s.implicits._
+    require(w.size == Buckets, s"expected $Buckets weights, got ${w.size}")
+    (w.zipWithIndex.map { case (wt, i) => (i, wt) } :+ (-1 -> bias))
+      .toDF("slot", "weight")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted model, validated — fails loudly on a missing /
+    * torn artifact rather than silently scoring with a partial
+    * weight table.
+    */
+  def loadModel(s: org.apache.spark.sql.SparkSession,
+                dir: String): (IndexedSeq[Double], Double) = {
+    val rows = s.read.parquet(dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(rows.size == Buckets + 1 &&
+      (-1 until Buckets).forall(rows.contains),
+      s"quality model at $dir is incomplete (${rows.size} rows) — " +
+        s"torn write?")
+    ((0 until Buckets).map(rows), rows(-1))
+  }
+
   /** TRAIN the classifier in-engine: full-batch logistic-regression
     * gradient descent distilling the heuristic rule
     * ([[Text.qualityScore]] ≥ 0.45) into the hashed-linear model —
