@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Driver-contract registrations for the round-7 retrieval/cleaning
-  * extensions:
+/** Driver-contract registrations for the round-7 retrieval/cleaning/
+  * training extensions:
   *
   *  - `tx_hybrid_rrf` — hybrid retrieval: the BM25 more-like-this leg
   *    (stored posting index) and the embedding-cosine leg fused by
@@ -14,15 +14,27 @@ import graft.Tables
   *    mlt/bruteforce oracle derivations, restricted to the shared
   *    corpus split) and then the integer-rank fusion — RRF's ranks-only
   *    arithmetic is why the whole cascade stays bit-replayable.
-  *  - `dedup_strip_boilerplate` — substring-level boilerplate REMOVAL
+  *  - `dedup_strip_boilerplate` / `dedup_strip_incremental` —
+  *    substring-level boilerplate REMOVAL
   *    ([[graft.dedup.Boilerplate.stripSpans]]): every occurrence of
   *    every word n-gram shared by ≥ minDf docs is masked out of the
-  *    token stream; full token-level replay in SQL.
+  *    token stream (full token-level replay in SQL); the incremental
+  *    form mines through the persisted gram-df index
+  *    (build / O(delta) append / threshold-time fold) and must strip
+  *    identically — oracle shared verbatim.
+  *  - `pipeline_curation_v3` — the mine→mask→curate loop in one plan:
+  *    strip, collapse the exact dups cleaning exposes, quality-gate
+  *    the CLEANED text, per-split budgets.
+  *  - `tx_quality_train` / `tx_quality_persisted` — the classifier
+  *    trained in-engine ([[QualityModel.train]], quantized GD whose
+  *    every update the oracle replays CTE-for-CTE) and the artifact
+  *    lifecycle (save → validated load → score).
   *
-  * Both compose operators the engine already trusts (posting index,
-  * brute-force cosine, native TopK, commonNgrams) — the new surface is
-  * the composition, so the oracles deliberately re-derive everything
-  * from the raw tables rather than trusting any intermediate.
+  * Everything composes operators the engine already trusts (posting
+  * index, brute-force cosine, native TopK, commonNgrams, the scoring
+  * dataflow) — the new surface is the composition, so the oracles
+  * deliberately re-derive everything from the raw tables rather than
+  * trusting any intermediate.
   */
 object HybridQueries {
 

@@ -597,6 +597,67 @@ object ScaleCheck {
     println(f"[scale] bpetr  words=$wcount%,d merges=48 secs=$bpeSecs%.2f " +
       f"rate=${wcount / bpeSecs}%,.0f words/s")
 
+    // boilerplate strip at factor× corpus: replicas get DISJOINT gram
+    // universes (every token suffixed with its replica id), so the
+    // boiler set, hits, and cover all scale exactly linearly with
+    // rows — the honest denominator. Totality asserted in-audit.
+    val stripDocs = packDocs.select(col("doc_id"),
+        array_join(transform(
+          graft.text.Text.tokens(col("text")),
+          t => concat(t, lit("_"),
+            pmod(col("doc_id"), lit(factor)).cast("string"))),
+          " ").as("text"))
+      .repartition(32).localCheckpoint(true)
+    val t35 = System.nanoTime()
+    val st = graft.dedup.Boilerplate
+      .stripSpans(stripDocs, "doc_id", "text", 5, 2)
+      .agg(count(lit(1)), sum(col("n_removed"))).head()
+    val stSecs = (System.nanoTime() - t35) / 1e9
+    assert(st.getLong(0) == pkn, "stripSpans must be total")
+    println(f"[scale] strip  rows=$pkn%,d removed=${st.getLong(1)}%,d " +
+      f"secs=$stSecs%.2f rate=${pkn / stSecs}%,.0f docs/s")
+
+    // incremental gram-df index: the append pays the DELTA's mine
+    // only; grown == scratch asserted via ngram-hash checksums
+    val gramIx = s"/tmp/graft_scale_gramix_${ProcessHandle.current().pid()}"
+    val gBase = stripDocs.filter(col("doc_id") % 50 =!= 0)
+      .localCheckpoint(true)
+    val gDelta = stripDocs.filter(col("doc_id") % 50 === 0)
+      .localCheckpoint(true)
+    graft.dedup.Boilerplate.gramIndexBuild(gBase, "doc_id", "text", 5, gramIx)
+    val t36 = System.nanoTime()
+    graft.dedup.Boilerplate.gramIndexAppend(gDelta, "doc_id", "text", 5, gramIx)
+    val apSecs = (System.nanoTime() - t36) / 1e9
+    val t37 = System.nanoTime()
+    val scratchMine = graft.dedup.Dedup
+      .commonNgrams(stripDocs, "doc_id", "text", 5, 2).select(col("ngram"))
+    val scratchSig = scratchMine
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(ngram))")).head().toSeq
+    val mineSecs = (System.nanoTime() - t37) / 1e9
+    val grownSig = graft.dedup.Boilerplate.boilerFromIndex(spark, gramIx, 2)
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(ngram))")).head().toSeq
+    assert(grownSig == scratchSig,
+      "grown gram index diverged from the scratch mine")
+    println(f"[scale] gramix rows=$pkn%,d delta=${gDelta.count()}%,d " +
+      f"append=$apSecs%.2f s scratch_mine=$mineSecs%.2f s " +
+      f"speedup=${mineSecs / apSecs}%.1fx")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gramIx))
+
+    // in-engine classifier training at factor× corpus: each GD step is
+    // one wide aggregate, so rate must track rows. REPLICATION
+    // INVARIANCE asserted in-audit: gradients and the doc count both
+    // scale by factor, so full-batch GD on the replicated corpus must
+    // learn the EXACT model of the base corpus (quantized arithmetic
+    // makes this bit-exact, not approximate).
+    val t38 = System.nanoTime()
+    val (wRep, bRep) = graft.text.QualityModel.train(packDocs, "text", 3, 1.0)
+    val trSecs = (System.nanoTime() - t38) / 1e9
+    val (wBase, bBase) = graft.text.QualityModel.train(docsBase, "text", 3, 1.0)
+    assert(wRep == wBase && bRep == bBase,
+      "full-batch GD must be replication-invariant")
+    println(f"[scale] qtrain rows=$pkn%,d steps=3 secs=$trSecs%.2f " +
+      f"rate=${pkn / trSecs}%,.0f docs/s")
+
     spark.stop()
   }
 }
