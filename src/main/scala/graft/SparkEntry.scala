@@ -52,6 +52,7 @@ object SparkEntry {
       graft.text.TextQueries.queries ++
       graft.text.PackingQueries.queries ++
       graft.text.HybridQueries.queries ++
+      graft.text.LmQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.AnnQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
@@ -141,6 +142,7 @@ object SparkEntry {
       graft.similarity.EmbeddingQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.PackingQueries.oracleSql ++
+      graft.text.LmQueries.oracleSql ++
       graft.text.HybridQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.similarity.AnnQueries.oracleSql ++

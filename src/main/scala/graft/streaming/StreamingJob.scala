@@ -956,6 +956,50 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming perplexity admission — the LM member of the admission
+    * family (s15 semantic, s20 budget, s23 quality, s25 cleaning):
+    * the bigram LM is trained ONCE on the static reference split and
+    * FROZEN for the stream's life (counts + derived context totals
+    * pinned in cache, vocab size a constant — the
+    * [[graft.text.Bm25.readStats]] discipline), and every arriving
+    * document is scored per micro-batch by
+    * [[graft.text.LangModel.perplexity]]. Stream–static and
+    * stateless: per-doc scores are independent, so the drained union
+    * equals the one-shot batch scoring over the same split — the
+    * shared oracle. The per-batch write is an idempotent
+    * `ingest=batchId` overwrite partition (replay-safe).
+    */
+  def streamPerplexityGate(ref: DataFrame, arriving: DataFrame,
+                           id: String, text: String, threshold: Double,
+                           workDir: String, nFiles: Int = 4): DataFrame = {
+    val s = ref.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val bigrams = graft.text.LangModel.bigramCounts(ref, text).cache()
+    val c1 = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1")).cache()
+    c1.count()
+    val v = graft.text.LangModel.vocabSize(ref, text)
+    val queries = arriving
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.LangModel
+          .perplexity(batch, id, text, bigrams, v, threshold,
+            contextTotals = Some(c1))
+          .filter(col("admit"))
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
   case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
                          start_off: Long, seq_first: Long, seq_last: Long,

@@ -438,6 +438,21 @@ object StreamingQueries {
     // static corpus, arriving docs stripped per micro-batch (map-only
     // broadcast hit detection, zero streaming state) — drained union
     // equals the one-shot cross-split strip the oracle replays
+    // Streaming perplexity admission: the bigram LM trained once on
+    // the static reference split and frozen (counts + context totals
+    // cached, V a constant), arriving docs scored per micro-batch —
+    // stateless, so the drained admitted set equals the batch
+    // scoring + gate, which is what the shared oracle replays
+    "s26_stream_perplexity_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      StreamingJob.streamPerplexityGate(
+        graft.text.LmQueries.refSplit(docs),
+        graft.text.LmQueries.holdoutSplit(docs),
+        "doc_id", "text", graft.text.LmQueries.NllThreshold,
+        "/tmp/graft_s26")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_lq"),
+          col("nll"), col("admit"))
+    }),
     "s25_stream_boiler_strip" -> ((s, dir) =>
       StreamingJob.streamBoilerStrip(Tables.documents(s, dir),
         "doc_id", "text", n = 3, minDf = 3,
@@ -554,6 +569,10 @@ object StreamingQueries {
     // streamed per-batch fusion unions to the one-shot hybrid probe
     "s24_stream_hybrid_probe" ->
       graft.text.HybridQueries.oracleSql("tx_hybrid_rrf"),
+    // frozen reference LM, per-doc independence: admitted set == the
+    // batch perplexity scoring + the gate filter
+    "s26_stream_perplexity_gate" ->
+      graft.text.LmQueries.perplexityOracle(admittedOnly = true),
     // corpus-mined boiler set applied to the streamed-in split
     "s25_stream_boiler_strip" ->
       graft.text.HybridQueries.stripOracleFor(3, 3,

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-contract registrations for the [[LangModel]] perplexity
+  * family — CCNet-style LM quality filtering (train a bigram LM on a
+  * reference split, score everything else by mean NLL):
+  *
+  *  - `tx_lm_perplexity` — train in-plan on the 80% reference split,
+  *    score the held-out 20% with full add-one backoff. The oracle
+  *    replays training AND scoring from the raw table: counts are
+  *    exact integers, each bigram's log-prob is quantized to long
+  *    micro-nats, the per-doc total is a sum of longs (order-free),
+  *    and the mean is one long÷long IEEE division — bit-replayable
+  *    end to end.
+  *  - `tx_lm_persisted` — the artifact lifecycle: train →
+  *    [[LangModel.save]] → validated [[LangModel.load]] (meta total
+  *    cross-checked against the counts actually read) → score. Same
+  *    output, oracle shared verbatim with `tx_lm_perplexity` — the
+  *    round trip through parquet must change nothing.
+  *
+  * The streaming admission twin (`s26_stream_perplexity_gate`) is
+  * registered with the other `s*` queries in
+  * [[graft.streaming.StreamingQueries]] and shares this oracle
+  * derivation restricted to the admitted set.
+  */
+object LmQueries {
+
+  /** Holdout = every 5th doc (20%); modulus split so every SF keeps
+    * both sides populated.
+    */
+  private[graft] val Mod = 5
+  /** Admission gate in nats/token — mean NLL under the reference LM.
+    * The synthetic corpus is near-uniform (holdout NLL spans only
+    * ~3.34–3.54 nats at sf0.01), so the gate sits at the observed
+    * median to stay DISCRIMINATING on the test tables — a threshold
+    * outside that band would make `admit` a constant and the gate
+    * queries vacuous. Real CCNet deployments pick this the same way:
+    * a quantile of the reference-scored distribution, not an a-priori
+    * number.
+    */
+  private[graft] val NllThreshold = 3.42
+
+  private[graft] def refSplit(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(Mod)) =!= 0)
+  private[graft] def holdoutSplit(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(Mod)) === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = refSplit(docs)
+      LangModel.perplexity(holdoutSplit(docs), "doc_id", "text",
+        LangModel.bigramCounts(ref, "text"),
+        LangModel.vocabSize(ref, "text"), NllThreshold)
+    }),
+    "tx_lm_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = refSplit(docs)
+      val mdir =
+        s"/tmp/graft_lm_model-${ProcessHandle.current().pid()}"
+      LangModel.save(LangModel.bigramCounts(ref, "text"),
+        LangModel.vocabSize(ref, "text"), ref.count(), mdir)
+      val (bigrams, v) = LangModel.load(s, mdir)
+      LangModel.perplexity(holdoutSplit(docs), "doc_id", "text",
+        bigrams, v, NllThreshold)
+    }))
+
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
+
+  /** The full train+score replay; `admittedOnly` appends the gate
+    * filter for the streaming twin.
+    */
+  private[graft] def perplexityOracle(admittedOnly: Boolean): String = {
+    val gate = if (admittedOnly) "WHERE admit" else ""
+    s"""WITH tr AS (SELECT $toksLower AS w FROM documents
+       |            WHERE doc_id % $Mod != 0),
+       |bgt AS (SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+       |        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgt GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t)::BIGINT AS v
+       |      FROM (SELECT unnest(w) AS t FROM tr)),
+       |ho AS (SELECT doc_id, $toksLower AS w FROM documents
+       |       WHERE doc_id % $Mod = 0),
+       |hb AS (SELECT doc_id, list_extract(w, i) AS w1,
+       |              list_extract(w, i + 1) AS w2
+       |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ho)),
+       |terms AS (
+       |  SELECT hb.doc_id,
+       |         CASE WHEN c12.c12 IS NOT NULL
+       |              THEN round(ln((c12.c12 + 1.0::DOUBLE) / (c1.c1 + v.v))
+       |                         * 1000000.0::DOUBLE, 0)::BIGINT
+       |              WHEN c1.c1 IS NOT NULL
+       |              THEN round(ln(1.0::DOUBLE / (c1.c1 + v.v))
+       |                         * 1000000.0::DOUBLE, 0)::BIGINT
+       |              ELSE round(ln(1.0::DOUBLE / v.v)
+       |                         * 1000000.0::DOUBLE, 0)::BIGINT END AS lq
+       |  FROM hb LEFT JOIN c12 ON hb.w1 = c12.w1 AND hb.w2 = c12.w2
+       |          LEFT JOIN c1 ON hb.w1 = c1.w1, v),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lq)::BIGINT AS sum_lq
+       |        FROM terms GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT ho.doc_id,
+       |         coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       |         coalesce(agg.sum_lq, 0) AS sum_lq,
+       |         CASE WHEN agg.n_bigrams > 0
+       |              THEN round(((-agg.sum_lq) / agg.n_bigrams)
+       |                         / 1000000.0::DOUBLE, 6) END AS nll,
+       |         coalesce(CASE WHEN agg.n_bigrams > 0
+       |              THEN round(((-agg.sum_lq) / agg.n_bigrams)
+       |                         / 1000000.0::DOUBLE, 6) END
+       |            < ${NllThreshold}::DOUBLE, false) AS admit
+       |  FROM ho LEFT JOIN agg USING (doc_id)) $gate""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_lm_perplexity" -> perplexityOracle(admittedOnly = false),
+    "tx_lm_persisted" -> perplexityOracle(admittedOnly = false))
+}
