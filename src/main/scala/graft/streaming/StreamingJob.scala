@@ -1000,6 +1000,50 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming DSIR admission — the importance-weight gate run at
+    * arrival rate: BOTH n-gram LMs (target domain + pool) are fitted
+    * once on the static corpus and frozen (counts, derived context
+    * totals and vocab sizes pinned — the same freeze discipline as
+    * [[streamPerplexityGate]]), and each arriving doc is admitted iff
+    * its length-normalized log importance ratio says it looks more
+    * like the target than like the pool average (`logratio > 0`).
+    * Stateless stream–static; the drained admitted set equals the
+    * batch [[graft.text.Dsir.weights]] + gate, which is what the
+    * shared oracle replays. (The batch top-k RESAMPLE has no
+    * arrival-order twin by design — a global quota is not decidable
+    * per element; the thresholded ratio is the streaming-decidable
+    * form, exactly like s20's budget vs `mix_token_budget`'s ranked
+    * form.)
+    */
+  def streamDsirAdmission(staticDocs: DataFrame, arriving: DataFrame,
+                          id: String, text: String, targetLang: String,
+                          threshold: Double, workDir: String,
+                          nFiles: Int = 4): DataFrame = {
+    val s = staticDocs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val tgt = staticDocs.filter(col("lang") === targetLang)
+    val tc = graft.text.Dsir.featureCounts(tgt, id, text).cache()
+    val sc = graft.text.Dsir.featureCounts(staticDocs, id, text).cache()
+    val tTot = graft.text.Dsir.featureTotal(tc)
+    val sTot = graft.text.Dsir.featureTotal(sc)
+    arriving.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.Dsir.weights(batch, id, text, tc, tTot, sc, sTot)
+          .filter(col("logratio") > threshold)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   case class ShardDoc(shard: Int, doc_id: Long, n_tokens: Int)
   case class ShardPlaced(doc_id: Long, shard: Int, n_tokens: Int,
                          start_off: Long, seq_first: Long, seq_last: Long,

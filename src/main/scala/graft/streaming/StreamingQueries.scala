@@ -443,6 +443,17 @@ object StreamingQueries {
     // cached, V a constant), arriving docs scored per micro-batch —
     // stateless, so the drained admitted set equals the batch
     // scoring + gate, which is what the shared oracle replays
+    // Streaming DSIR admission: both LMs frozen, arriving docs gated
+    // on their per-bigram log importance ratio — drained set equals
+    // the batch weights + gate (shared oracle derivation)
+    "s27_stream_dsir_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      StreamingJob.streamDsirAdmission(docs, docs, "doc_id", "text",
+        graft.text.LmQueries.TargetLang, graft.text.LmQueries.DsirGate,
+        "/tmp/graft_s27")
+        .select(col("doc_id"), col("n_bigrams"), col("w_q"),
+          col("logratio"))
+    }),
     "s26_stream_perplexity_gate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       StreamingJob.streamPerplexityGate(
@@ -573,6 +584,9 @@ object StreamingQueries {
     // batch perplexity scoring + the gate filter
     "s26_stream_perplexity_gate" ->
       graft.text.LmQueries.perplexityOracle(admittedOnly = true),
+    // frozen two-LM importance ratio, per-doc independence
+    "s27_stream_dsir_admission" ->
+      graft.text.LmQueries.dsirOracle("admitted"),
     // corpus-mined boiler set applied to the streamed-in split
     "s25_stream_boiler_strip" ->
       graft.text.HybridQueries.stripOracleFor(3, 3,

@@ -107,7 +107,7 @@ object LangModel {
     * builder so batch scoring and the streaming gate share the exact
     * expression.
     */
-  private def termMicroNats(c12: Column, c1: Column, v: Column): Column = {
+  private[text] def termMicroNats(c12: Column, c1: Column, v: Column): Column = {
     val seen = round(log((c12 + 1.0) / (c1 + v)) * Q, 0).cast("long")
     val ctxOnly = round(log(lit(1.0) / (c1 + v)) * Q, 0).cast("long")
     val unseen = round(log(lit(1.0) / v) * Q, 0).cast("long")
@@ -133,43 +133,74 @@ object LangModel {
     */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  bigrams: DataFrame, v: Long, threshold: Double,
-                 contextTotals: Option[DataFrame] = None): DataFrame = {
-    // an empty reference corpus has no distribution to score against —
-    // V = 0 would put a division by zero inside every backoff arm, so
-    // fail loudly here (save/load already refuse to round-trip such a
-    // model) instead of emitting null/±inf scores
+                 contextTotals: Option[DataFrame] = None): DataFrame =
+    logLikelihood(docs, idCol, textCol, bigrams, v, contextTotals)
+      .withColumn("nll", when(col("n_bigrams") > 0,
+        round((-col("sum_lq") / col("n_bigrams")) / Q, 6)))
+      .withColumn("admit", coalesce(col("nll") < threshold, lit(false)))
+
+  /** The scoring core: one row PER INPUT DOC of `(doc_id, n_bigrams,
+    * sum_lq)` where `sum_lq` is the exact long total of quantized
+    * per-bigram log-probs under the model. [[perplexity]] layers the
+    * mean/gate on top; [[Dsir]] differences two of these totals.
+    */
+  def logLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                    bigrams: DataFrame, v: Long,
+                    contextTotals: Option[DataFrame] = None): DataFrame = {
     require(v > 0,
-      s"perplexity needs a non-empty reference vocabulary, got V = $v")
+      s"scoring needs a non-empty reference vocabulary, got V = $v")
+    val base = tokenized(docs, idCol, textCol)
+    // derivable state, so a caller probing per micro-batch can pin it
+    // once for the stream's life (the [[Bm25.readStats]] discipline)
+    // instead of re-aggregating the model every trigger
+    val c1 = contextTotals.getOrElse(derivedContextTotals(bigrams))
+    val terms = bigramStream(base)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col("doc_id"),
+        termMicroNats(col("c12"), col("c1"), lit(v)).as("lq"))
+    foldPerDoc(base, terms)
+  }
+
+  /** `c1(w1) = Σ_w2 c12(w1, w2)` — the model's derivable denominator. */
+  def derivedContextTotals(bigrams: DataFrame): DataFrame =
+    bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+
+  /** Tokenize once, lineage-truncated: feeds both the bigram stream
+    * and the totality join.
+    */
+  private[text] def tokenized(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("tk"))
+      .localCheckpoint(true)
+
+  private[text] def bigramStream(base: DataFrame): DataFrame = {
     val tk = col("tk")
     val n1 = greatest(size(tk) - 1, lit(0))
-    val base = docs
-      .select(col(idCol).as("doc_id"), Text.tokens(lower(col(textCol))).as("tk"))
-      .localCheckpoint(true)
-    val bg = base
+    base
       .select(col("doc_id"),
         explode(arrays_zip(slice(tk, lit(1), n1), slice(tk, lit(2), n1)))
           .as("b"))
       .select(col("doc_id"), col("b").getField("0").as("w1"),
         col("b").getField("1").as("w2"))
-    // derivable state, so a caller probing per micro-batch can pin it
-    // once for the stream's life (the [[Bm25.readStats]] discipline)
-    // instead of re-aggregating the model every trigger
-    val c1 = contextTotals.getOrElse(
-      bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1")))
-    val terms = bg
-      .join(bigrams, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .select(col("doc_id"),
-        termMicroNats(col("c12"), col("c1"), lit(v)).as("lq"))
+  }
+
+  /** Per-doc fold + totality join: bigram-less docs come back with
+    * zero counts.
+    */
+  private[text] def foldPerDoc(base: DataFrame, terms: DataFrame,
+                               sums: Seq[String] = Seq("lq")): DataFrame = {
+    val named = sums.map(c =>
+      sum(col(c)).as(if (sums.size == 1) "sum_lq" else s"sum_$c"))
     val agg = terms.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lq")).as("sum_lq"))
-    val nll = round((-col("sum_lq") / col("n_bigrams")) / Q, 6)
+      .agg(count(lit(1)).as("n_bigrams"), named: _*)
+    val outNames =
+      if (sums.size == 1) Seq("sum_lq") else sums.map(c => s"sum_$c")
     base.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("sum_lq"), lit(0L)).as("sum_lq"))
-      .withColumn("nll", when(col("n_bigrams") > 0, nll))
-      .withColumn("admit", coalesce(col("nll") < threshold, lit(false)))
+      .select(col("doc_id") +:
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") +:
+        outNames.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
   }
 }

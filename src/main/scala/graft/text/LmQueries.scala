@@ -66,7 +66,43 @@ object LmQueries {
       val (bigrams, v) = LangModel.load(s, mdir)
       LangModel.perplexity(holdoutSplit(docs), "doc_id", "text",
         bigrams, v, NllThreshold)
+    }),
+
+    // DSIR importance weights: target = the English slice, pool =
+    // everything; w_q is one exact long subtraction of two quantized
+    // LM totals, computed off a SINGLE bigram stream over the pool
+    "sample_dsir_weights" -> ((s, dir) =>
+      dsirWeights(Tables.documents(s, dir))),
+
+    // The resample itself: Gumbel-top-k with hash-derived noise —
+    // deterministic importance sampling without replacement; `lang`
+    // rides along to make the selection's target-skew inspectable
+    "sample_dsir_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dsir.resample(dsirWeights(docs), "doc_id", DsirK)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("w_q"), col("key"))
     }))
+
+  /** Shared DSIR weighting: target model fitted on the `lang = 'en'`
+    * slice, pool model on the whole corpus, weights for every pool
+    * doc — both multinomials over the same hashed-bigram buckets.
+    */
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+    val tgt = docs.filter(col("lang") === TargetLang)
+    val tc = Dsir.featureCounts(tgt, "doc_id", "text")
+    val sc = Dsir.featureCounts(docs, "doc_id", "text")
+    Dsir.weights(docs, "doc_id", "text",
+      tc, Dsir.featureTotal(tc), sc, Dsir.featureTotal(sc))
+  }
+
+  private[graft] val TargetLang = "en"
+  private[graft] val DsirK = 100
+  /** Streaming admission gate on the per-bigram mean log importance
+    * ratio (nats). 0 = "more target-like than the pool average".
+    */
+  private[graft] val DsirGate = 0.0
 
   private val toksLower =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
@@ -117,7 +153,76 @@ object LmQueries {
        |  FROM ho LEFT JOIN agg USING (doc_id)) $gate""".stripMargin
   }
 
+  /** Full DSIR replay: both hashed-multinomial fits (bucket counts +
+    * totals over the SHARED feature space), the smoothed
+    * log-frequency under each model per pool bigram occurrence, the
+    * exact long difference, and — for the resample — the
+    * hash-derived Gumbel key and the top-k cut.
+    */
+  private[graft] def dsirOracle(shape: String): String = {
+    val B = Dsir.Buckets
+    def lqUnder(cTbl: String, tTbl: String) =
+      s"""round(ln((coalesce($cTbl.c, 0) + 0.01::DOUBLE)
+         |         / ($tTbl.t + 0.01::DOUBLE * $B))
+         |      * 1000000.0::DOUBLE, 0)::BIGINT""".stripMargin
+    val tail = shape match {
+      case "weights" =>
+        "SELECT doc_id, n_bigrams, w_q, logratio FROM w"
+      case "admitted" =>
+        s"SELECT doc_id, n_bigrams, w_q, logratio FROM w " +
+          s"WHERE logratio > ${DsirGate}::DOUBLE"
+      case "topk" =>
+        s"""SELECT w.doc_id, d.lang, w.n_bigrams, w.w_q,
+           |       round(w.w_q / 1000000.0::DOUBLE +
+           |             -ln(-ln((('0x' || substring(md5(w.doc_id::VARCHAR), 1, 8))
+           |                      ::UBIGINT % ${Dsir.HashGrain} + 0.5::DOUBLE)
+           |                     / ${Dsir.HashGrain})), 6) AS key
+           |FROM w JOIN documents d ON w.doc_id = d.doc_id
+           |ORDER BY key DESC, w.doc_id LIMIT $DsirK""".stripMargin
+    }
+    s"""WITH tb AS (
+       |  SELECT ('0x' || substring(md5(list_extract(w, i) || ' ' ||
+       |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT $toksLower AS w FROM documents
+       |              WHERE lang = '$TargetLang'))),
+       |tc AS (SELECT bucket, count(*) AS c FROM tb GROUP BY 1),
+       |tt AS (SELECT count(*) AS t FROM tb),
+       |sb AS (
+       |  SELECT ('0x' || substring(md5(list_extract(w, i) || ' ' ||
+       |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT $toksLower AS w FROM documents))),
+       |sc AS (SELECT bucket, count(*) AS c FROM sb GROUP BY 1),
+       |st AS (SELECT count(*) AS t FROM sb),
+       |pb AS (
+       |  SELECT doc_id, ('0x' || substring(md5(list_extract(w, i) || ' ' ||
+       |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT doc_id, $toksLower AS w FROM documents))),
+       |terms AS (
+       |  SELECT pb.doc_id, ${lqUnder("tc", "tt")} AS lq_t,
+       |         ${lqUnder("sc", "st")} AS lq_s
+       |  FROM pb LEFT JOIN tc ON pb.bucket = tc.bucket
+       |          LEFT JOIN sc ON pb.bucket = sc.bucket, tt, st),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |               sum(lq_t)::BIGINT AS st, sum(lq_s)::BIGINT AS ss
+       |        FROM terms GROUP BY 1),
+       |w AS (SELECT p.doc_id,
+       |             coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       |             coalesce(agg.st, 0) - coalesce(agg.ss, 0) AS w_q,
+       |             CASE WHEN agg.n_bigrams > 0
+       |                  THEN round(((coalesce(agg.st, 0) - coalesce(agg.ss, 0))
+       |                              / agg.n_bigrams) / 1000000.0::DOUBLE, 6)
+       |             END AS logratio
+       |      FROM (SELECT doc_id FROM documents) p
+       |      LEFT JOIN agg USING (doc_id))
+       |$tail""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "tx_lm_perplexity" -> perplexityOracle(admittedOnly = false),
-    "tx_lm_persisted" -> perplexityOracle(admittedOnly = false))
+    "tx_lm_persisted" -> perplexityOracle(admittedOnly = false),
+    "sample_dsir_weights" -> dsirOracle("weights"),
+    "sample_dsir_topk" -> dsirOracle("topk"))
 }
