@@ -541,6 +541,37 @@ object Ann {
       annJoinCandidates(left, right, id, vec, nCells, nProbe),
       Seq("lid"), Seq("sim" -> false, "rid" -> true), k)
 
+  /** Hard-negative mining for contrastive retrieval training — the
+    * DPR recipe (Karpukhin et al., arXiv:2004.04906 §4.2): a good
+    * negative is a candidate the retriever RANKS HIGH but whose label
+    * disagrees with the anchor's. Per anchor: exact top-`k` cosine
+    * candidates ([[bruteForceTopK]] — broadcast anchors, the corpus
+    * streams through once, no corpus shuffle), positives removed by a
+    * label anti-filter, and the `nNeg` hardest survivors kept with a
+    * fresh mined rank (native TopK — bounded heap before any
+    * exchange). The label joins touch only the candidate stream
+    * (≤ k·|anchors| rows — broadcast-sized by construction relative
+    * to the corpus), never the corpus itself. Fully deterministic
+    * (round-6 sims, id tiebreaks), so the oracle replays the entire
+    * mine. An anchor whose whole candidate list shares its label
+    * emits no rows (no negatives exist at this k — callers widen k,
+    * not the semantics).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, labels: DataFrame, labelCol: String,
+                    k: Int, nNeg: Int): DataFrame = {
+    val cand = bruteForceTopK(anchors, corpus, id, vec, k)
+    val ql = labels.select(col(id).as("qid"), col(labelCol).as("q_label"))
+    val cl = labels.select(col(id).as("vid"), col(labelCol).as("neg_label"))
+    val negatives = cand
+      .join(ql, Seq("qid"))
+      .join(cl, Seq("vid"))
+      .filter(col("q_label") =!= col("neg_label"))
+      .select(col("qid"), col("vid"), col("sim"), col("neg_label"))
+    graft.plans.TopKPlan.topKPerKey(negatives, Seq("qid"),
+      Seq("sim" -> false, "vid" -> true), nNeg, rankCol = "neg_rank")
+  }
+
   /** Mutual-kNN-graph semantic clustering (the graph-shaped sibling
     * of [[semanticDedup]]'s centroid-bounded pair scan): the corpus is
     * kNN-joined against ITSELF through the shared IVF candidate

@@ -17,6 +17,9 @@ object AnnQueries {
 
   private[graft] val K = 5
   private[graft] val NQueries = 8
+  /** Hard-negative mining: candidate pool depth and kept negatives. */
+  private[graft] val MineK = 20
+  private[graft] val MineNeg = 5
   private val PairThreshold = 0.45
   /** Contract floor for the k-means-refined IVF recall@K (see
     * `ann_ivf_kmeans_topk`). Measured with tools/ProbeRecall
@@ -205,6 +208,17 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       Ann.annJoinTopK(emb.filter(col("vec_id") < 200),
         emb.filter(col("vec_id") >= 200), "vec_id", "embedding", k = 3)
+    }),
+    // Hard-negative mining (DPR recipe): top-20 cosine candidates per
+    // anchor, same-label candidates dropped as positives, 5 hardest
+    // survivors kept with a fresh mined rank — the contrastive-
+    // training data loop closed in-engine
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.hardNegatives(emb.filter(col("vec_id") < NQueries), emb,
+        "vec_id", "embedding",
+        labels = emb.select(col("vec_id"), col("label")),
+        labelCol = "label", k = MineK, nNeg = MineNeg)
     }),
     // mutual-kNN-graph clustering of the WHOLE corpus against itself
     // (k=3 neighbors through the shared IVF cells, edges kept only
@@ -616,6 +630,27 @@ object AnnQueries {
          |                            ORDER BY sim DESC, vid ASC)::INT AS rank
          |  FROM sims)
          |SELECT * FROM ranked WHERE rank <= $K""".stripMargin,
+    "mine_hard_negatives" ->
+      s"""WITH $nCte,
+         |sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, vid ASC) AS rank
+         |  FROM sims),
+         |negs AS (
+         |  SELECT r.qid, r.vid, r.sim, cl.label AS neg_label
+         |  FROM ranked r
+         |  JOIN embeddings ql ON r.qid = ql.vec_id
+         |  JOIN embeddings cl ON r.vid = cl.vec_id
+         |  WHERE r.rank <= $MineK AND ql.label != cl.label)
+         |SELECT qid, vid, sim, neg_label,
+         |       row_number() OVER (PARTITION BY qid
+         |                          ORDER BY sim DESC, vid ASC)::INT AS neg_rank
+         |FROM negs QUALIFY neg_rank <= $MineNeg""".stripMargin,
     "emb_cosine_pairs" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

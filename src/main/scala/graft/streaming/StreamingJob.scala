@@ -1000,6 +1000,59 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming CCNet bucket labeling — calibrate once, label at
+    * arrival rate: the reference LM is fitted and frozen (counts +
+    * derived context totals + V pinned, the [[streamPerplexityGate]]
+    * discipline), the two tertile cutoff bins are calibrated ONCE
+    * from the static calibration corpus's char-weighted bin histogram
+    * ([[graft.text.PplBuckets.cutoffs]] — ≤30k driver scalars), and
+    * each arriving doc is then scored + labeled map-only per
+    * micro-batch against the two broadcast ints. Stateless
+    * stream–static; the drained labeled set equals the batch
+    * [[graft.text.PplBuckets.assign]] over the same corpus, which is
+    * what the shared oracle replays. (Re-deriving cutoffs per batch
+    * would make labels depend on arrival order — frozen calibration
+    * is the streaming-decidable form, like s26's frozen threshold.)
+    */
+  def streamPplBuckets(ref: DataFrame, calibration: DataFrame,
+                       arriving: DataFrame, id: String, text: String,
+                       threshold: Double, workDir: String,
+                       nFiles: Int = 4): DataFrame = {
+    val s = ref.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val bigrams = graft.text.LangModel.bigramCounts(ref, text).cache()
+    val c1 = graft.text.LangModel.derivedContextTotals(bigrams).cache()
+    c1.count()
+    val v = graft.text.LangModel.vocabSize(ref, text)
+    def scoredWithChars(docs: DataFrame): DataFrame =
+      graft.text.LangModel
+        .perplexity(docs, id, text, bigrams, v, threshold,
+          contextTotals = Some(c1))
+        .join(docs.select(col(id).as("doc_id"),
+          length(col(text)).cast("long").as("chars")), Seq("doc_id"))
+    val (b1, b2) = graft.text.PplBuckets.cutoffs(
+      graft.text.PplBuckets.binned(scoredWithChars(calibration)), "chars")
+    arriving.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.PplBuckets.binned(scoredWithChars(batch))
+          .withColumn("bucket",
+            graft.text.PplBuckets.label(col("bin"), b1, b2))
+          .select(col("doc_id"), col("nll"), col("bin"), col("chars"),
+            col("bucket"))
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   /** Streaming DSIR admission — the importance-weight gate run at
     * arrival rate: BOTH n-gram LMs (target domain + pool) are fitted
     * once on the static corpus and frozen (counts, derived context

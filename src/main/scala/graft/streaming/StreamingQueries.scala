@@ -446,6 +446,16 @@ object StreamingQueries {
     // Streaming DSIR admission: both LMs frozen, arriving docs gated
     // on their per-bigram log importance ratio — drained set equals
     // the batch weights + gate (shared oracle derivation)
+    // Streaming CCNet bucketing: LM + tertile cutoffs frozen from the
+    // one-time calibration, arrivals scored + labeled map-only — the
+    // drained labeled set equals the batch assign (shared oracle)
+    "s28_stream_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ho = graft.text.LmQueries.holdoutSplit(docs)
+      StreamingJob.streamPplBuckets(
+        graft.text.LmQueries.refSplit(docs), ho, ho, "doc_id", "text",
+        graft.text.LmQueries.NllThreshold, "/tmp/graft_s28")
+    }),
     "s27_stream_dsir_admission" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       StreamingJob.streamDsirAdmission(docs, docs, "doc_id", "text",
@@ -587,6 +597,11 @@ object StreamingQueries {
     // frozen two-LM importance ratio, per-doc independence
     "s27_stream_dsir_admission" ->
       graft.text.LmQueries.dsirOracle("admitted"),
+    // frozen LM + frozen tertile cutoffs, per-doc independence —
+    // the calibration corpus IS the arriving corpus, so the batch
+    // bucket replay is the drained set verbatim
+    "s28_stream_ppl_buckets" ->
+      graft.text.LmQueries.bucketsOracle("docs"),
     // corpus-mined boiler set applied to the streamed-in split
     "s25_stream_boiler_strip" ->
       graft.text.HybridQueries.stripOracleFor(3, 3,

@@ -83,6 +83,26 @@ object LmQueries {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           col("w_q"), col("key"))
+    }),
+
+    // CCNet head/middle/tail: score the holdout under the reference
+    // LM, cut at the char-weighted tertiles of the milli-nat bin
+    // histogram (≤30k driver scalars), label map-only
+    "tx_ppl_buckets" -> ((s, dir) =>
+      pplBucketLabels(Tables.documents(s, dir))),
+
+    // The thirds check: per-bucket doc count, char mass, and share of
+    // the labeled total (the scalar joins as a broadcast 1-row table)
+    "tx_ppl_bucket_census" -> ((s, dir) => {
+      val lab = pplBucketLabels(Tables.documents(s, dir))
+        .filter(col("bucket").isNotNull)
+      val tot = lab.agg(sum(col("chars")).cast("long").as("t"))
+      lab.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).cast("long").as("chars_total"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"), col("chars_total"),
+          round(col("chars_total") / col("t"), 6).as("share"))
     }))
 
   /** Shared DSIR weighting: target model fitted on the `lang = 'en'`
@@ -97,6 +117,22 @@ object LmQueries {
       tc, Dsir.featureTotal(tc), sc, Dsir.featureTotal(sc))
   }
 
+  /** Shared bucketing pipeline: reference LM on the 80% split, score
+    * the holdout, char-weighted tertile cut at milli-nat bin grain.
+    */
+  private[graft] def pplBucketLabels(docs: DataFrame): DataFrame = {
+    val ref = refSplit(docs)
+    val ho = holdoutSplit(docs)
+    val scored = LangModel.perplexity(ho, "doc_id", "text",
+        LangModel.bigramCounts(ref, "text"),
+        LangModel.vocabSize(ref, "text"), NllThreshold)
+      .join(ho.select(col("doc_id"),
+        length(col("text")).cast("long").as("chars")), Seq("doc_id"))
+    PplBuckets.assign(scored, "chars")
+      .select(col("doc_id"), col("nll"), col("bin"), col("chars"),
+        col("bucket"))
+  }
+
   private[graft] val TargetLang = "en"
   private[graft] val DsirK = 100
   /** Streaming admission gate on the per-bigram mean log importance
@@ -107,12 +143,14 @@ object LmQueries {
   private val toksLower =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"""
 
-  /** The full train+score replay; `admittedOnly` appends the gate
-    * filter for the streaming twin.
+  /** The shared LM train+score CTE chain (through `agg`): reused by
+    * the perplexity and bucketing oracles so the replay of the model
+    * itself is literally the same SQL. `hoChars` carries the holdout
+    * docs' char lengths for the bucket weighting.
     */
-  private[graft] def perplexityOracle(admittedOnly: Boolean): String = {
-    val gate = if (admittedOnly) "WHERE admit" else ""
-    s"""WITH tr AS (SELECT $toksLower AS w FROM documents
+  private def lmCtes(hoChars: Boolean): String = {
+    val chars = if (hoChars) ", length(text) AS chars" else ""
+    s"""tr AS (SELECT $toksLower AS w FROM documents
        |            WHERE doc_id % $Mod != 0),
        |bgt AS (SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
        |        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
@@ -120,7 +158,7 @@ object LmQueries {
        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
        |v AS (SELECT count(DISTINCT t)::BIGINT AS v
        |      FROM (SELECT unnest(w) AS t FROM tr)),
-       |ho AS (SELECT doc_id, $toksLower AS w FROM documents
+       |ho AS (SELECT doc_id, $toksLower AS w$chars FROM documents
        |       WHERE doc_id % $Mod = 0),
        |hb AS (SELECT doc_id, list_extract(w, i) AS w1,
        |              list_extract(w, i + 1) AS w2
@@ -138,7 +176,15 @@ object LmQueries {
        |  FROM hb LEFT JOIN c12 ON hb.w1 = c12.w1 AND hb.w2 = c12.w2
        |          LEFT JOIN c1 ON hb.w1 = c1.w1, v),
        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lq)::BIGINT AS sum_lq
-       |        FROM terms GROUP BY 1)
+       |        FROM terms GROUP BY 1)""".stripMargin
+  }
+
+  /** The full train+score replay; `admittedOnly` appends the gate
+    * filter for the streaming twin.
+    */
+  private[graft] def perplexityOracle(admittedOnly: Boolean): String = {
+    val gate = if (admittedOnly) "WHERE admit" else ""
+    s"""WITH ${lmCtes(hoChars = false)}
        |SELECT * FROM (
        |  SELECT ho.doc_id,
        |         coalesce(agg.n_bigrams, 0) AS n_bigrams,
@@ -151,6 +197,56 @@ object LmQueries {
        |                         / 1000000.0::DOUBLE, 6) END
        |            < ${NllThreshold}::DOUBLE, false) AS admit
        |  FROM ho LEFT JOIN agg USING (doc_id)) $gate""".stripMargin
+  }
+
+  /** CCNet bucketing replay: the shared LM score chain, the milli-nat
+    * bin quantization, the char-weighted bin histogram, exact-long
+    * tertile cutoffs (`cum · 3 ≥ total`), and the label. `shape` picks
+    * the per-doc table ("docs") or the thirds census ("census").
+    */
+  private[graft] def bucketsOracle(shape: String): String = {
+    val grain = PplBuckets.BinPerNat
+    val maxBin = PplBuckets.MaxBin
+    val tail = shape match {
+      case "docs" =>
+        "SELECT doc_id, nll, bin, chars, bucket FROM lab"
+      case "census" =>
+        s"""SELECT bucket, count(*) AS n_docs,
+           |       sum(chars)::BIGINT AS chars_total,
+           |       round(sum(chars)::DOUBLE / t.t, 6) AS share
+           |FROM lab, (SELECT sum(chars)::BIGINT AS t FROM lab
+           |           WHERE bucket IS NOT NULL) t
+           |WHERE bucket IS NOT NULL GROUP BY bucket, t.t""".stripMargin
+    }
+    s"""WITH ${lmCtes(hoChars = true)},
+       |b AS (
+       |  SELECT ho.doc_id, ho.chars,
+       |         CASE WHEN agg.n_bigrams > 0
+       |              THEN round(((-agg.sum_lq) / agg.n_bigrams)
+       |                         / 1000000.0::DOUBLE, 6) END AS nll,
+       |         CASE WHEN agg.n_bigrams > 0
+       |              THEN least(greatest(
+       |                     round(round(((-agg.sum_lq) / agg.n_bigrams)
+       |                                 / 1000000.0::DOUBLE, 6)
+       |                           * ${grain}::DOUBLE, 0),
+       |                     0.0::DOUBLE), ${maxBin}.0::DOUBLE)::INT
+       |         END AS bin
+       |  FROM ho LEFT JOIN agg USING (doc_id)),
+       |hist AS (SELECT bin, sum(chars)::BIGINT AS w FROM b
+       |         WHERE bin IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT sum(w)::BIGINT AS t FROM hist),
+       |cum AS (SELECT bin, sum(w) OVER (ORDER BY bin)::BIGINT AS cw
+       |        FROM hist),
+       |cut1 AS (SELECT min(bin) AS v FROM cum, tot WHERE cw * 3 >= t),
+       |cut2 AS (SELECT min(bin) AS v FROM cum, tot WHERE cw * 3 >= 2 * t),
+       |lab AS (
+       |  SELECT b.doc_id, b.nll, b.bin, b.chars,
+       |         CASE WHEN b.bin IS NULL THEN NULL
+       |              WHEN b.bin <= cut1.v THEN 'head'
+       |              WHEN b.bin <= cut2.v THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |  FROM b, cut1, cut2)
+       |$tail""".stripMargin
   }
 
   /** Full DSIR replay: both hashed-multinomial fits (bucket counts +
@@ -224,5 +320,7 @@ object LmQueries {
     "tx_lm_perplexity" -> perplexityOracle(admittedOnly = false),
     "tx_lm_persisted" -> perplexityOracle(admittedOnly = false),
     "sample_dsir_weights" -> dsirOracle("weights"),
-    "sample_dsir_topk" -> dsirOracle("topk"))
+    "sample_dsir_topk" -> dsirOracle("topk"),
+    "tx_ppl_buckets" -> bucketsOracle("docs"),
+    "tx_ppl_bucket_census" -> bucketsOracle("census"))
 }

@@ -189,6 +189,32 @@ object TextQueries {
         length(Text.piiRedact(aug)).as("redacted_len"),
         md5(Text.piiRedact(aug)).as("redacted_fp"))
     }),
+    // Unicode NFC normalization + control strip — the native
+    // Catalyst-expression cleanup pass (graft.functions.UnicodeNorm:
+    // codegen'd UnaryExpression, zero UDFs). The corpus is ASCII, so
+    // denormalized sequences (combining accents) and a control char
+    // are planted per doc_id; the oracle rebuilds the identical
+    // augmented text and replays the clean via DuckDB's own
+    // nfc_normalize — two independent UAX#15 implementations must
+    // agree byte-for-byte (compared as md5, so UTF-16 vs code-point
+    // length conventions never enter).
+    "tx_unicode_clean" -> ((s, dir) => {
+      graft.functions.UnicodeNorm.register(s)
+      val aug = unicodeAugmented
+      val cleaned = graft.functions.UnicodeNorm.nfc(
+        regexp_replace(aug, CtrlClass, ""))
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(cleaned).as("clean_fp"),
+        length(cleaned).as("clean_len"),
+        (cleaned =!= aug).as("changed"))
+    }),
+    // The Gopher/MassiveText rule battery (Rae et al. 2112.11446
+    // table A1): 7 heuristic rules as ONE codegen'd Project — bullet
+    // lines, ellipsis lines and symbol runs are planted per doc_id so
+    // every rule fires both ways on the synthetic corpus.
+    "tx_gopher_rules" -> ((s, dir) =>
+      Gopher.report(Tables.documents(s, dir)
+        .withColumn("gt", gopherAugmented), "doc_id", "gt")),
     // Encoding sanity triage. The synthetic corpus is clean ASCII, so
     // deterministic corruption is planted per doc_id (replacement
     // chars, C0 controls, CJK runs — the oracle rebuilds the identical
@@ -412,6 +438,42 @@ object TextQueries {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit("-1234"))).otherwise(lit("")))
 
+  /** Control chars to strip in `tx_unicode_clean` (C0 minus \t\n\r,
+    * plus DEL) — identical char-class syntax in Java regex and RE2.
+    */
+  private[graft] val CtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Deterministic denormalized-Unicode planting: combining acute
+    * (U+0301, composes with 'e' → é) on 1/3 of docs, combining ring
+    * (U+030A, composes with 'A' → Å) on 1/4, a BEL control on 1/5 —
+    * so the NFC pass and the control strip each fire somewhere and
+    * `changed` varies.
+    */
+  private[graft] def unicodeAugmented: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit(" A\u030Angstro\u0308m"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")))
+
+  /** Gopher-rule planting: dense bullet blocks on 1/7 of docs (10+
+    * bullet lines push short docs past the 90% line ratio), ellipsis
+    * lines on 1/11, symbol runs on 1/13, single-char word floods on
+    * 1/17 (drag short docs' mean word length under 3) — with the
+    * natural word-count and stop-word variance, every rule in the
+    * battery fires both ways somewhere on the corpus.
+    */
+  private[graft] def gopherAugmented: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0, lit(
+      (1 to 10).map(i => s"\n- bullet $i").mkString)).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      lit("\nto be continued...\nand then…")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      lit(" ### tags ## here #")).otherwise(lit("")),
+    when(col("doc_id") % 17 === 0,
+      lit(" a b c d e" * 8)).otherwise(lit("")))
+
   /** The quality-score expression as DuckDB SQL (mirrors
     * [[Text.qualityScore]] operation-for-operation) — shared with the
     * curation-pipeline oracle in [[graft.dedup.DedupQueries]].
@@ -548,6 +610,98 @@ object TextQueries {
          |       length(r)::INT AS redacted_len,
          |       md5(r) AS redacted_fp
          |FROM red""".stripMargin,
+    // Independent UAX#15 implementation (utf8proc) must agree with the
+    // JVM normalizer byte-for-byte — compared as md5 fingerprints
+    "tx_unicode_clean" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 3 = 0
+         |               THEN ' cafe' || chr(769) ELSE '' END
+         |       || CASE WHEN doc_id % 4 = 0
+         |               THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+         |               ELSE '' END
+         |       || CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS t
+         |  FROM documents),
+         |cl AS (SELECT doc_id, t,
+         |  nfc_normalize(regexp_replace(t, '$CtrlClass', '', 'g')) AS c
+         |  FROM aug)
+         |SELECT doc_id, md5(c) AS clean_fp, length(c)::INT AS clean_len,
+         |       c != t AS changed
+         |FROM cl""".stripMargin,
+    "tx_gopher_rules" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 7 = 0
+         |               THEN ${(1 to 10).map(i =>
+                s"chr(10) || '- bullet $i'").mkString(" || ")}
+         |               ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0
+         |               THEN chr(10) || 'to be continued...' || chr(10) ||
+         |                    'and then…' ELSE '' END
+         |       || CASE WHEN doc_id % 13 = 0
+         |               THEN ' ### tags ## here #' ELSE '' END
+         |       || CASE WHEN doc_id % 17 = 0
+         |               THEN repeat(' a b c d e', 8) ELSE '' END AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id, t,
+         |  list_filter(regexp_split_to_array(trim(t), '\\s+'),
+         |              x -> x != '') AS toks,
+         |  list_filter(regexp_split_to_array(trim(lower(t)), '\\s+'),
+         |              x -> x != '') AS ltoks,
+         |  string_split(t, chr(10)) AS lines FROM aug),
+         |c AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS words,
+         |  coalesce(list_sum(list_transform(toks, x -> length(x))),
+         |           0)::BIGINT AS chars,
+         |  (length(t) - length(regexp_replace(t, '#', '', 'g'))
+         |   + length(t) - length(regexp_replace(t, '…', '', 'g'))
+         |   + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g')))
+         |     // 3)::BIGINT AS symbols,
+         |  len(lines)::BIGINT AS n_lines,
+         |  len(list_filter(lines, l -> list_contains(['•', '-', '*'],
+         |      substring(ltrim(l), 1, 1))))::BIGINT AS bullet_lines,
+         |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+         |      OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines,
+         |  len(list_filter(toks,
+         |      x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
+         |  len(list_filter(${sqlList(Gopher.StopWords)},
+         |      w -> list_contains(ltoks, w)))::BIGINT AS stop_hits
+         |  FROM m),
+         |r AS (SELECT doc_id, words,
+         |  CASE WHEN words > 0
+         |       THEN round(chars::DOUBLE / words, 6) END AS mean_word_len,
+         |  CASE WHEN words > 0
+         |       THEN round(symbols::DOUBLE / words, 6) END AS symbol_ratio,
+         |  round(bullet_lines::DOUBLE / n_lines, 6) AS bullet_ratio,
+         |  round(ellipsis_lines::DOUBLE / n_lines, 6) AS ellipsis_ratio,
+         |  CASE WHEN words > 0
+         |       THEN round(alpha_words::DOUBLE / words, 6) END AS alpha_ratio,
+         |  stop_hits FROM c)
+         |SELECT doc_id, words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, stop_hits,
+         |  (words >= ${Gopher.MinWords}
+         |   AND words <= ${Gopher.MaxWords}) AS pass_words,
+         |  coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
+         |   AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE,
+         |   false) AS pass_mean_len,
+         |  coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
+         |   true) AS pass_symbols,
+         |  bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
+         |    AS pass_bullets,
+         |  ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
+         |    AS pass_ellipsis,
+         |  coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
+         |   false) AS pass_alpha,
+         |  stop_hits >= ${Gopher.MinStopHits} AS pass_stop,
+         |  ((words >= ${Gopher.MinWords} AND words <= ${Gopher.MaxWords})
+         |   AND coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
+         |       AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE, false)
+         |   AND coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
+         |       true)
+         |   AND bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
+         |   AND ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
+         |   AND coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
+         |       false)
+         |   AND stop_hits >= ${Gopher.MinStopHits}) AS keep
+         |FROM r""".stripMargin,
     "tx_encoding_qa" ->
       """WITH aug AS (
         |  SELECT lang,
