@@ -843,9 +843,13 @@ object StreamingJob {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.text.Bm25.moreLikeThisFromIndex(s, batch, id, text,
+        // the probe consumes the micro-batch 3× (term-set collect,
+        // qTerms broadcast, the scored tree) — pin it per trigger
+        val b = batch.persist()
+        try graft.text.Bm25.moreLikeThisFromIndex(s, b, id, text,
             s"$dir/ix", k, stats = Some(stats))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+        finally batch.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start())
@@ -900,15 +904,23 @@ object StreamingJob {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val lex = graft.text.Bm25.moreLikeThisFromIndex(s, batch, id,
-            text, s"$dir/ix", k, stats = Some(stats))
-          .select(col("qid"), col("doc_id").as("doc"), col("rank"))
-        val v = graft.similarity.Ann.bruteForceTopK(
-            batch.select(col(id).as("vec_id"), col(vec)), corpusEmb,
-            "vec_id", vec, k)
-          .select(col("qid"), col("vid").as("doc"), col("rank"))
-        graft.text.Retrieval.rrfFuse(lex, v, k)
-          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+        // both legs consume the micro-batch 3+ times (two qTerms
+        // consumers in the lexical probe, the vector leg's query
+        // side); pinning the batch once trades one tiny-cache fill
+        // for repeated source re-scans — micro-batch-sized memory,
+        // released before the trigger ends
+        val b = batch.persist()
+        try {
+          val lex = graft.text.Bm25.moreLikeThisFromIndex(s, b, id,
+              text, s"$dir/ix", k, stats = Some(stats))
+            .select(col("qid"), col("doc_id").as("doc"), col("rank"))
+          val v = graft.similarity.Ann.bruteForceTopK(
+              b.select(col(id).as("vec_id"), col(vec)), corpusEmb,
+              "vec_id", vec, k)
+            .select(col("qid"), col("vid").as("doc"), col("rank"))
+          graft.text.Retrieval.rrfFuse(lex, v, k)
+            .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+        } finally batch.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start())
@@ -992,6 +1004,52 @@ object StreamingJob {
           .perplexity(batch, id, text, bigrams, v, threshold,
             contextTotals = Some(c1))
           .filter(col("admit"))
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
+  /** Streaming language-ID — classify at arrival rate: every
+    * per-language LM is fitted once on the static labeled corpus and
+    * FROZEN (counts + derived context totals pinned in cache, vocab
+    * sizes constants — the [[streamPerplexityGate]] discipline ×k),
+    * and each arriving doc is labeled per micro-batch by the
+    * exact-long likelihood argmax. Stateless stream–static; per-doc
+    * independence makes the drained labeled set equal the batch
+    * [[graft.text.LangClassifier.classify]], which is what the
+    * shared oracle replays.
+    */
+  def streamLangidClassify(staticDocs: DataFrame, arriving: DataFrame,
+                           id: String, text: String, langCol: String,
+                           langs: Seq[String], workDir: String,
+                           nFiles: Int = 4): DataFrame = {
+    val s = staticDocs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val models = graft.text.LangClassifier
+      .fit(staticDocs, text, langCol, langs).map { m =>
+        val bg = m.bigrams.cache()
+        val c1 = m.c1.cache()
+        c1.count()
+        m.copy(bigrams = bg, c1 = c1)
+      }
+    arriving.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.LangClassifier.classify(batch, id, text, models)
+          .join(batch.select(col(id).as("doc_id"),
+            col(langCol).as("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            col("pred").as("pred_lang"),
+            when(col("pred").isNotNull, col("pred") === col("lang"))
+              .as("correct"))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())

@@ -446,6 +446,16 @@ object StreamingQueries {
     // Streaming DSIR admission: both LMs frozen, arriving docs gated
     // on their per-bigram log importance ratio — drained set equals
     // the batch weights + gate (shared oracle derivation)
+    // Streaming language-ID: k frozen per-language LMs, arrivals
+    // labeled by exact-long argmax per micro-batch — drained set
+    // equals the batch classify (shared oracle)
+    "s29_stream_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      StreamingJob.streamLangidClassify(
+        graft.text.LmQueries.refSplit(docs),
+        graft.text.LmQueries.holdoutSplit(docs), "doc_id", "text",
+        "lang", graft.text.LmQueries.IdLangs, "/tmp/graft_s29")
+    }),
     // Streaming CCNet bucketing: LM + tertile cutoffs frozen from the
     // one-time calibration, arrivals scored + labeled map-only — the
     // drained labeled set equals the batch assign (shared oracle)
@@ -602,6 +612,9 @@ object StreamingQueries {
     // bucket replay is the drained set verbatim
     "s28_stream_ppl_buckets" ->
       graft.text.LmQueries.bucketsOracle("docs"),
+    // k frozen LMs, exact-long argmax per doc — per-doc independence
+    "s29_stream_langid" ->
+      graft.text.LmQueries.langidOracle("docs"),
     // corpus-mined boiler set applied to the streamed-in split
     "s25_stream_boiler_strip" ->
       graft.text.HybridQueries.stripOracleFor(3, 3,

@@ -249,7 +249,13 @@ object Bm25 {
       .groupBy(col("qid"), col("doc_id"))
       .agg(round(sum(col("c")), 6).as("score"),
         count(lit(1)).as("n_shared"))
-    graft.operators.TopK.topKPerKey(scored, keys = Seq("qid"),
+    // the native plan-node cut: identical semantics to
+    // operators.TopK (differentially pinned there), but rows stay
+    // UnsafeRow end-to-end and the partial heap's qid distribution is
+    // satisfied by the aggregate's own exchange — one fewer
+    // encode/decode boundary per probe, which at streaming cadence is
+    // per-trigger floor
+    graft.plans.TopKPlan.topKPerKey(scored, keys = Seq("qid"),
       orderCols = Seq("score" -> false, "doc_id" -> true), k = k)
   }
 

@@ -85,6 +85,24 @@ object LmQueries {
           col("w_q"), col("key"))
     }),
 
+    // Naive-Bayes language ID: one bigram LM per language, holdout
+    // docs labeled by exact-long likelihood argmax (ties → smallest
+    // language name) — bit-replayable classification. NOTE the
+    // synthetic corpus draws every lang's text from ONE shared token
+    // distribution, so holdout accuracy ≈ chance (0.20 at sf0.01) is
+    // the CORRECT output here — the oracle pins the computation, and
+    // LangClassifierSpec pins the discrimination story on fixtures
+    // that carry real per-language signal
+    "tx_langid_nb" -> ((s, dir) =>
+      langidLabels(Tables.documents(s, dir))),
+
+    // The quality view a curation run reads: confusion census of
+    // true lang × predicted lang over the holdout
+    "tx_langid_confusion" -> ((s, dir) =>
+      langidLabels(Tables.documents(s, dir))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
+
     // CCNet head/middle/tail: score the holdout under the reference
     // LM, cut at the char-weighted tertiles of the milli-nat bin
     // histogram (≤30k driver scalars), label map-only
@@ -115,6 +133,23 @@ object LmQueries {
     val sc = Dsir.featureCounts(docs, "doc_id", "text")
     Dsir.weights(docs, "doc_id", "text",
       tc, Dsir.featureTotal(tc), sc, Dsir.featureTotal(sc))
+  }
+
+  /** The testdata's language set — pins the registered queries' class
+    * list (the operator API takes any set).
+    */
+  private[graft] val IdLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Shared language-ID pipeline: per-language LMs on the 80% split,
+    * holdout classified by exact-long argmax, true label joined back.
+    */
+  private[graft] def langidLabels(docs: DataFrame): DataFrame = {
+    val models = LangClassifier.fit(refSplit(docs), "text", "lang", IdLangs)
+    LangClassifier.classify(holdoutSplit(docs), "doc_id", "text", models)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred").as("pred_lang"),
+        when(col("pred").isNotNull, col("pred") === col("lang"))
+          .as("correct"))
   }
 
   /** Shared bucketing pipeline: reference LM on the 80% split, score
@@ -197,6 +232,82 @@ object LmQueries {
        |                         / 1000000.0::DOUBLE, 6) END
        |            < ${NllThreshold}::DOUBLE, false) AS admit
        |  FROM ho LEFT JOIN agg USING (doc_id)) $gate""".stripMargin
+  }
+
+  /** Language-ID replay: one LM fit chain per language (counts,
+    * derived context totals, vocab size), every holdout bigram scored
+    * under ALL models off one stream, per-doc exact-long sums, and
+    * the argmax CASE in sorted-language order (ties → smallest name,
+    * matching the classifier's first-match fold). `shape` picks the
+    * per-doc table ("docs") or the confusion census ("confusion").
+    */
+  private[graft] def langidOracle(shape: String): String = {
+    val ls = IdLangs.sorted
+    val fits = ls.map { l =>
+      s"""tr_$l AS (SELECT $toksLower AS w FROM documents
+         |          WHERE doc_id % $Mod != 0 AND lang = '$l'),
+         |bg_$l AS (SELECT list_extract(w, i) AS w1,
+         |                 list_extract(w, i + 1) AS w2
+         |          FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |                FROM tr_$l)),
+         |c12_$l AS (SELECT w1, w2, count(*) AS c FROM bg_$l GROUP BY 1, 2),
+         |c1_$l AS (SELECT w1, sum(c)::BIGINT AS c1 FROM c12_$l GROUP BY 1),
+         |v_$l AS (SELECT count(DISTINCT t)::BIGINT AS v
+         |         FROM (SELECT unnest(w) AS t FROM tr_$l))""".stripMargin
+    }.mkString(",\n")
+    val arms = ls.map { l =>
+      s"""CASE WHEN c12_$l.c IS NOT NULL
+         |     THEN round(ln((c12_$l.c + 1.0::DOUBLE) / (c1_$l.c1 + v_$l.v))
+         |                * 1000000.0::DOUBLE, 0)::BIGINT
+         |     WHEN c1_$l.c1 IS NOT NULL
+         |     THEN round(ln(1.0::DOUBLE / (c1_$l.c1 + v_$l.v))
+         |                * 1000000.0::DOUBLE, 0)::BIGINT
+         |     ELSE round(ln(1.0::DOUBLE / v_$l.v)
+         |                * 1000000.0::DOUBLE, 0)::BIGINT END AS lq_$l"""
+        .stripMargin
+    }.mkString(",\n")
+    val joins = ls.map(l =>
+      s"""LEFT JOIN c12_$l ON hb.w1 = c12_$l.w1 AND hb.w2 = c12_$l.w2
+         |  LEFT JOIN c1_$l ON hb.w1 = c1_$l.w1""".stripMargin)
+      .mkString("\n  ")
+    val vTables = ls.map(l => s"v_$l").mkString(", ")
+    val sums = ls.map(l =>
+      s"coalesce(sum(lq_$l)::BIGINT, 0) AS s_$l").mkString(", ")
+    val zeroSums = ls.map(l => s"coalesce(agg.s_$l, 0) AS s_$l")
+      .mkString(", ")
+    val great = s"greatest(${ls.map(l => s"s_$l").mkString(", ")})"
+    val predCase = "CASE " + ls.map(l =>
+      s"WHEN s_$l = $great THEN '$l'").mkString(" ") + " END"
+    val tail = shape match {
+      case "docs" =>
+        "SELECT doc_id, lang, pred_lang, correct FROM lab"
+      case "confusion" =>
+        "SELECT lang, pred_lang, count(*) AS n FROM lab GROUP BY 1, 2"
+    }
+    s"""WITH $fits,
+       |ho AS (SELECT doc_id, $toksLower AS w FROM documents
+       |       WHERE doc_id % $Mod = 0),
+       |hb AS (SELECT doc_id, list_extract(w, i) AS w1,
+       |              list_extract(w, i + 1) AS w2
+       |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |             FROM ho)),
+       |terms AS (
+       |  SELECT hb.doc_id,
+       |$arms
+       |  FROM hb
+       |  $joins, $vTables),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, $sums
+       |        FROM terms GROUP BY 1),
+       |w AS (SELECT ho.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       |             $zeroSums
+       |      FROM ho LEFT JOIN agg USING (doc_id)),
+       |lab AS (
+       |  SELECT w.doc_id, d.lang,
+       |         CASE WHEN w.n_bigrams > 0 THEN $predCase END AS pred_lang,
+       |         CASE WHEN w.n_bigrams > 0
+       |              THEN ($predCase) = d.lang END AS correct
+       |  FROM w JOIN documents d ON w.doc_id = d.doc_id)
+       |$tail""".stripMargin
   }
 
   /** CCNet bucketing replay: the shared LM score chain, the milli-nat
@@ -322,5 +433,7 @@ object LmQueries {
     "sample_dsir_weights" -> dsirOracle("weights"),
     "sample_dsir_topk" -> dsirOracle("topk"),
     "tx_ppl_buckets" -> bucketsOracle("docs"),
-    "tx_ppl_bucket_census" -> bucketsOracle("census"))
+    "tx_ppl_bucket_census" -> bucketsOracle("census"),
+    "tx_langid_nb" -> langidOracle("docs"),
+    "tx_langid_confusion" -> langidOracle("confusion"))
 }

@@ -333,4 +333,33 @@ class PlanShapeSpec extends SparkSpec {
           s"exchange:\n$txt")
     }
   }
+
+  private def finalPlanText(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.collect() // let AQE materialize the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("DSIR resample cuts with TakeOrdered; the fits broadcast") {
+    val txt = finalPlanText("sample_dsir_topk")
+    // the weighted draw must be a bounded-heap cut, never a global sort
+    assert(txt.contains("TakeOrderedAndProject"), txt)
+    assert(!txt.contains("rangepartitioning"), txt)
+    // both ≤4096-row model fits join the single pool pass as broadcasts
+    assert(txt.contains("BroadcastHashJoin"), txt)
+  }
+
+  test("perplexity bucketing adds no window and no global sort") {
+    val txt = finalPlanText("tx_ppl_buckets")
+    // cutoffs are a bounded driver scan; the plan must carry neither a
+    // window (the naive per-doc ntile) nor a range exchange (a sort)
+    assert(!txt.contains("Window"), txt)
+    assert(!txt.contains("rangepartitioning"), txt)
+  }
+
+  test("language-ID scores k models off one pass with broadcast joins") {
+    val txt = finalPlanText("tx_langid_nb")
+    assert(txt.contains("BroadcastHashJoin"), txt)
+    assert(!txt.contains("SortMergeJoin"), txt)
+  }
 }
