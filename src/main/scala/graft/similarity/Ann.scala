@@ -555,11 +555,18 @@ object Ann {
     * (round-6 sims, id tiebreaks), so the oracle replays the entire
     * mine. An anchor whose whole candidate list shares its label
     * emits no rows (no negatives exist at this k — callers widen k,
-    * not the semantics).
+    * not the semantics). The label joins are INNER on purpose: a
+    * candidate (or anchor) with no row in `labels` is dropped — an
+    * unlabeled doc can be confirmed neither positive nor negative,
+    * and silently treating it as a negative would poison the
+    * training pairs with false negatives.
     */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, id: String,
                     vec: String, labels: DataFrame, labelCol: String,
                     k: Int, nNeg: Int): DataFrame = {
+    require(k >= 1 && nNeg >= 1,
+      s"hardNegatives needs positive pool/keep sizes, got k = $k, " +
+        s"nNeg = $nNeg")
     val cand = bruteForceTopK(anchors, corpus, id, vec, k)
     val ql = labels.select(col(id).as("qid"), col(labelCol).as("q_label"))
     val cl = labels.select(col(id).as("vid"), col(labelCol).as("neg_label"))

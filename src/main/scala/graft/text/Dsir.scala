@@ -138,9 +138,11 @@ object Dsir {
     * The plan is TakeOrdered — no global sort, no single-partition
     * window.
     */
-  def resample(weighted: DataFrame, idCol: String, k: Int): DataFrame =
+  def resample(weighted: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"resample needs a positive draw size, got k = $k")
     weighted
       .withColumn("key", gumbelKey(idCol))
       .orderBy(col("key").desc, col(idCol))
       .limit(k)
+  }
 }

@@ -39,14 +39,18 @@ object LangClassifier {
     * would silently win every argmax through its 1/V arm.
     */
   def fit(train: DataFrame, textCol: String, langCol: String,
-          langs: Seq[String]): Seq[LangLm] = langs.sorted.map { l =>
-    val slice = train.filter(col(langCol) === l)
-    val bg = LangModel.bigramCounts(slice, textCol)
-    val v = LangModel.vocabSize(slice, textCol)
-    require(v > 0, s"language '$l' has an empty training vocabulary — " +
-      "every argmax would tie at its uniform arm; drop it from `langs` " +
-      "or train on a larger corpus")
-    LangLm(l, bg, LangModel.derivedContextTotals(bg), v)
+          langs: Seq[String]): Seq[LangLm] = {
+    require(langs.nonEmpty && langs.distinct.size == langs.size,
+      s"fit needs a non-empty, duplicate-free language list, got $langs")
+    langs.sorted.map { l =>
+      val slice = train.filter(col(langCol) === l)
+      val bg = LangModel.bigramCounts(slice, textCol)
+      val v = LangModel.vocabSize(slice, textCol)
+      require(v > 0, s"language '$l' has an empty training vocabulary — " +
+        "every argmax would tie at its uniform arm; drop it from `langs` " +
+        "or train on a larger corpus")
+      LangLm(l, bg, LangModel.derivedContextTotals(bg), v)
+    }
   }
 
   /** Per-doc likelihood scores under every model (`sum_lq_<lang>`

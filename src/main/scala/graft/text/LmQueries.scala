@@ -103,6 +103,34 @@ object LmQueries {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))),
 
+    // The selection pipeline closed end to end: Gopher structural
+    // gate (multilingual config — the English-only stop-word rule
+    // applies to en docs alone, relaxed to ≥1 hit because the
+    // synthetic vocabulary carries only 'the'; the corpus-calibrated
+    // choice, like NllThreshold) → DSIR fits on the SURVIVORS
+    // (target = the en slice) → deterministic Gumbel-top-k draw.
+    // Gate, fits, weights, and the draw all replay in one oracle.
+    "pipeline_selection_v1" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val surv = Gopher.report(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang"), col("text")),
+          Seq("doc_id"))
+        .filter(col("pass_words") && col("pass_mean_len") &&
+          col("pass_symbols") && col("pass_bullets") &&
+          col("pass_ellipsis") && col("pass_alpha") &&
+          (col("lang") =!= TargetLang || col("stop_hits") >= 1))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tgt = surv.filter(col("lang") === TargetLang)
+      val tc = Dsir.featureCounts(tgt, "doc_id", "text")
+      val pc = Dsir.featureCounts(surv, "doc_id", "text")
+      Dsir.resample(Dsir.weights(surv, "doc_id", "text",
+          tc, Dsir.featureTotal(tc), pc, Dsir.featureTotal(pc)),
+          "doc_id", SelectK)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("w_q"), col("key"))
+    }),
+
     // CCNet head/middle/tail: score the holdout under the reference
     // LM, cut at the char-weighted tertiles of the milli-nat bin
     // histogram (≤30k driver scalars), label map-only
@@ -170,6 +198,8 @@ object LmQueries {
 
   private[graft] val TargetLang = "en"
   private[graft] val DsirK = 100
+  /** pipeline_selection_v1 draw size. */
+  private[graft] val SelectK = 50
   /** Streaming admission gate on the per-bigram mean log importance
     * ratio (nats). 0 = "more target-like than the pool average".
     */
@@ -310,6 +340,25 @@ object LmQueries {
        |$tail""".stripMargin
   }
 
+  /** Full selection-pipeline replay: the Gopher rule chain over raw
+    * text ([[TextQueries.gopherRulesCtes]] — shared verbatim with the
+    * rule-battery oracle), the multilingual gate, both DSIR fits over
+    * the survivor set, the exact-long weights, and the Gumbel-top-k
+    * draw.
+    */
+  private[graft] def selectionOracle: String =
+    s"""WITH raw AS (SELECT doc_id, text AS t FROM documents),
+       |${TextQueries.gopherRulesCtes("raw")},
+       |surv AS (SELECT d.doc_id, d.lang, d.text FROM grules g
+       |         JOIN documents d ON g.doc_id = d.doc_id
+       |         WHERE g.pass_words AND g.pass_mean_len AND g.pass_symbols
+       |           AND g.pass_bullets AND g.pass_ellipsis AND g.pass_alpha
+       |           AND (d.lang != '$TargetLang' OR g.stop_hits >= 1)),
+       |${dsirCtes("surv", s"lang = '$TargetLang'")}
+       |SELECT w.doc_id, d.lang, w.n_bigrams, w.w_q, $gumbelKeySql AS key
+       |FROM w JOIN documents d ON w.doc_id = d.doc_id
+       |ORDER BY key DESC, w.doc_id LIMIT $SelectK""".stripMargin
+
   /** CCNet bucketing replay: the shared LM score chain, the milli-nat
     * bin quantization, the char-weighted bin histogram, exact-long
     * tertile cutoffs (`cum · 3 ≥ total`), and the label. `shape` picks
@@ -367,11 +416,6 @@ object LmQueries {
     * hash-derived Gumbel key and the top-k cut.
     */
   private[graft] def dsirOracle(shape: String): String = {
-    val B = Dsir.Buckets
-    def lqUnder(cTbl: String, tTbl: String) =
-      s"""round(ln((coalesce($cTbl.c, 0) + 0.01::DOUBLE)
-         |         / ($tTbl.t + 0.01::DOUBLE * $B))
-         |      * 1000000.0::DOUBLE, 0)::BIGINT""".stripMargin
     val tail = shape match {
       case "weights" =>
         "SELECT doc_id, n_bigrams, w_q, logratio FROM w"
@@ -379,34 +423,53 @@ object LmQueries {
         s"SELECT doc_id, n_bigrams, w_q, logratio FROM w " +
           s"WHERE logratio > ${DsirGate}::DOUBLE"
       case "topk" =>
-        s"""SELECT w.doc_id, d.lang, w.n_bigrams, w.w_q,
-           |       round(w.w_q / 1000000.0::DOUBLE +
-           |             -ln(-ln((('0x' || substring(md5(w.doc_id::VARCHAR), 1, 8))
-           |                      ::UBIGINT % ${Dsir.HashGrain} + 0.5::DOUBLE)
-           |                     / ${Dsir.HashGrain})), 6) AS key
+        s"""SELECT w.doc_id, d.lang, w.n_bigrams, w.w_q, $gumbelKeySql AS key
            |FROM w JOIN documents d ON w.doc_id = d.doc_id
            |ORDER BY key DESC, w.doc_id LIMIT $DsirK""".stripMargin
     }
-    s"""WITH tb AS (
+    s"""WITH ${dsirCtes("documents", s"lang = '$TargetLang'")}
+       |$tail""".stripMargin
+  }
+
+  /** The hash-derived Gumbel perturbed key over the `w` CTE. */
+  private def gumbelKeySql: String =
+    s"""round(w.w_q / 1000000.0::DOUBLE +
+       |             -ln(-ln((('0x' || substring(md5(w.doc_id::VARCHAR), 1, 8))
+       |                      ::UBIGINT % ${Dsir.HashGrain} + 0.5::DOUBLE)
+       |                     / ${Dsir.HashGrain})), 6)""".stripMargin
+
+  /** The DSIR CTE chain (both fits + per-doc weights, ending in `w`)
+    * over a source relation `src` supplying `(doc_id, lang, text)`;
+    * `tgtPred` selects the target-domain slice of `src`. Shared by
+    * the standalone DSIR oracles (src = documents) and gated
+    * compositions (src = a survivors CTE).
+    */
+  private[graft] def dsirCtes(src: String, tgtPred: String): String = {
+    val B = Dsir.Buckets
+    def lqUnder(cTbl: String, tTbl: String) =
+      s"""round(ln((coalesce($cTbl.c, 0) + 0.01::DOUBLE)
+         |         / ($tTbl.t + 0.01::DOUBLE * $B))
+         |      * 1000000.0::DOUBLE, 0)::BIGINT""".stripMargin
+    s"""tb AS (
        |  SELECT ('0x' || substring(md5(list_extract(w, i) || ' ' ||
        |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
        |  FROM (SELECT w, unnest(range(1, len(w))) AS i
-       |        FROM (SELECT $toksLower AS w FROM documents
-       |              WHERE lang = '$TargetLang'))),
+       |        FROM (SELECT $toksLower AS w FROM $src
+       |              WHERE $tgtPred))),
        |tc AS (SELECT bucket, count(*) AS c FROM tb GROUP BY 1),
        |tt AS (SELECT count(*) AS t FROM tb),
        |sb AS (
        |  SELECT ('0x' || substring(md5(list_extract(w, i) || ' ' ||
        |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
        |  FROM (SELECT w, unnest(range(1, len(w))) AS i
-       |        FROM (SELECT $toksLower AS w FROM documents))),
+       |        FROM (SELECT $toksLower AS w FROM $src))),
        |sc AS (SELECT bucket, count(*) AS c FROM sb GROUP BY 1),
        |st AS (SELECT count(*) AS t FROM sb),
        |pb AS (
        |  SELECT doc_id, ('0x' || substring(md5(list_extract(w, i) || ' ' ||
        |            list_extract(w, i + 1)), 1, 8))::UBIGINT % $B AS bucket
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-       |        FROM (SELECT doc_id, $toksLower AS w FROM documents))),
+       |        FROM (SELECT doc_id, $toksLower AS w FROM $src))),
        |terms AS (
        |  SELECT pb.doc_id, ${lqUnder("tc", "tt")} AS lq_t,
        |         ${lqUnder("sc", "st")} AS lq_s
@@ -422,9 +485,8 @@ object LmQueries {
        |                  THEN round(((coalesce(agg.st, 0) - coalesce(agg.ss, 0))
        |                              / agg.n_bigrams) / 1000000.0::DOUBLE, 6)
        |             END AS logratio
-       |      FROM (SELECT doc_id FROM documents) p
-       |      LEFT JOIN agg USING (doc_id))
-       |$tail""".stripMargin
+       |      FROM (SELECT doc_id FROM $src) p
+       |      LEFT JOIN agg USING (doc_id))""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -435,5 +497,6 @@ object LmQueries {
     "tx_ppl_buckets" -> bucketsOracle("docs"),
     "tx_ppl_bucket_census" -> bucketsOracle("census"),
     "tx_langid_nb" -> langidOracle("docs"),
-    "tx_langid_confusion" -> langidOracle("confusion"))
+    "tx_langid_confusion" -> langidOracle("confusion"),
+    "pipeline_selection_v1" -> selectionOracle)
 }

@@ -474,6 +474,75 @@ object TextQueries {
     when(col("doc_id") % 17 === 0,
       lit(" a b c d e" * 8)).otherwise(lit("")))
 
+  /** Gopher-rule CTE chain, replaying [[Gopher.report]] stat-for-stat
+    * over a preceding CTE `src` that supplies `(doc_id, t)`. Ends in
+    * `grules` (all stats + flags + keep) so both the rule-battery
+    * oracle and gated compositions (pipeline_selection_v1) share the
+    * identical replay.
+    */
+  private[graft] def gopherRulesCtes(src: String): String =
+    s"""gm AS (SELECT doc_id, t,
+       |  list_filter(regexp_split_to_array(trim(t), '\\s+'),
+       |              x -> x != '') AS toks,
+       |  list_filter(regexp_split_to_array(trim(lower(t)), '\\s+'),
+       |              x -> x != '') AS ltoks,
+       |  string_split(t, chr(10)) AS lines FROM $src),
+       |gc AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS words,
+       |  coalesce(list_sum(list_transform(toks, x -> length(x))),
+       |           0)::BIGINT AS chars,
+       |  (length(t) - length(regexp_replace(t, '#', '', 'g'))
+       |   + length(t) - length(regexp_replace(t, '…', '', 'g'))
+       |   + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g')))
+       |     // 3)::BIGINT AS symbols,
+       |  len(lines)::BIGINT AS n_lines,
+       |  len(list_filter(lines, l -> list_contains(['•', '-', '*'],
+       |      substring(ltrim(l), 1, 1))))::BIGINT AS bullet_lines,
+       |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines,
+       |  len(list_filter(toks,
+       |      x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
+       |  len(list_filter(${sqlList(Gopher.StopWords)},
+       |      w -> list_contains(ltoks, w)))::BIGINT AS stop_hits
+       |  FROM gm),
+       |gr AS (SELECT doc_id, words,
+       |  CASE WHEN words > 0
+       |       THEN round(chars::DOUBLE / words, 6) END AS mean_word_len,
+       |  CASE WHEN words > 0
+       |       THEN round(symbols::DOUBLE / words, 6) END AS symbol_ratio,
+       |  round(bullet_lines::DOUBLE / n_lines, 6) AS bullet_ratio,
+       |  round(ellipsis_lines::DOUBLE / n_lines, 6) AS ellipsis_ratio,
+       |  CASE WHEN words > 0
+       |       THEN round(alpha_words::DOUBLE / words, 6) END AS alpha_ratio,
+       |  stop_hits FROM gc),
+       |grules AS (SELECT doc_id, words, mean_word_len, symbol_ratio,
+       |  bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
+       |  (words >= ${Gopher.MinWords}
+       |   AND words <= ${Gopher.MaxWords}) AS pass_words,
+       |  coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
+       |   AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE,
+       |   false) AS pass_mean_len,
+       |  coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
+       |   true) AS pass_symbols,
+       |  bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
+       |    AS pass_bullets,
+       |  ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
+       |    AS pass_ellipsis,
+       |  coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
+       |   false) AS pass_alpha,
+       |  stop_hits >= ${Gopher.MinStopHits} AS pass_stop,
+       |  ((words >= ${Gopher.MinWords} AND words <= ${Gopher.MaxWords})
+       |   AND coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
+       |       AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE, false)
+       |   AND coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
+       |       true)
+       |   AND bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
+       |   AND ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
+       |   AND coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
+       |       false)
+       |   AND stop_hits >= ${Gopher.MinStopHits}) AS keep
+       |  FROM gr)""".stripMargin
+
   /** The quality-score expression as DuckDB SQL (mirrors
     * [[Text.qualityScore]] operation-for-operation) — shared with the
     * curation-pipeline oracle in [[graft.dedup.DedupQueries]].
@@ -641,67 +710,12 @@ object TextQueries {
          |       || CASE WHEN doc_id % 17 = 0
          |               THEN repeat(' a b c d e', 8) ELSE '' END AS t
          |  FROM documents),
-         |m AS (SELECT doc_id, t,
-         |  list_filter(regexp_split_to_array(trim(t), '\\s+'),
-         |              x -> x != '') AS toks,
-         |  list_filter(regexp_split_to_array(trim(lower(t)), '\\s+'),
-         |              x -> x != '') AS ltoks,
-         |  string_split(t, chr(10)) AS lines FROM aug),
-         |c AS (SELECT doc_id,
-         |  len(toks)::BIGINT AS words,
-         |  coalesce(list_sum(list_transform(toks, x -> length(x))),
-         |           0)::BIGINT AS chars,
-         |  (length(t) - length(regexp_replace(t, '#', '', 'g'))
-         |   + length(t) - length(regexp_replace(t, '…', '', 'g'))
-         |   + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g')))
-         |     // 3)::BIGINT AS symbols,
-         |  len(lines)::BIGINT AS n_lines,
-         |  len(list_filter(lines, l -> list_contains(['•', '-', '*'],
-         |      substring(ltrim(l), 1, 1))))::BIGINT AS bullet_lines,
-         |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
-         |      OR ends_with(rtrim(l), '…')))::BIGINT AS ellipsis_lines,
-         |  len(list_filter(toks,
-         |      x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
-         |  len(list_filter(${sqlList(Gopher.StopWords)},
-         |      w -> list_contains(ltoks, w)))::BIGINT AS stop_hits
-         |  FROM m),
-         |r AS (SELECT doc_id, words,
-         |  CASE WHEN words > 0
-         |       THEN round(chars::DOUBLE / words, 6) END AS mean_word_len,
-         |  CASE WHEN words > 0
-         |       THEN round(symbols::DOUBLE / words, 6) END AS symbol_ratio,
-         |  round(bullet_lines::DOUBLE / n_lines, 6) AS bullet_ratio,
-         |  round(ellipsis_lines::DOUBLE / n_lines, 6) AS ellipsis_ratio,
-         |  CASE WHEN words > 0
-         |       THEN round(alpha_words::DOUBLE / words, 6) END AS alpha_ratio,
-         |  stop_hits FROM c)
+         |${gopherRulesCtes("aug")}
          |SELECT doc_id, words, mean_word_len, symbol_ratio, bullet_ratio,
-         |  ellipsis_ratio, alpha_ratio, stop_hits,
-         |  (words >= ${Gopher.MinWords}
-         |   AND words <= ${Gopher.MaxWords}) AS pass_words,
-         |  coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
-         |   AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE,
-         |   false) AS pass_mean_len,
-         |  coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
-         |   true) AS pass_symbols,
-         |  bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
-         |    AS pass_bullets,
-         |  ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
-         |    AS pass_ellipsis,
-         |  coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
-         |   false) AS pass_alpha,
-         |  stop_hits >= ${Gopher.MinStopHits} AS pass_stop,
-         |  ((words >= ${Gopher.MinWords} AND words <= ${Gopher.MaxWords})
-         |   AND coalesce(mean_word_len >= ${Gopher.MinMeanWordLen}::DOUBLE
-         |       AND mean_word_len <= ${Gopher.MaxMeanWordLen}::DOUBLE, false)
-         |   AND coalesce(symbol_ratio <= ${Gopher.MaxSymbolRatio}::DOUBLE,
-         |       true)
-         |   AND bullet_ratio <= ${Gopher.MaxBulletLineRatio}::DOUBLE
-         |   AND ellipsis_ratio <= ${Gopher.MaxEllipsisLineRatio}::DOUBLE
-         |   AND coalesce(alpha_ratio >= ${Gopher.MinAlphaWordRatio}::DOUBLE,
-         |       false)
-         |   AND stop_hits >= ${Gopher.MinStopHits}) AS keep
-         |FROM r""".stripMargin,
+         |  ellipsis_ratio, alpha_ratio, stop_hits, pass_words,
+         |  pass_mean_len, pass_symbols, pass_bullets, pass_ellipsis,
+         |  pass_alpha, pass_stop, keep
+         |FROM grules""".stripMargin,
     "tx_encoding_qa" ->
       """WITH aug AS (
         |  SELECT lang,

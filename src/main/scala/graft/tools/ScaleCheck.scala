@@ -658,6 +658,101 @@ object ScaleCheck {
     println(f"[scale] qtrain rows=$pkn%,d steps=3 secs=$trSecs%.2f " +
       f"rate=${pkn / trSecs}%,.0f docs/s")
 
+    // ---- round-7 (late) operators at factor× rows ----
+
+    // Gopher rule battery: a pure per-doc Project — rule-pass counts
+    // must scale EXACTLY ×factor (replicas share their text, so every
+    // flag is identical across replicas; any drift means the battery
+    // stopped being per-doc)
+    val t39 = System.nanoTime()
+    val gr = graft.text.Gopher.report(packDocs, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("keep").cast("long")),
+        sum(col("pass_stop").cast("long"))).head()
+    val grSecs = (System.nanoTime() - t39) / 1e9
+    val grBase = graft.text.Gopher.report(docsBase, "doc_id", "text")
+      .agg(sum(col("keep").cast("long")),
+        sum(col("pass_stop").cast("long"))).head()
+    assert(gr.getLong(1) == grBase.getLong(0) * factor &&
+      gr.getLong(2) == grBase.getLong(1) * factor,
+      "Gopher flags must be replication-exact (per-doc function)")
+    println(f"[scale] gopher rows=${gr.getLong(0)}%,d secs=$grSecs%.2f " +
+      f"rate=${gr.getLong(0) / grSecs}%,.0f docs/s")
+
+    // native NFC expression: map-only normalize of factor× docs with
+    // planted combining sequences; totality asserted
+    graft.functions.UnicodeNorm.register(spark)
+    val t40 = System.nanoTime()
+    val un = packDocs.select(graft.functions.UnicodeNorm.nfc(concat(
+        col("text"), when(col("doc_id") % 3 === 0, lit(" café"))
+          .otherwise(lit("")))).as("c"))
+      .agg(count(lit(1))).head()
+    val unSecs = (System.nanoTime() - t40) / 1e9
+    assert(un.getLong(0) == pkn, "nfc must be total")
+    println(f"[scale] nfc    rows=$pkn%,d secs=$unSecs%.2f " +
+      f"rate=${pkn / unSecs}%,.0f docs/s")
+
+    // DSIR at factor× pool: two bounded fits + ONE scoring pass.
+    // Replica invariance asserted exactly: a doc's weight is a pure
+    // function of (text, fits), and replicating the pool scales both
+    // fits uniformly, so every replica group must carry ONE distinct
+    // w_q — a partition-order or per-replica drift breaks this.
+    val t41 = System.nanoTime()
+    val tcS = graft.text.Dsir.featureCounts(
+      packDocs.filter(col("source") === "src0"), "doc_id", "text")
+    val scS = graft.text.Dsir.featureCounts(packDocs, "doc_id", "text")
+    val wS = graft.text.Dsir.weights(packDocs, "doc_id", "text",
+      tcS, graft.text.Dsir.featureTotal(tcS),
+      scS, graft.text.Dsir.featureTotal(scS))
+    val dsirInv = wS
+      .groupBy(pmod(col("doc_id"), lit(dMax)))
+      .agg(countDistinct(col("w_q")).as("d"))
+      .agg(max(col("d")), count(lit(1))).head()
+    val dsSecs = (System.nanoTime() - t41) / 1e9
+    assert(dsirInv.getLong(0) == 1L,
+      "replica docs must carry identical DSIR weights")
+    println(f"[scale] dsir   rows=$pkn%,d groups=${dsirInv.getLong(1)}%,d " +
+      f"secs=$dsSecs%.2f rate=${pkn / dsSecs}%,.0f docs/s")
+
+    // perplexity-bucket cutoffs: the histogram's weights scale ×factor
+    // uniformly, so `cum·3 ≥ total` must pick the SAME two bins — the
+    // exact-long formulation makes this bit-exact, where a float
+    // quantile would wobble
+    def synthScored(df: org.apache.spark.sql.DataFrame) = df.select(
+      ((pmod(col("doc_id"), lit(dMax)) % 997) / 97.0).as("nll"),
+      length(col("text")).cast("long").as("chars"))
+    val t42 = System.nanoTime()
+    val cutRep = graft.text.PplBuckets.cutoffs(
+      graft.text.PplBuckets.binned(synthScored(packDocs)), "chars")
+    val cutSecs = (System.nanoTime() - t42) / 1e9
+    val cutBase = graft.text.PplBuckets.cutoffs(
+      graft.text.PplBuckets.binned(synthScored(docsBase)), "chars")
+    assert(cutRep == cutBase,
+      s"tertile cutoffs must be replication-invariant: $cutRep vs $cutBase")
+    println(f"[scale] pplcut rows=$pkn%,d cutoffs=$cutRep " +
+      f"secs=$cutSecs%.2f rate=${pkn / cutSecs}%,.0f docs/s")
+
+    // language-ID at factor× docs under FIXED models: one corpus pass
+    // scores k models; replicas must classify identically (exact-long
+    // argmax — a float-scored classifier could flip near-ties between
+    // replicas under different partial-agg orders)
+    val langDocs = docsBase
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") + col("rep") * dMax).as("doc_id"),
+        col("text"), col("lang"))
+      .repartition(32).localCheckpoint(true)
+    val lms = graft.text.LangClassifier.fit(docsBase, "text", "lang",
+      Seq("de", "en", "es", "fr", "zh"))
+    val t43 = System.nanoTime()
+    val liInv = graft.text.LangClassifier
+      .classify(langDocs, "doc_id", "text", lms)
+      .groupBy(pmod(col("doc_id"), lit(dMax)))
+      .agg(countDistinct(col("pred")).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    val liSecs = (System.nanoTime() - t43) / 1e9
+    assert(liInv <= 1L, "replica docs must classify identically")
+    println(f"[scale] langid rows=$pkn%,d secs=$liSecs%.2f " +
+      f"rate=${pkn / liSecs}%,.0f docs/s")
+
     spark.stop()
   }
 }

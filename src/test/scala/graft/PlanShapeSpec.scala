@@ -334,10 +334,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Runs `name` under the session DEFAULTS the claims assume —
+    * another suite on the shared session may have left
+    * autoBroadcastJoinThreshold disabled, which would turn the
+    * unhinted dimension joins into SortMergeJoins and fail the
+    * broadcast pins for the wrong reason.
+    */
   private def finalPlanText(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-    df.collect() // let AQE materialize the final plan
-    df.queryExecution.executedPlan.toString
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect() // let AQE materialize the final plan
+      // assert against the FINAL plan only: AQE's dump appends the
+      // "== Initial Plan ==" section, whose static SortMergeJoins are
+      // exactly what the runtime broadcast conversion replaced
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("DSIR resample cuts with TakeOrdered; the fits broadcast") {
