@@ -34,21 +34,45 @@ object LangClassifier {
   case class LangLm(lang: String, bigrams: DataFrame, c1: DataFrame,
                     v: Long)
 
-  /** Fit one LM per language over `train` (slices by `langCol`).
-    * Refuses languages with an empty vocabulary — a zero-V model
-    * would silently win every argmax through its 1/V arm.
+  /** Fit one LM per language over `train` (slices by `langCol`) in
+    * ONE corpus pass: bigrams count under a (lang, w1, w2) key and
+    * vocab sizes under a (lang) key — k languages never cost k scans
+    * (per-slice `bigramCounts` calls would re-read the corpus per
+    * language; at 100 TB that difference is the whole job). Each
+    * model is then a filter of the shared counted table, which is
+    * exactly `bigramCounts(slice)` by the group-key algebra. Refuses
+    * languages with an empty vocabulary — a zero-V model would
+    * silently win every argmax through its 1/V arm.
     */
   def fit(train: DataFrame, textCol: String, langCol: String,
           langs: Seq[String]): Seq[LangLm] = {
     require(langs.nonEmpty && langs.distinct.size == langs.size,
       s"fit needs a non-empty, duplicate-free language list, got $langs")
-    langs.sorted.map { l =>
-      val slice = train.filter(col(langCol) === l)
-      val bg = LangModel.bigramCounts(slice, textCol)
-      val v = LangModel.vocabSize(slice, textCol)
+    val ls = langs.sorted
+    val base = train.filter(col(langCol).isInCollection(ls))
+      .select(col(langCol).as("lang_"),
+        Text.tokens(lower(col(textCol))).as("tk"))
+    val tk = col("tk")
+    val n1 = greatest(size(tk) - 1, lit(0))
+    val counts = base
+      .select(col("lang_"),
+        explode(arrays_zip(slice(tk, lit(1), n1), slice(tk, lit(2), n1)))
+          .as("b"))
+      .select(col("lang_"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+      .groupBy(col("lang_"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .cache()
+    val vocab = base.select(col("lang_"), explode(tk).as("t"))
+      .groupBy(col("lang_")).agg(countDistinct(col("t")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ls.map { l =>
+      val v = vocab.getOrElse(l, 0L)
       require(v > 0, s"language '$l' has an empty training vocabulary — " +
         "every argmax would tie at its uniform arm; drop it from `langs` " +
         "or train on a larger corpus")
+      val bg = counts.filter(col("lang_") === l)
+        .select(col("w1"), col("w2"), col("c12"))
       LangLm(l, bg, LangModel.derivedContextTotals(bg), v)
     }
   }
