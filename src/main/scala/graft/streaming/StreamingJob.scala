@@ -843,13 +843,9 @@ object StreamingJob {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the probe consumes the micro-batch 3× (term-set collect,
-        // qTerms broadcast, the scored tree) — pin it per trigger
-        val b = batch.persist()
-        try graft.text.Bm25.moreLikeThisFromIndex(s, b, id, text,
+        graft.text.Bm25.moreLikeThisFromIndex(s, batch, id, text,
             s"$dir/ix", k, stats = Some(stats))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
-        finally batch.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start())
@@ -904,23 +900,15 @@ object StreamingJob {
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // both legs consume the micro-batch 3+ times (two qTerms
-        // consumers in the lexical probe, the vector leg's query
-        // side); pinning the batch once trades one tiny-cache fill
-        // for repeated source re-scans — micro-batch-sized memory,
-        // released before the trigger ends
-        val b = batch.persist()
-        try {
-          val lex = graft.text.Bm25.moreLikeThisFromIndex(s, b, id,
-              text, s"$dir/ix", k, stats = Some(stats))
-            .select(col("qid"), col("doc_id").as("doc"), col("rank"))
-          val v = graft.similarity.Ann.bruteForceTopK(
-              b.select(col(id).as("vec_id"), col(vec)), corpusEmb,
-              "vec_id", vec, k)
-            .select(col("qid"), col("vid").as("doc"), col("rank"))
-          graft.text.Retrieval.rrfFuse(lex, v, k)
-            .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
-        } finally batch.unpersist()
+        val lex = graft.text.Bm25.moreLikeThisFromIndex(s, batch, id,
+            text, s"$dir/ix", k, stats = Some(stats))
+          .select(col("qid"), col("doc_id").as("doc"), col("rank"))
+        val v = graft.similarity.Ann.bruteForceTopK(
+            batch.select(col(id).as("vec_id"), col(vec)), corpusEmb,
+            "vec_id", vec, k)
+          .select(col("qid"), col("vid").as("doc"), col("rank"))
+        graft.text.Retrieval.rrfFuse(lex, v, k)
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start())
