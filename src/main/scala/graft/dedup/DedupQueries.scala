@@ -271,6 +271,32 @@ object DedupQueries {
           sum(col("n_chars")).as("total_chars"),
           max(when(col("doc") === col("component"), col("n_chars")))
             .as("keeper_chars"))
+    }),
+    // Quality-aware canonical selection: every near-dup cluster keeps
+    // its HIGHEST-quality member (ties -> lower doc_id) instead of the
+    // min-id one — the decision production curation passes actually
+    // ship, since the min-id rule discards the best copy whenever a
+    // duplicate family has one. Singletons (docs outside the pair
+    // graph) keep themselves via the LEFT join. Keeper + census come
+    // from ONE map-side-combined aggregate (argmax as max-of-struct,
+    // the a19 idiom) — no window, no per-component sort, so a
+    // mega-cluster costs its partial aggregates, never a single
+    // task's sort buffer.
+    "dedup_canonical_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      docs.join(comp, docs("doc_id") === comp("doc"), "left")
+        .select(
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("doc_id"),
+          round(graft.text.Text.qualityScore(col("text")), 6).as("q"))
+        .groupBy(col("component"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("m.nid")).as("keeper"),
+          col("m.q").as("keeper_q"), col("n_members"))
     }))
 
   /** The exact-Jaccard pair SQL over an arbitrary source relation
@@ -557,6 +583,33 @@ object DedupQueries {
     // incremental == scratch is the contract, so the oracle IS the
     // full-graph recompute, verbatim
     "dedup_components_incr" -> componentsOracle,
+    // same component CTE chain as componentsOracle; keeper = argmax by
+    // (q, -doc_id) as max-of-struct, replayed with DuckDB's struct max
+    // (both engines compare struct fields left-to-right). q is rounded
+    // to 6 decimals BEFORE ranking on both sides, so a last-ULP flip
+    // cannot reorder a tie the other engine breaks by doc_id.
+    "dedup_canonical_best" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc, min(label) AS component
+         |         FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT coalesce(c.component, d.doc_id) AS component,
+         |         d.doc_id,
+         |         round(${graft.text.TextQueries.qualitySql}, 6) AS q
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+         |SELECT component,
+         |       (max({'q': q, 'nid': -doc_id})).nid * -1 AS keeper,
+         |       (max({'q': q, 'nid': -doc_id})).q AS keeper_q,
+         |       count(*) AS n_members
+         |FROM lab GROUP BY 1""".stripMargin,
     "graph_link_features" ->
       """WITH e AS (
         |  SELECT a.event_id AS u, b.event_id AS v

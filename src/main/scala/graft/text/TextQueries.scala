@@ -144,6 +144,39 @@ object TextQueries {
           sum(col("keep").cast("long")).as("n_kept"),
           round(max(col("acc")), 6).as("acc_rate"))
     }),
+    // Per-slice epoch materialization — the upsampling dual of
+    // sample_temperature_mix: that query SUBSAMPLES big slices toward
+    // the temperature-flattened mix; this one REPEATS small slices,
+    // data-recipe style (slices run fractional epoch counts > 1).
+    // Keyed on `lang` (the corpus's genuinely skewed axis — the
+    // `source` column is uniform here, which would make every epoch
+    // count exactly 1.0 and the repetition path vacuous): minority
+    // languages are upsampled toward the majority.
+    // epochs_l = sqrt(n_max / n_l) >= 1, so the largest slice runs
+    // exactly 1.0 epochs; each doc emits floor(e) full copies plus one
+    // more iff its deterministic unit hash lands under frac(e) — the
+    // slice's emitted mass hits n_l * e to within one doc, with zero
+    // RNG (the run is reproducible row-for-row, which training-data
+    // lineage requires). Plan: two scalar-sized broadcasts (per-slice
+    // counts, their max) and ONE map-only sequence-explode on the
+    // corpus — no shuffle of the corpus at any scale; the repeat
+    // factor rides along as a broadcast-joined column.
+    "sample_source_epochs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val eps = counts
+        .crossJoin(broadcast(counts.agg(max(col("n_l")).as("n_max"))))
+        .select(col("lang").as("lng"),
+          sqrt(col("n_max").cast("double") / col("n_l")).as("e"))
+      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
+        .cast("double") / 1000003.0
+      d.join(broadcast(eps), col("lang") === col("lng"))
+        .withColumn("n_copies",
+          floor(col("e")).cast("long") +
+            when(u < col("e") - floor(col("e")), 1L).otherwise(0L))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("epoch_idx"))
+    }),
     // Context-window chunking: 64-token windows, 16-token overlap
     "tx_chunking" -> ((s, dir) =>
       Text.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
@@ -632,6 +665,25 @@ object TextQueries {
         |       sum(CASE WHEN u < acc THEN 1 ELSE 0 END)::BIGINT AS n_kept,
         |       round(max(acc), 6) AS acc_rate
         |FROM k GROUP BY 1""".stripMargin,
+    // both engines build e = sqrt(n_max/n_s) from exact integer inputs
+    // (IEEE sqrt is correctly rounded) and the fractional-copy test
+    // compares the same exact-integer unit hash against e - floor(e),
+    // so the copy count is bit-identical — the same float discipline
+    // sample_temperature_mix relies on
+    "sample_source_epochs" ->
+      """WITH s AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |m AS (SELECT max(n_l) AS n_max FROM s),
+        |e AS (SELECT lang AS lng, sqrt(n_max::DOUBLE / n_l) AS e
+        |      FROM s, m),
+        |c AS (SELECT d.doc_id, d.lang,
+        |             floor(e.e)::BIGINT
+        |             + CASE WHEN (d.doc_id * 2654435761 % 1000003)::DOUBLE
+        |                         / 1000003.0 < e.e - floor(e.e)
+        |                    THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents d JOIN e ON d.lang = e.lng)
+        |SELECT doc_id, lang,
+        |       unnest(generate_series(1::BIGINT, n_copies)) AS epoch_idx
+        |FROM c""".stripMargin,
     "tx_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
          |st AS (SELECT doc_id, w,
