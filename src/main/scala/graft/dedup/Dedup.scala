@@ -769,6 +769,71 @@ object Dedup {
       .union(relabeled)
   }
 
+  /** Incremental CANONICAL-KEEPER maintenance — the argmax layer over
+    * [[componentsAppend]]: given the previous canonical table
+    * (`component`, `keeper`, `keeper_q`, `n_members` — one row per
+    * component over the ENTIRE old corpus, singletons included), the
+    * previous pair-graph labeling, the delta docs with their quality
+    * scores, and the delta's new edges, returns the canonical table of
+    * the grown corpus — bit-equal to rebuilding it from scratch.
+    *
+    * Why the fold is exact with only per-component AGGREGATES of the
+    * old corpus: components under growth only ever MERGE (an edge never
+    * splits one), so a new component's member set is a disjoint union
+    * of whole old components plus delta docs — and argmax over a
+    * disjoint union is the argmax over each part's stored argmax.
+    * n_members adds the same way. No old DOC row is ever re-read: the
+    * stored keeper struct stands in for its whole component.
+    *
+    * Work is O(delta + touched), like the labeling it composes with:
+    * the only corpus-sized input is the keeper table itself (one row
+    * per component), which passes through a single map-side-combined
+    * aggregate keyed by the (mostly identity) old→new component map.
+    *
+    * Contract (driver-gated by `dedup_canonical_incr` and spec-pinned):
+    * equality with the scratch [[dedup_canonical_best]] aggregate over
+    * the full corpus. `keeper_q` must be rounded identically on both
+    * the stored and the delta side — the struct max compares it first.
+    */
+  def canonicalAppend(keepers: DataFrame, oldLabels: DataFrame,
+                      deltaDocs: DataFrame, idCol: String, qCol: String,
+                      newPairs: DataFrame, aCol: String,
+                      bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    // full labeling of the grown pair graph; referenced twice (old-
+    // component mapping + delta mapping) and bounded by graph nodes,
+    // not the corpus — pin it once
+    val newLabels = componentsAppend(oldLabels, newPairs, aCol, bCol)
+      .localCheckpoint(true)
+    // old component id → new component id. The old label is itself a
+    // member doc of its component, so its row in the new labeling IS
+    // the mapping; components the delta never touched (and old
+    // singletons outside the pair graph) coalesce to themselves. The
+    // labeling side is touched+graph-sized — broadcast it so the
+    // corpus-sized keeper table never shuffles for the map.
+    val mapped = keepers.select(
+        col("component").cast("long").as("oldc"),
+        struct(col("keeper_q").as("q"),
+          (-col("keeper")).cast("long").as("nid")).as("m"),
+        col("n_members").cast("long").as("n_members"))
+      .join(bcast(newLabels.select(col("doc").as("oldc"),
+        col("component").as("newc"))), Seq("oldc"), "left")
+      .select(coalesce(col("newc"), col("oldc")).as("component"),
+        col("m"), col("n_members"))
+    // each delta doc is a 1-member candidate; docs outside the grown
+    // pair graph are their own singleton component
+    val deltaCand = deltaDocs.select(
+        col(idCol).cast("long").as("doc"), col(qCol).as("q"))
+      .join(bcast(newLabels), Seq("doc"), "left")
+      .select(coalesce(col("component"), col("doc")).as("component"),
+        struct(col("q"), (-col("doc")).as("nid")).as("m"),
+        lit(1L).as("n_members"))
+    mapped.union(deltaCand).groupBy(col("component"))
+      .agg(max(col("m")).as("m"), sum(col("n_members")).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
+  }
+
   // deliberately NOT checkpointed: callers hand in a parquet scan or
   // an already-checkpointed labeling, and the three consumers (touched
   // discovery, star construction, pass-through anti-join) re-scanning

@@ -287,17 +287,47 @@ object DedupQueries {
       val comp = Dedup.connectedComponents(
         Dedup.jaccardPairs(docs, "doc_id", "text", N, Threshold),
         "doc_a", "doc_b")
-      docs.join(comp, docs("doc_id") === comp("doc"), "left")
-        .select(
-          coalesce(col("component"), col("doc_id")).as("component"),
-          col("doc_id"),
+      canonicalOf(docs, comp)
+    }),
+    // Incremental canonical-keeper maintenance: the keeper table built
+    // from the doc_id >= 150 slice only, then the < 150 delta folded
+    // in via canonicalAppend — per-component argmax structs merge with
+    // the delta docs' candidates, O(delta + touched), no old doc row
+    // re-read. The ORACLE is the scratch full-corpus recompute:
+    // bit-equality of incremental and scratch canonical tables IS the
+    // contract (the dedup_components_incr pattern, one layer up).
+    "dedup_canonical_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", N, Threshold)
+      val oldDocs = docs.filter(col("doc_id") >= 150)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.jaccardPairs(oldDocs, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      val delta = docs.filter(col("doc_id") < 150)
+        .select(col("doc_id"),
           round(graft.text.Text.qualityScore(col("text")), 6).as("q"))
-        .groupBy(col("component"))
-        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
-          count(lit(1)).as("n_members"))
-        .select(col("component"), (-col("m.nid")).as("keeper"),
-          col("m.q").as("keeper_q"), col("n_members"))
+      Dedup.canonicalAppend(canonicalOf(oldDocs, oldLabels), oldLabels,
+        delta, "doc_id", "q",
+        pairs.filter(col("doc_a") < 150 || col("doc_b") < 150),
+        "doc_a", "doc_b")
     }))
+
+  /** The canonical-selection aggregate shared by the scratch build and
+    * the incremental twin's old-slice bootstrap: label every doc
+    * (singletons are their own component via the LEFT join), then ONE
+    * max-of-struct argmax + census per component.
+    */
+  private def canonicalOf(docs: DataFrame, comp: DataFrame): DataFrame =
+    docs.join(comp, docs("doc_id") === comp("doc"), "left")
+      .select(
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("doc_id"),
+        round(graft.text.Text.qualityScore(col("text")), 6).as("q"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
 
   /** The exact-Jaccard pair SQL over an arbitrary source relation
     * (table name or CTE) — the curation oracle feeds it the
@@ -340,6 +370,34 @@ object DedupQueries {
        |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u)
        |SELECT u AS doc, min(label) AS component
        |FROM reach GROUP BY u""".stripMargin
+
+  /** Scratch canonical-selection replay: the component CTE chain of
+    * [[componentsOracle]] + quality labeling + struct-max argmax —
+    * shared by the scratch build and its incremental twin (whose
+    * contract is bit-equality with this recompute).
+    */
+  private[graft] lazy val canonicalOracle =
+    s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+       |cedges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(u, label) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+       |  UNION
+       |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS doc, min(label) AS component
+       |         FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT coalesce(c.component, d.doc_id) AS component,
+       |         d.doc_id,
+       |         round(${graft.text.TextQueries.qualitySql}, 6) AS q
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+       |SELECT component,
+       |       (max({'q': q, 'nid': -doc_id})).nid * -1 AS keeper,
+       |       (max({'q': q, 'nid': -doc_id})).q AS keeper_q,
+       |       count(*) AS n_members
+       |FROM lab GROUP BY 1""".stripMargin
 
   /** Cross-slice variant of [[jaccardOracleOver]]: exact Jaccard
     * between a probe slice and a corpus slice of `documents` — the ONE
@@ -588,28 +646,10 @@ object DedupQueries {
     // (both engines compare struct fields left-to-right). q is rounded
     // to 6 decimals BEFORE ranking on both sides, so a last-ULP flip
     // cannot reorder a tie the other engine breaks by doc_id.
-    "dedup_canonical_best" ->
-      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
-         |cedges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(u, label) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
-         |  UNION
-         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
-         |comp AS (SELECT u AS doc, min(label) AS component
-         |         FROM reach GROUP BY u),
-         |lab AS (
-         |  SELECT coalesce(c.component, d.doc_id) AS component,
-         |         d.doc_id,
-         |         round(${graft.text.TextQueries.qualitySql}, 6) AS q
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
-         |SELECT component,
-         |       (max({'q': q, 'nid': -doc_id})).nid * -1 AS keeper,
-         |       (max({'q': q, 'nid': -doc_id})).q AS keeper_q,
-         |       count(*) AS n_members
-         |FROM lab GROUP BY 1""".stripMargin,
+    "dedup_canonical_best" -> canonicalOracle,
+    // incremental == scratch is the contract (the components_incr
+    // pattern, one layer up), so the oracle IS the full recompute
+    "dedup_canonical_incr" -> canonicalOracle,
     "graph_link_features" ->
       """WITH e AS (
         |  SELECT a.event_id AS u, b.event_id AS v

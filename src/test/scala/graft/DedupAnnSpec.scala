@@ -696,6 +696,50 @@ class DedupAnnSpec extends SparkSpec {
       40L -> 40L, 41L -> 40L))
   }
 
+  test("canonicalAppend: incremental keeper table equals the scratch argmax") {
+    import org.apache.spark.sql.DataFrame
+    // the scratch canonical aggregate over (doc_id, q) + a labeling —
+    // the reference formulation the incremental fold must reproduce
+    def canonical(docs: DataFrame, labels: DataFrame): DataFrame =
+      docs.join(labels, docs("doc_id") === labels("doc"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"),
+          col("doc_id"), col("q"))
+        .groupBy(col("component"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("m.nid")).as("keeper"),
+          col("m.q").as("keeper_q"), col("n_members"))
+    // old corpus: cluster {1,2} (keeper 2, q .9), cluster {3,4} (tie
+    // at .7 -> keeper 3), singletons 5 (q .95) and 6 (q .2), and an
+    // untouched cluster {20,21}
+    val oldDocs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.7),
+      (5L, 0.95), (6L, 0.2), (20L, 0.3), (21L, 0.8)).toDF("doc_id", "q")
+    val oldEdges = Seq((1L, 2L), (3L, 4L), (20L, 21L)).toDF("a", "b")
+    val oldLabels = Dedup.connectedComponents(oldEdges, "a", "b")
+    // delta: 7 bridges {1,2} and {3,4} and outscores both keepers;
+    // 8 absorbs old singleton 5 but loses to it; {9,10} is a
+    // delta-only cluster; 11 arrives edgeless (new singleton)
+    val deltaDocs = Seq((7L, 0.99), (8L, 0.1), (9L, 0.6), (10L, 0.4),
+      (11L, 0.55)).toDF("doc_id", "q")
+    val newEdges = Seq((7L, 2L), (7L, 3L), (8L, 5L), (9L, 10L))
+      .toDF("a", "b")
+    val got = Dedup.canonicalAppend(canonical(oldDocs, oldLabels),
+        oldLabels, deltaDocs, "doc_id", "q", newEdges, "a", "b")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val scratch = canonical(oldDocs.union(deltaDocs),
+        Dedup.connectedComponents(oldEdges.union(newEdges), "a", "b"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == scratch, s"incremental $got != scratch $scratch")
+    // spot-pin the interesting rows: merged bridge keeper is the delta
+    // doc; the absorbed singleton keeps its (higher-q) old keeper; the
+    // untouched cluster and singleton pass through byte-equal
+    assert(got.contains((1L, 7L, 0.99, 5L)), s"bridge merge wrong: $got")
+    assert(got.contains((5L, 5L, 0.95, 2L)), s"absorption wrong: $got")
+    assert(got.contains((20L, 21L, 0.8, 2L)), s"untouched cluster: $got")
+    assert(got.contains((6L, 6L, 0.2, 1L)) && got.contains((11L, 11L, 0.55, 1L)),
+      s"singletons: $got")
+  }
+
   test("labelsMerge: only affected buckets rewritten; redelivery is a fixpoint") {
     val dir = s"/tmp/graft_labels_spec-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
