@@ -25,8 +25,12 @@ object BenchChunk {
       // end-to-end scoring throughput (reference baseline ~1000 tx/s)
       // and steady-state streaming rate, both in this clean child —
       // the r03/r04 lesson (measuring them after the sweep halved the
-      // numbers) now holds by construction
-      val tput = (1 to 2).map { _ =>
+      // numbers) now holds by construction. Three runs, max kept: the
+      // published number is STEADY-STATE throughput, and in a pristine
+      // JVM the first run is dominated by JIT compilation of the whole
+      // scoring path (a cost a long-running deployment pays once, not
+      // per batch) — two runs still left ~20% of it in the max.
+      val tput = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val rows =
           try SparkEntry.queries("pipeline_score")(spark, sfDir).count()

@@ -381,4 +381,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(txt.contains("BroadcastHashJoin"), txt)
     assert(!txt.contains("SortMergeJoin"), txt)
   }
+
+  test("epoch upsampling: repeat factors broadcast, corpus explode is map-only") {
+    val txt = finalPlanText("sample_source_epochs")
+    // the per-slice epoch factor joins the corpus as a broadcast and
+    // the copy emission is a Generate (explode) — the corpus row
+    // stream itself must never hit a shuffle or sort join
+    assert(txt.contains("BroadcastHashJoin"), txt)
+    assert(txt.contains("Generate"), txt)
+    assert(!txt.contains("SortMergeJoin"), txt)
+  }
+
+  test("canonical keeper selection: one argmax aggregate, no window") {
+    val txt = finalPlanText("dedup_canonical_best")
+    // the keeper cut is a max-of-struct aggregate, never a
+    // per-component window sort. What matters at scale is the
+    // MAP-SIDE PARTIAL (a mega-cluster collapses to one struct per
+    // task before the exchange); the struct buffer makes Spark pick
+    // SortAggregate over HashAggregate, which is fine — the sort is
+    // per-partition and spillable, not a global or per-group one.
+    assert(!txt.contains("Window"), txt)
+    assert(txt.contains("partial_max"), txt)
+  }
 }
