@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for document corpora, four ways:
@@ -896,22 +896,38 @@ object Dedup {
                   bCol: String, nBuckets: Int = 16,
                   pairsPinned: Boolean = false): Unit = {
     val s = newPairs.sparkSession
-    val lab =
-      if (new java.io.File(dir).exists())
-        normalizedLabels(s.read.parquet(dir))
-      else normalizedLabels(
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("component",
-              org.apache.spark.sql.types.LongType)))))
+    val lab = readLabelsOrEmpty(s, dir)
     val (touched, relabeled) =
       componentsAppendParts(lab, newPairs, aCol, bCol, pairsPinned)
+    writeLabelsPruned(s, dir, lab, touched, relabeled, nBuckets)
+  }
+
+  private def readLabelsOrEmpty(s: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(dir).exists())
+      normalizedLabels(s.read.parquet(dir))
+    else normalizedLabels(
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType)))))
+
+  private def bucketOfCol(c: Column, nBuckets: Int): Column =
+    pmod(c, lit(nBuckets.toLong)).cast("int")
+
+  /** The labels write half of [[labelsMerge]], shared with
+    * [[curationMerge]] (which computes the (touched, relabeled) parts
+    * once and feeds BOTH derived tables).
+    */
+  private def writeLabelsPruned(s: SparkSession, dir: String,
+                                lab: DataFrame, touched: DataFrame,
+                                relabeled: DataFrame,
+                                nBuckets: Int): Unit = {
     // componentsAppendParts' labeling comes back already
     // localCheckpoint'd (connectedComponents materializes its result);
     // re-checkpointing it here was one whole extra pass per merge
-    val bucketOf = (c: Column) => pmod(c, lit(nBuckets.toLong)).cast("int")
+    val bucketOf = (c: Column) => bucketOfCol(c, nBuckets)
     // the affected-bucket set is ≤ nBuckets driver scalars — collect
     // it (doubling as the emptiness check, one job instead of two)
     // and push it as an isin FILTER: on the partitioned labels read
@@ -938,6 +954,123 @@ object Dedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(dir)
+  }
+
+  /** One delta merge of the WHOLE curation state — labels, per-doc
+    * quality, and the canonical-keeper table — against storage, each
+    * table rewritten only in its affected hash-bucket partitions. This
+    * is [[labelsMerge]] extended one derived layer up: the same
+    * (touched, relabeled) delta resolution feeds both the labeling and
+    * the keeper fold, so the delta's graph work is paid once.
+    *
+    * Layout under `dir`:
+    *   labels/bucket=K/   (doc, component)          — doc-hash bucket
+    *   docq/bucket=K/     (doc, q)                  — doc-hash bucket
+    *   keepers/bucket=K/  (component, keeper,
+    *                       keeper_q, n_members)     — component-hash
+    *
+    * Unlike [[canonicalAppend]] (the in-plan one-shot fold, which
+    * merges STORED argmax structs), the table merge recomputes each
+    * affected component from its member rows: `relabeled` already
+    * carries every member of every affected component, and joining it
+    * to the (bucket-pruned) docq table yields exactly the rows the
+    * argmax needs. That recompute-from-members formulation is what
+    * makes the merge an IDEMPOTENT FIXPOINT under at-least-once
+    * redelivery — replaying a batch rewrites the same bucket contents
+    * byte-for-byte, where folding stored structs would double-count
+    * n_members. Work per merge is O(delta + touched members), never
+    * O(corpus); the only corpus-sized relations are the tables
+    * themselves, touched strictly through bucket-pruned scans.
+    *
+    * Keeper rows move buckets when components merge (the row is keyed
+    * by its component id): the rewrite set is the union of the NEW
+    * rows' buckets and the buckets of every OLD row being superseded —
+    * an old row is superseded exactly when its component id (itself a
+    * member doc) appears in `relabeled`. Docs arriving with no edge at
+    * all become singleton keeper rows directly.
+    */
+  def curationMerge(dir: String, newPairs: DataFrame, deltaDocs: DataFrame,
+                    idCol: String, qCol: String, aCol: String, bCol: String,
+                    nBuckets: Int = 16, pairsPinned: Boolean = false): Unit = {
+    val s = newPairs.sparkSession
+    val (labDir, qDir, kDir) = (s"$dir/labels", s"$dir/docq", s"$dir/keepers")
+    val bucketOf = (c: Column) => bucketOfCol(c, nBuckets)
+    val lab = readLabelsOrEmpty(s, labDir)
+    val (touched, relabeled) =
+      componentsAppendParts(lab, newPairs, aCol, bCol, pairsPinned)
+    writeLabelsPruned(s, labDir, lab, touched, relabeled, nBuckets)
+    // --- docq: idempotent doc-bucket merge of the delta's q rows ---
+    // (three consumers: the write, the member join, the singleton path)
+    val delta = deltaDocs
+      .select(col(idCol).cast("long").as("doc"), col(qCol).as("q"))
+      .localCheckpoint(true)
+    val qBuckets = delta.select(bucketOf(col("doc")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val qKeep = (if (new java.io.File(qDir).exists())
+        s.read.parquet(qDir).filter(col("bucket").isin(qBuckets: _*))
+          .select(col("doc"), col("q"), col("bucket"))
+      else delta.withColumn("bucket", bucketOf(col("doc"))).limit(0))
+      // redelivery: the delta's version of a doc's q wins (it is the
+      // same value — q is a pure function of the doc)
+      .join(broadcast(delta.select(col("doc"))), Seq("doc"), "left_anti")
+    qKeep.union(delta.select(col("doc"), col("q"),
+        bucketOf(col("doc")).as("bucket")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(qDir)
+    // --- keepers: recompute affected components from member rows ---
+    val memberBuckets = relabeled
+      .select(bucketOf(col("doc")).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val docq = s.read.parquet(qDir)
+      .filter(col("bucket").isin(memberBuckets: _*))
+      .select(col("doc"), col("q"))
+    val merged = docq.join(broadcast(relabeled), Seq("doc"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("doc")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
+    val singletons = delta
+      .join(relabeled.select(col("doc")), Seq("doc"), "left_anti")
+      .select(col("doc").as("component"), col("doc").as("keeper"),
+        col("q").as("keeper_q"), lit(1L).as("n_members"))
+    // consumed twice (bucket collect + write) and small by
+    // construction (affected components + delta singletons)
+    val newRows = merged.union(singletons).localCheckpoint(true)
+    // superseded old rows: any stored component whose id-doc was
+    // relabeled this merge (it either remains the merged component's
+    // label — newRows replaces it — or was absorbed into another)
+    val superseded = relabeled.select(col("doc").as("component"))
+      .union(newRows.select(col("component"))).distinct()
+    val kBuckets = superseded
+      .select(bucketOf(col("component")).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val kKeep = (if (new java.io.File(kDir).exists())
+        s.read.parquet(kDir).filter(col("bucket").isin(kBuckets: _*))
+          .select(col("component"), col("keeper"), col("keeper_q"),
+            col("n_members"), col("bucket"))
+      else newRows.withColumn("bucket", bucketOf(col("component"))).limit(0))
+      .join(broadcast(superseded), Seq("component"), "left_anti")
+    val out = kKeep
+      .union(newRows.withColumn("bucket", bucketOf(col("component"))))
+      .localCheckpoint(true)
+    val written = out.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(kDir)
+    // dynamic overwrite never touches a partition it writes ZERO rows
+    // to — but keeper rows, unlike label/docq rows, can vanish from a
+    // bucket outright (the component id drops on a merge and the row
+    // moves buckets). An affected bucket with no surviving and no new
+    // rows must be dropped explicitly or its stale rows survive the
+    // merge. Replay-safe: a crash before the drop leaves stale rows
+    // that the redelivered merge re-identifies and drops again.
+    kBuckets.filterNot(written).foreach { b =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$kDir/bucket=$b"))
+    }
   }
 
   /** Materialized byte size of a localCheckpoint'd dataset, straight

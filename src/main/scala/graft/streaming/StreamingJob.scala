@@ -494,6 +494,61 @@ object StreamingJob {
     s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
   }
 
+  /** Streaming CANONICAL-KEEPER maintenance — the layer above
+    * [[streamLabelMaintenance]]: each micro-batch's fused ingest+probe
+    * discovers the delta's near-dup edges, and one
+    * [[graft.dedup.Dedup.curationMerge]] folds labels, per-doc quality,
+    * and the keeper table, each rewritten only in affected hash-bucket
+    * partitions. After the drain the keeper table answers "which doc do
+    * we keep from every duplicate family seen so far, and how big is
+    * the family" — the decision a streaming curation pipeline serves —
+    * and equals the scratch batch recompute over the drained corpus
+    * (the shared canonical oracle), because the labels beneath it
+    * converge to the scratch labeling (the s18 contract) and each
+    * affected keeper row is recomputed from its member rows.
+    *
+    * The fold runs ON the trigger path (synchronous), unlike s18's
+    * backgrounded label fold: the keeper table is the SERVED artifact
+    * here, so its freshness is the point — a reader after batch k must
+    * see batch k's keepers. Same at-least-once story: curationMerge is
+    * an idempotent fixpoint, so a replayed trigger rewrites identical
+    * bucket contents.
+    */
+  def streamKeeperMaintenance(docs: DataFrame, id: String, text: String,
+                              n: Int, threshold: Double, workDir: String,
+                              nFiles: Int = 4,
+                              nBuckets: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    docs.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one signature pass serves index writes and edge discovery
+        val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
+            id, text, n, s"$dir/ix", batchId, threshold)
+          .filter(col("in_doc") =!= col("corpus_doc"))
+          .select(least(col("in_doc"), col("corpus_doc")).as("a"),
+            greatest(col("in_doc"), col("corpus_doc")).as("b"))
+          .distinct()
+        val delta = batch.select(col(id).cast("long").as("doc"),
+          round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
+        graft.dedup.Dedup.curationMerge(s"$dir/cur", edges, delta,
+          "doc", "q", "a", "b", nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/cur/keepers")
+      .select(col("component"), col("keeper"), col("keeper_q"),
+        col("n_members"))
+  }
+
   /** Fold one durable edge-queue partition into the labels table and
     * mark it done. The `_MERGED` marker lands only after the labels
     * write — a crash mid-fold leaves the partition unmarked and

@@ -394,6 +394,13 @@ object StreamingQueries {
     "s18_stream_label_maintenance" -> ((s, dir) =>
       StreamingJob.streamLabelMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s18")),
+    // Streaming canonical-keeper maintenance: the s18 loop one derived
+    // layer up — each trigger folds labels + per-doc quality + the
+    // keeper table (bucket-pruned rewrites), and the drained keeper
+    // table equals the scratch full-corpus canonical selection
+    "s30_stream_keeper_maintenance" -> ((s, dir) =>
+      StreamingJob.streamKeeperMaintenance(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s30")),
     // Streaming drift monitor: current-slice histogram maintained
     // incrementally (long counts ⇒ N-batch merge == one pass), PSI vs
     // the static reference after drain — same answer, same oracle, as
@@ -668,6 +675,10 @@ object StreamingQueries {
     // full-graph labeling — the oracle IS the recursive-CTE recompute
     "s18_stream_label_maintenance" ->
       graft.dedup.DedupQueries.componentsOracle,
+    // drained keeper table ≡ scratch canonical selection — the same
+    // incremental≡scratch contract as s18, one derived layer up
+    "s30_stream_keeper_maintenance" ->
+      graft.dedup.DedupQueries.canonicalOracle,
     // the incrementally-merged histogram must yield the identical PSI
     // as the one-shot batch gate, so the oracle is shared verbatim
     "s19_stream_drift_monitor" ->

@@ -770,6 +770,47 @@ class DedupAnnSpec extends SparkSpec {
     assert(labels == expected, "duplicate edge redelivery must not change labels")
   }
 
+  test("curationMerge: keeper rows move buckets on merge, untouched " +
+    "buckets stay byte-identical, redelivery is a fixpoint") {
+    val dir = s"/tmp/graft_curation_spec-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def merge(edges: Seq[(Long, Long)], delta: Seq[(Long, Double)]): Unit =
+      Dedup.curationMerge(dir, edges.toDF("a", "b"), delta.toDF("doc", "q"),
+        "doc", "q", "a", "b", nBuckets = 4)
+    def keepers: Set[(Long, Long, Double, Long)] =
+      spark.read.parquet(s"$dir/keepers")
+        .select(col("component"), col("keeper"), col("keeper_q"),
+          col("n_members"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // batch 1: clusters {1,2} and {40,44}, singleton 7 (no edge)
+    merge(Seq((1L, 2L), (40L, 44L)),
+      Seq((1L, 0.5), (2L, 0.9), (40L, 0.3), (44L, 0.7), (7L, 0.6)))
+    assert(keepers == Set((1L, 2L, 0.9, 2L), (40L, 44L, 0.7, 2L),
+      (7L, 7L, 0.6, 1L)), s"batch 1: $keepers")
+    def bucket0Files: Map[String, Long] =
+      new java.io.File(s"$dir/keepers/bucket=0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = bucket0Files
+    // batch 2: 3 (q .95) extends {1,2} and takes the keeper slot;
+    // component 40's row lives in keeper bucket 0, untouched
+    merge(Seq((2L, 3L)), Seq((3L, 0.95)))
+    assert(bucket0Files == before,
+      "untouched keeper bucket files must be byte-identical")
+    assert(keepers == Set((1L, 3L, 0.95, 3L), (40L, 44L, 0.7, 2L),
+      (7L, 7L, 0.6, 1L)), s"batch 2: $keepers")
+    // batch 3: 5 (q .1) links old singleton 7 — the component id drops
+    // to 5, so the row MOVES from keeper bucket 3 to bucket 1 and the
+    // stale component-7 row must vanish; 7 stays keeper (higher q)
+    merge(Seq((5L, 7L)), Seq((5L, 0.1)))
+    val after3 = Set((1L, 3L, 0.95, 3L), (40L, 44L, 0.7, 2L),
+      (5L, 7L, 0.6, 2L))
+    assert(keepers == after3, s"batch 3: $keepers")
+    // at-least-once: replaying batch 3 rewrites the same contents
+    merge(Seq((5L, 7L)), Seq((5L, 0.1)))
+    assert(keepers == after3, s"redelivery must be a fixpoint: $keepers")
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
