@@ -498,6 +498,63 @@ object ScaleCheck {
       f"scratch=$scrSecs%.2f s incremental=$incSecs%.2f s " +
       f"speedup=${scrSecs / incSecs}%.1fx")
 
+    // curationMerge: the keeper table under the same corpus/delta — a
+    // merge's cost must track the DELTA while the scratch canonical
+    // recompute grows with the corpus. State is built on disk first
+    // (setup, corpus-sized by design), then ONE delta merge is timed;
+    // equality with the scratch argmax is asserted via checksums.
+    val curDir = s"/tmp/graft_scale_curation-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(curDir))
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      round((pmod(c * 2654435761L, lit(1000L))).cast("double") / 1000.0, 3)
+    val allDocs = spark.range(0, nComp * 4L).toDF("doc")
+      .select(col("doc"), q6(col("doc")).as("q")).localCheckpoint(true)
+    graft.dedup.Dedup.curationMerge(curDir, chain, allDocs,
+      "doc", "q", "u", "v", nBuckets = 64)
+    val newDocs = spark.range(nComp * 4L, nComp * 4L + nComp / 100L)
+      .toDF("doc").select(col("doc"), q6(col("doc")).as("q"))
+      .localCheckpoint(true)
+    val tKm = System.nanoTime()
+    graft.dedup.Dedup.curationMerge(curDir, delta, newDocs,
+      "doc", "q", "u", "v", nBuckets = 64)
+    val kmSecs = (System.nanoTime() - tKm) / 1e9
+    // the real scratch alternative: full CC is already timed above
+    // (scrSecs); here the remaining argmax + full-table write. The
+    // merge's DATA-DEPENDENT cost tracks the delta (corpus 3× → ~1.3×,
+    // vs ~2.5× for scratch); its absolute floor at toy scale is the
+    // s18-family fixed-job floor (CC rounds + three bucket-pruned
+    // table writes + small collects), which amortizes at real deltas.
+    val tKs = System.nanoTime()
+    val scratchK = allDocs.union(newDocs)
+      .join(scratch.withColumnRenamed("doc", "doc2"),
+        col("doc") === col("doc2"), "left")
+      .select(coalesce(col("component"), col("doc")).as("component"),
+        col("doc"), col("q"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("doc")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
+      .localCheckpoint(true)
+    scratchK.write.mode("overwrite")
+      .parquet(s"$curDir-scratch/keepers")
+    val scrKSecs = (System.nanoTime() - tKs) / 1e9 + scrSecs
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$curDir-scratch"))
+    def ksig(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("component") * col("keeper")),
+        sum(col("n_members")),
+        sum((col("keeper_q") * 1000).cast("long"))).collect()(0).toSeq
+    val merged = spark.read.parquet(s"$curDir/keepers")
+      .select(col("component"), col("keeper"), col("keeper_q"),
+        col("n_members"))
+    assert(ksig(merged) == ksig(scratchK),
+      "merged keeper table diverged from scratch canonical recompute")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(curDir))
+    println(f"[scale] keepmg comps=$nComp%,d delta=${nComp / 100}%,d " +
+      f"merge=$kmSecs%.2f s scratch_rebuild=$scrKSecs%.2f s " +
+      f"speedup=${scrKSecs / kmSecs}%.1fx")
+
     // global-order packing: the distributed prefix sum over factor×
     // replicated docs (replicas get disjoint id ranges so the bucket
     // histogram, not the data, stays the same shape). Linear: two
