@@ -122,6 +122,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-held-out-doc n-gram NOVELTY against the train split — the
+    * memorization-risk audit run before a held-out set is trusted:
+    * for every test-split doc, how many of its distinct word n-grams
+    * already exist anywhere in the train split, and the novelty share
+    * (1 − seen/total). [[decontaminate]] answers "which train/test doc
+    * PAIRS overlap"; this answers the per-test-doc census a data card
+    * reports. Split assignment is the engine's deterministic
+    * Knuth-multiplicative bucket, so the audit covers the exact split
+    * the pipeline would emit.
+    *
+    * Scale shape: grams travel as 64-bit hashes from the single-pass
+    * native kernel; the train side collapses to DISTINCT grams before
+    * the join, so every test gram matches AT MOST ONE row — a left
+    * join with zero fan-out, immune to boilerplate-gram skew by
+    * construction (the hot gram is one row on the build side). One
+    * uniform-key shuffle join + one doc-keyed aggregate. Docs with
+    * fewer than n tokens have no gram set and are absent, matching
+    * the oracle's WHERE.
+    */
+  def noveltyProfile(df: DataFrame, id: String, text: String,
+                     n: Int): DataFrame = {
+    graft.functions.TextHashing.register(df.sparkSession)
+    val grams = df.select(col(id),
+      graft.functions.Binning.knuthBucket(col(id)).as("__b"),
+      explode(graft.functions.TextHashing.ngramHashes(col(text), n)).as("g"))
+    val train = grams.filter(col("__b") < 80)
+      .select(col("g")).distinct().withColumn("__seen", lit(1L))
+    grams.filter(col("__b") >= 90)
+      .select(col(id).as("doc_id"), col("g"))
+      .join(train, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6))
+  }
+
   /** Exact Jaccard-similar pairs (ids a < b) above `threshold`, via
     * explode + inverted-index self-join on the shingle string. At scale
     * the join key would be `xxhash64(shingle)` (narrower shuffle, same

@@ -91,6 +91,12 @@ object DedupQueries {
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
         n = 13)),
+    // Per-test-doc 5-gram novelty census vs the train split (5 of the
+    // 50 held-out docs at sf0.01 are partially seen — both directions
+    // of the audit fire on the corpus)
+    "dedup_novelty" -> ((s, dir) =>
+      Dedup.noveltyProfile(Tables.documents(s, dir), "doc_id", "text",
+        n = 5)),
     // Asymmetric containment (sub ⊆ super at 90% of the sub's
     // shingles) — the embedded-document signal Jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -538,6 +544,30 @@ object DedupQueries {
         |FROM grams tr JOIN grams te ON tr.g = te.g
         |WHERE tr.b < 80 AND te.b >= 90
         |GROUP BY 1, 2""".stripMargin,
+    // string grams in the oracle vs xxhash64 grams in the plan — the
+    // decontaminate contract (exact modulo 2^-64 collisions); novelty
+    // ranks on counts of the same distinct sets
+    "dedup_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (doc_id % 100) * 61 % 100 AS b,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     t -> t != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(w) - 3, 1)),
+        |           i -> list_aggregate(w[i:i+4], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 5),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE b < 80),
+        |te AS (SELECT doc_id, g FROM grams WHERE b >= 90)
+        |SELECT te.doc_id, count(*) AS n_grams,
+        |       sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_seen,
+        |       round(1.0 - sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0
+        |                       END)::DOUBLE / count(*), 6) AS novelty
+        |FROM te LEFT JOIN tr ON te.g = tr.g
+        |GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     // exact cross-slice Jaccard between the probe batch and the
     // indexed corpus (build slice + appended delta) — at 128/32
