@@ -103,6 +103,44 @@ object Boilerplate {
       .select(col("ngram"), col("df"),
         pmod(hash(col("ngram")), lit(GramBuckets)).as("bucket"))
 
+  /** Novelty probe of a document batch against a stored gram index
+    * ([[gramIndexBuild]]/[[gramIndexAppend]]): per probe doc, its
+    * distinct n-gram count, how many of those grams exist ANYWHERE in
+    * the indexed corpus, and the novelty share — the
+    * [[Dedup.noveltyProfile]] census served from a persisted index
+    * instead of a corpus co-scan, so a probe never touches corpus
+    * text. The index read is pruned to the batch's gram-hash buckets
+    * (≤ GramBuckets driver scalars), and the indexed side collapses
+    * to DISTINCT grams before the join — every probe gram matches at
+    * most one row, zero fan-out regardless of how many corpus docs
+    * (or appended partial rows) share a boilerplate gram. Stateless:
+    * the streaming gate probes each micro-batch against the frozen
+    * index with no streaming state. An index grown by appends probes
+    * identically to a one-shot build (membership is df-threshold-free,
+    * so partial rows only add duplicates the DISTINCT collapses).
+    */
+  def noveltyFromIndex(s: org.apache.spark.sql.SparkSession,
+                       probe: DataFrame, id: String, text: String,
+                       n: Int, dir: String): DataFrame = {
+    // consumed twice (bucket collect + join) and micro-batch-sized
+    val grams = probe.select(col(id).as("doc_id"),
+        explode(Dedup.shingles(col(text), n)).as("ngram"))
+      .localCheckpoint(true)
+    val buckets = grams
+      .select(pmod(hash(col("ngram")), lit(GramBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val indexed = s.read.schema("ngram STRING, df BIGINT, bucket INT")
+      .parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("ngram")).distinct().withColumn("__seen", lit(1L))
+    grams.join(indexed, Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6))
+  }
+
   /** The boiler set at threshold `minDf`, folded from the stored
     * partials — equals the one-shot [[Dedup.commonNgrams]] mine over
     * the union corpus (partial dfs are per-append distinct-doc

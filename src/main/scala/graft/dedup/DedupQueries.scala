@@ -97,6 +97,24 @@ object DedupQueries {
     "dedup_novelty" -> ((s, dir) =>
       Dedup.noveltyProfile(Tables.documents(s, dir), "doc_id", "text",
         n = 5)),
+    // The same census served from the PERSISTED gram index: built on
+    // half the train split, grown to the full split by an O(delta)
+    // append, then probed by the held-out docs — an appended index
+    // must probe identically to a one-shot build AND to the corpus
+    // co-scan above (the oracle is shared verbatim)
+    "dedup_novelty_persisted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      val ix = s"/tmp/graft_novelty_ix-${ProcessHandle.current().pid()}"
+      Boilerplate.gramIndexBuild(
+        docs.filter(b < 80 && col("doc_id") < 250), "doc_id", "text",
+        n = 5, ix)
+      Boilerplate.gramIndexAppend(
+        docs.filter(b < 80 && col("doc_id") >= 250), "doc_id", "text",
+        n = 5, ix)
+      Boilerplate.noveltyFromIndex(s, docs.filter(b >= 90),
+        "doc_id", "text", n = 5, ix)
+    }),
     // Asymmetric containment (sub ⊆ super at 90% of the sub's
     // shingles) — the embedded-document signal Jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -377,6 +395,31 @@ object DedupQueries {
        |SELECT u AS doc, min(label) AS component
        |FROM reach GROUP BY u""".stripMargin
 
+  /** Per-test-doc 5-gram novelty replay — shared by the corpus
+    * co-scan, the persisted-index probe, and the streaming twin.
+    */
+  private[graft] lazy val noveltyOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, (doc_id % 100) * 61 % 100 AS b,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     t -> t != '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, b,
+      |         unnest(list_distinct(list_transform(
+      |           range(1, greatest(len(w) - 3, 1)),
+      |           i -> list_aggregate(w[i:i+4], 'string_agg', ' ')))) AS g
+      |  FROM toks WHERE len(w) >= 5),
+      |tr AS (SELECT DISTINCT g FROM grams WHERE b < 80),
+      |te AS (SELECT doc_id, g FROM grams WHERE b >= 90)
+      |SELECT te.doc_id, count(*) AS n_grams,
+      |       sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_seen,
+      |       round(1.0 - sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0
+      |                       END)::DOUBLE / count(*), 6) AS novelty
+      |FROM te LEFT JOIN tr ON te.g = tr.g
+      |GROUP BY 1""".stripMargin
+
   /** Scratch canonical-selection replay: the component CTE chain of
     * [[componentsOracle]] + quality labeling + struct-max argmax —
     * shared by the scratch build and its incremental twin (whose
@@ -547,27 +590,10 @@ object DedupQueries {
     // string grams in the oracle vs xxhash64 grams in the plan — the
     // decontaminate contract (exact modulo 2^-64 collisions); novelty
     // ranks on counts of the same distinct sets
-    "dedup_novelty" ->
-      """WITH toks AS (
-        |  SELECT doc_id, (doc_id % 100) * 61 % 100 AS b,
-        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                     t -> t != '') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, b,
-        |         unnest(list_distinct(list_transform(
-        |           range(1, greatest(len(w) - 3, 1)),
-        |           i -> list_aggregate(w[i:i+4], 'string_agg', ' ')))) AS g
-        |  FROM toks WHERE len(w) >= 5),
-        |tr AS (SELECT DISTINCT g FROM grams WHERE b < 80),
-        |te AS (SELECT doc_id, g FROM grams WHERE b >= 90)
-        |SELECT te.doc_id, count(*) AS n_grams,
-        |       sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |         AS n_seen,
-        |       round(1.0 - sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0
-        |                       END)::DOUBLE / count(*), 6) AS novelty
-        |FROM te LEFT JOIN tr ON te.g = tr.g
-        |GROUP BY 1""".stripMargin,
+    "dedup_novelty" -> noveltyOracle,
+    // index-served probe ≡ corpus co-scan (and appended ≡ one-shot):
+    // the oracle is the same replay, verbatim
+    "dedup_novelty_persisted" -> noveltyOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
     // exact cross-slice Jaccard between the probe batch and the
     // indexed corpus (build slice + appended delta) — at 128/32

@@ -908,6 +908,40 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming NOVELTY probe over the stored gram index — the
+    * memorization-risk census as an admission-family stream: the index
+    * is built from the train corpus and FROZEN, held-out docs arrive
+    * as micro-batches, and each batch's per-doc novelty census is one
+    * bucket-pruned, zero-fan-out probe
+    * ([[graft.dedup.Boilerplate.noveltyFromIndex]]) with an idempotent
+    * per-batch write. Stateless stream–static; per-doc independence
+    * makes the drained union equal the one-shot batch census, which is
+    * exactly what the shared `dedup_novelty` oracle replays.
+    */
+  def streamNoveltyProbe(corpus: DataFrame, queries: DataFrame,
+                         id: String, text: String, n: Int,
+                         workDir: String, nFiles: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.dedup.Boilerplate.gramIndexBuild(corpus, id, text, n, s"$dir/ix")
+    queries.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = startLocked(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Boilerplate.noveltyFromIndex(s, batch, id, text, n,
+            s"$dir/ix")
+          .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    s.read.parquet(s"$dir/out").drop("ingest")
+  }
+
   /** Streaming HYBRID retrieval probe — the fusion of
     * [[streamMltProbe]] (lexical leg, stored posting index) and the
     * vector leg in one admission stream: each arriving query doc

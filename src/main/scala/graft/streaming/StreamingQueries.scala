@@ -401,6 +401,15 @@ object StreamingQueries {
     "s30_stream_keeper_maintenance" -> ((s, dir) =>
       StreamingJob.streamKeeperMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s30")),
+    // Streaming novelty probe: gram index frozen on the train split,
+    // held-out docs arrive as micro-batches, drained census ≡ the
+    // one-shot batch census (shared dedup_novelty oracle)
+    "s31_stream_novelty_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      StreamingJob.streamNoveltyProbe(docs.filter(b < 80),
+        docs.filter(b >= 90), "doc_id", "text", n = 5, "/tmp/graft_s31")
+    }),
     // Streaming drift monitor: current-slice histogram maintained
     // incrementally (long counts ⇒ N-batch merge == one pass), PSI vs
     // the static reference after drain — same answer, same oracle, as
@@ -679,6 +688,8 @@ object StreamingQueries {
     // incremental≡scratch contract as s18, one derived layer up
     "s30_stream_keeper_maintenance" ->
       graft.dedup.DedupQueries.canonicalOracle,
+    "s31_stream_novelty_probe" ->
+      graft.dedup.DedupQueries.noveltyOracle,
     // the incrementally-merged histogram must yield the identical PSI
     // as the one-shot batch gate, so the oracle is shared verbatim
     "s19_stream_drift_monitor" ->
