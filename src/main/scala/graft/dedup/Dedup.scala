@@ -1001,8 +1001,10 @@ object Dedup {
     * the keeper fold, so the delta's graph work is paid once.
     *
     * Layout under `dir`:
-    *   labels/bucket=K/   (doc, component)          — doc-hash bucket
-    *   docq/bucket=K/     (doc, q)                  — doc-hash bucket
+    *   state/bucket=K/    (doc, component, q)       — doc-hash bucket;
+    *                      EVERY ingested doc has a row (singletons
+    *                      carry component = doc), so one table is both
+    *                      the labeling and the quality store
     *   keepers/bucket=K/  (component, keeper,
     *                       keeper_q, n_members)     — component-hash
     *
@@ -1010,7 +1012,7 @@ object Dedup {
     * merges STORED argmax structs), the table merge recomputes each
     * affected component from its member rows: `relabeled` already
     * carries every member of every affected component, and joining it
-    * to the (bucket-pruned) docq table yields exactly the rows the
+    * to the (bucket-pruned) state table yields exactly the rows the
     * argmax needs. That recompute-from-members formulation is what
     * makes the merge an IDEMPOTENT FIXPOINT under at-least-once
     * redelivery — replaying a batch rewrites the same bucket contents
@@ -1019,72 +1021,108 @@ object Dedup {
     * O(corpus); the only corpus-sized relations are the tables
     * themselves, touched strictly through bucket-pruned scans.
     *
+    * ONE exact affected-bucket set (collected once) serves both
+    * tables: every rewritten state row is keyed by a relabeled or
+    * delta doc, and every superseded or new keeper component id is
+    * itself one of those docs — a component label is always a member.
     * Keeper rows move buckets when components merge (the row is keyed
-    * by its component id): the rewrite set is the union of the NEW
-    * rows' buckets and the buckets of every OLD row being superseded —
-    * an old row is superseded exactly when its component id (itself a
-    * member doc) appears in `relabeled`. Docs arriving with no edge at
-    * all become singleton keeper rows directly.
+    * by its component id), so a bucket can end a merge with zero
+    * surviving rows; since dynamic partition overwrite never touches a
+    * partition it writes nothing to, such buckets are dropped
+    * explicitly (replay-safe: a crash before the drop leaves stale
+    * rows the redelivered merge re-identifies).
     */
   def curationMerge(dir: String, newPairs: DataFrame, deltaDocs: DataFrame,
                     idCol: String, qCol: String, aCol: String, bCol: String,
                     nBuckets: Int = 16, pairsPinned: Boolean = false): Unit = {
     val s = newPairs.sparkSession
-    val (labDir, qDir, kDir) = (s"$dir/labels", s"$dir/docq", s"$dir/keepers")
+    val (stDir, kDir) = (s"$dir/state", s"$dir/keepers")
     val bucketOf = (c: Column) => bucketOfCol(c, nBuckets)
-    val lab = readLabelsOrEmpty(s, labDir)
-    val (touched, relabeled) =
-      componentsAppendParts(lab, newPairs, aCol, bCol, pairsPinned)
-    writeLabelsPruned(s, labDir, lab, touched, relabeled, nBuckets)
-    // --- docq: idempotent doc-bucket merge of the delta's q rows ---
-    // (three consumers: the write, the member join, the singleton path)
+    // the state table IS the labeling: singleton rows (doc, doc)
+    // satisfy the min-label invariant trivially and make old
+    // singletons discoverable as touched components like any other
+    val (_, relabeled) = componentsAppendParts(
+      readLabelsOrEmpty(s, stDir), newPairs, aCol, bCol, pairsPinned)
     val delta = deltaDocs
       .select(col(idCol).cast("long").as("doc"), col(qCol).as("q"))
       .localCheckpoint(true)
-    val qBuckets = delta.select(bucketOf(col("doc")).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val qKeep = (if (new java.io.File(qDir).exists())
-        s.read.parquet(qDir).filter(col("bucket").isin(qBuckets: _*))
-          .select(col("doc"), col("q"), col("bucket"))
-      else delta.withColumn("bucket", bucketOf(col("doc"))).limit(0))
-      // redelivery: the delta's version of a doc's q wins (it is the
-      // same value — q is a pure function of the doc)
-      .join(broadcast(delta.select(col("doc"))), Seq("doc"), "left_anti")
-    qKeep.union(delta.select(col("doc"), col("q"),
+    // ONE tagged collect yields both bucket sets: the union set (every
+    // bucket either table rewrites) and the member subset (the only
+    // buckets the q-source scan below needs — reading the union there
+    // instead was a measured ~1.5 s loss when delta ids spray every
+    // bucket)
+    val tagged = relabeled
+      .select(lit(true).as("m"), bucketOf(col("doc")).as("bucket"))
+      .union(delta.select(lit(false).as("m"),
         bucketOf(col("doc")).as("bucket")))
+      .distinct().collect()
+    val memberBuckets =
+      tagged.filter(_.getBoolean(0)).map(_.getInt(1)).distinct.toSeq
+    val buckets = tagged.map(_.getInt(1)).distinct.toSeq
+    // LAZY pruned view of the pre-merge state: the pass-through keep
+    // reads it inside the overwrite job itself (the labelsMerge
+    // self-overwrite pattern — staging + end-of-job commit make the
+    // in-job self-read safe), and the only other consumer pins the
+    // SMALL members relation below. Eagerly checkpointing this view
+    // would materialize a corpus-sized scan whenever the delta's doc
+    // ids spray every bucket — measured as a 3 s regression in the
+    // keepmg audit.
+    val stored = (if (new java.io.File(stDir).exists())
+        s.read.parquet(stDir).filter(col("bucket").isin(buckets: _*))
+          .select(col("doc"), col("component"), col("q"))
+      else delta.withColumn("component", col("doc"))
+        .select(col("doc"), col("component"), col("q")).limit(0))
+    // one q per doc: the delta's row wins on replay (same value — q
+    // is a pure function of the doc). The stored-q scan prunes to the
+    // MEMBER buckets — relabeled docs are the only ones whose q the
+    // fold needs from storage.
+    val storedQ = (if (new java.io.File(stDir).exists())
+        s.read.parquet(stDir)
+          .filter(col("bucket").isin(memberBuckets: _*))
+          .select(col("doc"), col("q"))
+      else stored.select(col("doc"), col("q")).limit(0))
+    val qAll = storedQ
+      .join(broadcast(delta.select(col("doc"))), Seq("doc"), "left_anti")
+      .union(delta)
+    // members of every affected component WITH q — the rows both the
+    // state rewrite and the keeper argmax consume. Pinned BEFORE the
+    // state overwrite: delta-sized, and the keeper aggregate must not
+    // re-derive it from a table the write just replaced.
+    val members = qAll.join(broadcast(relabeled), Seq("doc"))
+      .localCheckpoint(true)
+    val singles = delta
+      .join(relabeled.select(col("doc")), Seq("doc"), "left_anti")
+    // --- state table rewrite ---
+    val replacedDocs = relabeled.select(col("doc"))
+      .union(delta.select(col("doc"))).distinct()
+    stored.join(broadcast(replacedDocs), Seq("doc"), "left_anti")
+      .union(members.select(col("doc"), col("component"), col("q")))
+      .union(singles.select(col("doc"), col("doc").as("component"),
+        col("q")))
+      .withColumn("bucket", bucketOf(col("doc")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(qDir)
+      .partitionBy("bucket").parquet(stDir)
     // --- keepers: recompute affected components from member rows ---
-    val memberBuckets = relabeled
-      .select(bucketOf(col("doc")).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val docq = s.read.parquet(qDir)
-      .filter(col("bucket").isin(memberBuckets: _*))
-      .select(col("doc"), col("q"))
-    val merged = docq.join(broadcast(relabeled), Seq("doc"))
-      .groupBy(col("component"))
+    val merged = members.groupBy(col("component"))
       .agg(max(struct(col("q"), (-col("doc")).as("nid"))).as("m"),
         count(lit(1)).as("n_members"))
       .select(col("component"), (-col("m.nid")).as("keeper"),
         col("m.q").as("keeper_q"), col("n_members"))
-    val singletons = delta
-      .join(relabeled.select(col("doc")), Seq("doc"), "left_anti")
-      .select(col("doc").as("component"), col("doc").as("keeper"),
-        col("q").as("keeper_q"), lit(1L).as("n_members"))
-    // consumed twice (bucket collect + write) and small by
-    // construction (affected components + delta singletons)
-    val newRows = merged.union(singletons).localCheckpoint(true)
+    // lazy: consumed once (the out union below), and its inputs —
+    // members, delta — are already pinned
+    val newRows = merged.union(
+      singles.select(col("doc").as("component"),
+        col("doc").as("keeper"), col("q").as("keeper_q"),
+        lit(1L).as("n_members")))
     // superseded old rows: any stored component whose id-doc was
-    // relabeled this merge (it either remains the merged component's
-    // label — newRows replaces it — or was absorbed into another)
+    // relabeled (it either remains the merged component's label —
+    // newRows replaces it — or was absorbed), plus replayed delta
+    // singletons
     val superseded = relabeled.select(col("doc").as("component"))
-      .union(newRows.select(col("component"))).distinct()
-    val kBuckets = superseded
-      .select(bucketOf(col("component")).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .union(delta.select(col("doc").as("component"))).distinct()
     val kKeep = (if (new java.io.File(kDir).exists())
-        s.read.parquet(kDir).filter(col("bucket").isin(kBuckets: _*))
+        s.read.parquet(kDir).filter(col("bucket").isin(buckets: _*))
           .select(col("component"), col("keeper"), col("keeper_q"),
             col("n_members"), col("bucket"))
       else newRows.withColumn("bucket", bucketOf(col("component"))).limit(0))
@@ -1097,14 +1135,7 @@ object Dedup {
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(kDir)
-    // dynamic overwrite never touches a partition it writes ZERO rows
-    // to — but keeper rows, unlike label/docq rows, can vanish from a
-    // bucket outright (the component id drops on a merge and the row
-    // moves buckets). An affected bucket with no surviving and no new
-    // rows must be dropped explicitly or its stale rows survive the
-    // merge. Replay-safe: a crash before the drop leaves stale rows
-    // that the redelivered merge re-identifies and drops again.
-    kBuckets.filterNot(written).foreach { b =>
+    buckets.filterNot(written).foreach { b =>
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(s"$kDir/bucket=$b"))
     }

@@ -507,12 +507,19 @@ object StreamingJob {
     * converge to the scratch labeling (the s18 contract) and each
     * affected keeper row is recomputed from its member rows.
     *
-    * The fold runs ON the trigger path (synchronous), unlike s18's
-    * backgrounded label fold: the keeper table is the SERVED artifact
-    * here, so its freshness is the point — a reader after batch k must
-    * see batch k's keepers. Same at-least-once story: curationMerge is
-    * an idempotent fixpoint, so a replayed trigger rewrites identical
-    * bucket contents.
+    * The fold runs as a SERIALIZED BACKGROUND task off the trigger's
+    * critical path (the s18 schedule: the keeper table is a derived
+    * view, admission latency tracks ingest+probe), with one upgrade:
+    * each fold takes EVERY pending queue batch at once. Coalescing is
+    * EXACT, not approximate — the final labeling is a pure function of
+    * the union edge set (component merging is order-independent), and
+    * the keeper fold recomputes affected components from member rows
+    * with every coalesced delta's q in hand — so folding batches
+    * {1,2,3} together lands byte-identical state to folding them one
+    * by one. Durability mirrors s18: each trigger writes its edge set
+    * and its delta's (doc, q) rows to `queue/b<id>/` BEFORE the batch
+    * commits; a fold marks its batches `_MERGED` only after the merge
+    * lands; recovery refolds unmarked batches (idempotent fixpoint).
     */
   def streamKeeperMaintenance(docs: DataFrame, id: String, text: String,
                               n: Int, threshold: Double, workDir: String,
@@ -524,29 +531,70 @@ object StreamingJob {
     docs.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val mergeExec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val mergeErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    foldKeeperQueue(s, dir, nBuckets) // recover pre-crash unmerged work
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (mergeErr.get() != null) throw mergeErr.get()
         // one signature pass serves index writes and edge discovery
-        val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
+        val part = s"$dir/queue/b$batchId"
+        graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
           .select(least(col("in_doc"), col("corpus_doc")).as("a"),
             greatest(col("in_doc"), col("corpus_doc")).as("b"))
           .distinct()
-        val delta = batch.select(col(id).cast("long").as("doc"),
-          round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
-        graft.dedup.Dedup.curationMerge(s"$dir/cur", edges, delta,
-          "doc", "q", "a", "b", nBuckets)
+          .write.mode("overwrite").parquet(s"$part/edges")
+        batch.select(col(id).cast("long").as("doc"),
+            round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
+          .write.mode("overwrite").parquet(s"$part/delta")
+        mergeExec.submit(new Runnable {
+          def run(): Unit =
+            try foldKeeperQueue(s, dir, nBuckets)
+            catch { case t: Throwable => mergeErr.compareAndSet(null, t) }
+        })
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      mergeExec.shutdown()
+      mergeExec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    if (mergeErr.get() != null) throw mergeErr.get()
     s.read.parquet(s"$dir/cur/keepers")
       .select(col("component"), col("keeper"), col("keeper_q"),
         col("n_members"))
+  }
+
+  /** Fold EVERY unmerged keeper-queue batch in one [[Dedup
+    * .curationMerge]] (exact — see [[streamKeeperMaintenance]]), then
+    * mark them. Serialized by the caller's single-thread executor;
+    * a later task finding nothing pending is a no-op.
+    */
+  private def foldKeeperQueue(s: SparkSession, dir: String,
+                              nBuckets: Int): Unit = {
+    val qd = new java.io.File(s"$dir/queue")
+    if (!qd.exists()) return
+    val pending = qd.listFiles().filter(_.isDirectory)
+      .filter(d => !new java.io.File(d, "_MERGED").exists())
+      .sortBy(_.getName)
+    if (pending.isEmpty) return
+    val edges = pending.map(d => s.read.parquet(s"$d/edges"))
+      .reduce(_.union(_))
+    val delta = pending.map(d => s.read.parquet(s"$d/delta"))
+      .reduce(_.union(_))
+    // pairsPinned: the queue IS durable materialized edge state — its
+    // consumers re-scan a tiny parquet leaf (cheaper than a whole
+    // re-checkpoint pass per fold)
+    graft.dedup.Dedup.curationMerge(s"$dir/cur", edges, delta,
+      "doc", "q", "a", "b", nBuckets, pairsPinned = true)
+    pending.foreach(d => new java.io.File(d, "_MERGED").createNewFile())
   }
 
   /** Fold one durable edge-queue partition into the labels table and

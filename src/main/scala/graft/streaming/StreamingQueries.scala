@@ -395,9 +395,10 @@ object StreamingQueries {
       StreamingJob.streamLabelMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s18")),
     // Streaming canonical-keeper maintenance: the s18 loop one derived
-    // layer up — each trigger folds labels + per-doc quality + the
-    // keeper table (bucket-pruned rewrites), and the drained keeper
-    // table equals the scratch full-corpus canonical selection
+    // layer up — queued edge+delta batches fold (coalesced, off the
+    // trigger path) into a doc-keyed state table and the keeper table,
+    // both bucket-pruned; the drained keeper table equals the scratch
+    // full-corpus canonical selection
     "s30_stream_keeper_maintenance" -> ((s, dir) =>
       StreamingJob.streamKeeperMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s30")),
