@@ -283,6 +283,38 @@ object DedupQueries {
             lit(0.15) * countDistinct(col("chunk_fp")))
             .as("uniq_chunks_within_bound"))
     }),
+    // Curation v4: the end-to-end pass with the QUALITY-KEEPER policy —
+    // quality gate → near-dup components over survivors → keep each
+    // cluster's best-quality member (dedup_canonical_best's argmax,
+    // where v1 kept the min-id label) → growth-stable split census.
+    // Still one declarative plan; the keeper cut adds one aggregate +
+    // one LEFT SEMI join over the gated slice, no window. min/max
+    // quality per split are order-free aggregates (no float-sum
+    // association hazard a mean would carry).
+    "pipeline_curation_v4" -> ((s, dir) => {
+      val q6 = round(graft.text.Text.qualityScore(col("text")), 6)
+      val kept = Tables.documents(s, dir)
+        .filter(graft.text.Text.qualityScore(col("text")) >= 0.45)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(kept, "doc_id", "text", N, Threshold),
+        "doc_a", "doc_b")
+      val keepers = kept.select(col("doc_id"), q6.as("q"))
+        .join(comp, col("doc_id") === comp("doc"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"),
+          col("doc_id"), col("q"))
+        .groupBy(col("component"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("keeper_id"))
+      val b = graft.functions.Binning.knuthBucket(col("doc_id"))
+      kept.join(keepers, kept("doc_id") === keepers("keeper_id"),
+          "left_semi")
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.Text.tokenCount(col("text"))).as("ws_tokens"),
+          min(q6).as("min_quality"), max(q6).as("max_quality"))
+    }),
     "dedup_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val comp = Dedup.connectedComponents(
@@ -661,6 +693,45 @@ object DedupQueries {
          |FROM ch GROUP BY 1""".stripMargin
     },
     "graph_pagerank" -> pagerankOracle,
+    "pipeline_curation_v4" -> {
+      import graft.text.TextQueries
+      val toksSql =
+        """list_filter(regexp_split_to_array(trim(text), '\s+'),
+          |                     t -> t != '')""".stripMargin
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT * FROM documents
+         |  WHERE (${TextQueries.qualitySql}) >= 0.45),
+         |pairs AS (${jaccardOracleOver("kept")}),
+         |cedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT e.u, r.label FROM cedges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc, min(label) AS component
+         |         FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT coalesce(c.component, k.doc_id) AS component,
+         |         k.doc_id,
+         |         round(${TextQueries.qualitySql}, 6) AS q
+         |  FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc),
+         |keepers AS (
+         |  SELECT (max({'q': q, 'nid': -doc_id})).nid * -1 AS keeper_id
+         |  FROM lab GROUP BY component),
+         |sel AS (
+         |  SELECT kept.* FROM kept
+         |  JOIN keepers ON kept.doc_id = keepers.keeper_id)
+         |SELECT CASE WHEN (doc_id % 100) * 61 % 100 < 80 THEN 'train'
+         |            WHEN (doc_id % 100) * 61 % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       sum(len($toksSql))::BIGINT AS ws_tokens,
+         |       min(round(${TextQueries.qualitySql}, 6)) AS min_quality,
+         |       max(round(${TextQueries.qualitySql}, 6)) AS max_quality
+         |FROM sel GROUP BY 1""".stripMargin
+    },
     "pipeline_curation" -> {
       val toksSql =
         """list_filter(regexp_split_to_array(trim(text), '\s+'),
