@@ -390,6 +390,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalAppend and curationMerge == scratch on random graph growth") {
+    import org.apache.spark.sql.DataFrame
+    def canonical(docs: DataFrame, labels: DataFrame): DataFrame =
+      docs.join(labels, docs("doc_id") === labels("doc"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"),
+          col("doc_id"), col("q"))
+        .groupBy(col("component"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("m.nid")).as("keeper"),
+          col("m.q").as("keeper_q"), col("n_members"))
+    for (seed <- 0 until 3) {
+      // old corpus: docs 0..29; delta: docs 30..44. Random old edges
+      // among old docs; random delta edges with at least one delta
+      // endpoint (what a band-index probe of the delta emits).
+      // Deterministic q with ties (3 distinct values) so the argmax
+      // tiebreak path is exercised, not dodged.
+      val oldDocs = (0L until 30L).map(d => (d, (d * 7 % 3) / 4.0))
+      val newDocs = (30L until 45L).map(d => (d, (d * 7 % 3) / 4.0))
+      val oldEdges = samples(for {
+        a <- Gen.chooseNum(0, 29); b <- Gen.chooseNum(0, 29) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong),
+        n = 12 + seed).distinct
+      val newEdges = samples(for {
+        a <- Gen.chooseNum(0, 44); b <- Gen.chooseNum(30, 44) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong),
+        n = 10 + seed).distinct
+      val oldLabels = graft.dedup.Dedup.connectedComponents(
+        oldEdges.toDF("a", "b"), "a", "b")
+      val scratch = canonical((oldDocs ++ newDocs).toDF("doc_id", "q"),
+          graft.dedup.Dedup.connectedComponents(
+            (oldEdges ++ newEdges).toDF("a", "b"), "a", "b"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      // in-plan fold
+      val incr = graft.dedup.Dedup.canonicalAppend(
+          canonical(oldDocs.toDF("doc_id", "q"), oldLabels), oldLabels,
+          newDocs.toDF("doc_id", "q"), "doc_id", "q",
+          newEdges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(incr == scratch, s"canonicalAppend seed=$seed")
+      // table merge, two deltas (old corpus bootstrap + the growth)
+      val dir = s"/tmp/graft_prop_cur-${ProcessHandle.current().pid()}-$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.dedup.Dedup.curationMerge(dir, oldEdges.toDF("a", "b"),
+        oldDocs.toDF("doc", "q"), "doc", "q", "a", "b", nBuckets = 4)
+      graft.dedup.Dedup.curationMerge(dir, newEdges.toDF("a", "b"),
+        newDocs.toDF("doc", "q"), "doc", "q", "a", "b", nBuckets = 4)
+      val merged = spark.read.parquet(s"$dir/keepers")
+        .select(col("component"), col("keeper"), col("keeper_q"),
+          col("n_members"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(merged == scratch, s"curationMerge seed=$seed")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("SCD2 fromSnapshots == plain-Scala model on random snapshot logs") {
     // small domains force ts collisions (tieBreak paths), duplicate
     // runs, NULL attrs, and multi-key interleavings
