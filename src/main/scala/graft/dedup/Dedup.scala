@@ -1038,11 +1038,24 @@ object Dedup {
     val s = newPairs.sparkSession
     val (stDir, kDir) = (s"$dir/state", s"$dir/keepers")
     val bucketOf = (c: Column) => bucketOfCol(c, nBuckets)
+    // every read of the two tables carries an EXPLICIT schema: an
+    // empty micro-batch commits a directory holding only _SUCCESS
+    // (zero part files), and schema inference on it throws where
+    // "no rows yet" is the correct answer (the boilerFromIndex
+    // convention; probed by EmptyProbe, spec-pinned)
+    val StateSchema = "doc BIGINT, component BIGINT, q DOUBLE, bucket INT"
+    val KeeperSchema = "component BIGINT, keeper BIGINT, " +
+      "keeper_q DOUBLE, n_members BIGINT, bucket INT"
+    def readState() = s.read.schema(StateSchema).parquet(stDir)
     // the state table IS the labeling: singleton rows (doc, doc)
     // satisfy the min-label invariant trivially and make old
     // singletons discoverable as touched components like any other
-    val (_, relabeled) = componentsAppendParts(
-      readLabelsOrEmpty(s, stDir), newPairs, aCol, bCol, pairsPinned)
+    val lab =
+      if (new java.io.File(stDir).exists())
+        readState().select(col("doc"), col("component"))
+      else readLabelsOrEmpty(s, stDir)
+    val (_, relabeled) =
+      componentsAppendParts(lab, newPairs, aCol, bCol, pairsPinned)
     val delta = deltaDocs
       .select(col(idCol).cast("long").as("doc"), col(qCol).as("q"))
       .localCheckpoint(true)
@@ -1068,7 +1081,7 @@ object Dedup {
     // ids spray every bucket — measured as a 3 s regression in the
     // keepmg audit.
     val stored = (if (new java.io.File(stDir).exists())
-        s.read.parquet(stDir).filter(col("bucket").isin(buckets: _*))
+        readState().filter(col("bucket").isin(buckets: _*))
           .select(col("doc"), col("component"), col("q"))
       else delta.withColumn("component", col("doc"))
         .select(col("doc"), col("component"), col("q")).limit(0))
@@ -1077,8 +1090,7 @@ object Dedup {
     // MEMBER buckets — relabeled docs are the only ones whose q the
     // fold needs from storage.
     val storedQ = (if (new java.io.File(stDir).exists())
-        s.read.parquet(stDir)
-          .filter(col("bucket").isin(memberBuckets: _*))
+        readState().filter(col("bucket").isin(memberBuckets: _*))
           .select(col("doc"), col("q"))
       else stored.select(col("doc"), col("q")).limit(0))
     val qAll = storedQ
@@ -1122,7 +1134,8 @@ object Dedup {
     val superseded = relabeled.select(col("doc").as("component"))
       .union(delta.select(col("doc").as("component"))).distinct()
     val kKeep = (if (new java.io.File(kDir).exists())
-        s.read.parquet(kDir).filter(col("bucket").isin(buckets: _*))
+        s.read.schema(KeeperSchema).parquet(kDir)
+          .filter(col("bucket").isin(buckets: _*))
           .select(col("component"), col("keeper"), col("keeper_q"),
             col("n_members"), col("bucket"))
       else newRows.withColumn("bucket", bucketOf(col("component"))).limit(0))

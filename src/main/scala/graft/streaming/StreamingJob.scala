@@ -567,7 +567,12 @@ object StreamingJob {
       mergeExec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
     }
     if (mergeErr.get() != null) throw mergeErr.get()
-    s.read.parquet(s"$dir/cur/keepers")
+    // explicit schema: an all-empty stream leaves a keeper table with
+    // zero part files, where "no keepers" is the answer, not an
+    // inference error
+    s.read.schema("component BIGINT, keeper BIGINT, keeper_q DOUBLE, " +
+        "n_members BIGINT, bucket INT")
+      .parquet(s"$dir/cur/keepers")
       .select(col("component"), col("keeper"), col("keeper_q"),
         col("n_members"))
   }

@@ -811,6 +811,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(keepers == after3, s"redelivery must be a fixpoint: $keepers")
   }
 
+  test("curationMerge: an empty delta batch does not poison the tables") {
+    // a restarted stream can deliver an empty micro-batch FIRST: its
+    // merge commits state/keepers dirs holding only _SUCCESS, and the
+    // next merge's reads must treat them as zero rows, not throw
+    // schema-inference errors (explicit-schema reads, probed live)
+    val dir = s"/tmp/graft_empty_spec-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def merge(edges: Seq[(Long, Long)], delta: Seq[(Long, Double)]): Unit =
+      Dedup.curationMerge(dir, edges.toDF("a", "b"), delta.toDF("doc", "q"),
+        "doc", "q", "a", "b", nBuckets = 4)
+    merge(Seq.empty, Seq.empty)
+    merge(Seq((1L, 2L)), Seq((1L, 0.5), (2L, 0.9)))
+    val got = spark.read.parquet(s"$dir/keepers")
+      .select(col("component"), col("keeper"), col("keeper_q"),
+        col("n_members"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0.9, 2L)), s"after empty-first merges: $got")
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
