@@ -995,6 +995,46 @@ object StreamingJob {
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
+  /** Streaming EPOCH MATERIALIZATION — the sampling recipe's
+    * upsampling leg as an admission-family stream: per-slice epoch
+    * factors are calibrated ONCE on the static corpus and FROZEN (a
+    * data recipe is fixed before the run — recomputing factors per
+    * batch would make early arrivals' copy counts depend on later
+    * traffic), then each arriving doc emits floor(e) copies plus one
+    * more iff its deterministic unit hash lands under frac(e) — a
+    * stateless map-only Generate per batch, the identical expression
+    * the batch query runs. Per-doc independence makes the drained
+    * union equal the one-shot materialization, which is exactly what
+    * the shared `sample_source_epochs` oracle replays.
+    */
+  def streamEpochMaterialize(docs: DataFrame, id: String,
+                             sliceCol: String, workDir: String,
+                             nFiles: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val counts = docs.groupBy(col(sliceCol)).agg(count(lit(1)).as("n_l"))
+    val eps = counts
+      .crossJoin(broadcast(counts.agg(max(col("n_l")).as("n_max"))))
+      .select(col(sliceCol).as("__slice"),
+        sqrt(col("n_max").cast("double") / col("n_l")).as("e"))
+      .cache()
+    eps.count() // frozen for the stream's life
+    val in = docs.select(col(id), col(sliceCol))
+    in.repartition(nFiles).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(in.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val u = (col(id) * lit(2654435761L) % 1000003L)
+      .cast("double") / 1000003.0
+    val out = stream.join(broadcast(eps), col(sliceCol) === col("__slice"))
+      .withColumn("n_copies",
+        floor(col("e")).cast("long") +
+          when(u < col("e") - floor(col("e")), 1L).otherwise(0L))
+      .select(col(id), col(sliceCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch_idx"))
+    runToMemory(out)
+  }
+
   /** Streaming HYBRID retrieval probe — the fusion of
     * [[streamMltProbe]] (lexical leg, stored posting index) and the
     * vector leg in one admission stream: each arriving query doc

@@ -402,6 +402,12 @@ object StreamingQueries {
     "s30_stream_keeper_maintenance" -> ((s, dir) =>
       StreamingJob.streamKeeperMaintenance(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, "/tmp/graft_s30")),
+    // Streaming epoch materialization: per-lang factors frozen at
+    // calibration, arrivals emit their copies map-only — drained
+    // union ≡ the one-shot batch materialization (shared oracle)
+    "s32_stream_epoch_materialize" -> ((s, dir) =>
+      StreamingJob.streamEpochMaterialize(Tables.documents(s, dir),
+        "doc_id", "lang", "/tmp/graft_s32")),
     // Streaming novelty probe: gram index frozen on the train split,
     // held-out docs arrive as micro-batches, drained census ≡ the
     // one-shot batch census (shared dedup_novelty oracle)
@@ -691,6 +697,8 @@ object StreamingQueries {
       graft.dedup.DedupQueries.canonicalOracle,
     "s31_stream_novelty_probe" ->
       graft.dedup.DedupQueries.noveltyOracle,
+    "s32_stream_epoch_materialize" ->
+      graft.text.TextQueries.oracleSql("sample_source_epochs"),
     // the incrementally-merged histogram must yield the identical PSI
     // as the one-shot batch gate, so the oracle is shared verbatim
     "s19_stream_drift_monitor" ->
