@@ -832,28 +832,51 @@ object Dedup {
     * the full corpus. `keeper_q` must be rounded identically on both
     * the stored and the delta side — the struct max compares it first.
     */
+  /** The canonical-selection aggregate over an already-scored doc set:
+    * label every (id, q) row (docs outside the labeling are their own
+    * singleton component), then ONE max-of-struct argmax + census per
+    * component — keeper = highest q, ties to the lower id. This is
+    * THE definition of the keeper tie-break: the driver queries, the
+    * differential specs, and the scale audit all call it, so a change
+    * to the ordering lands everywhere at once.
+    */
+  def canonicalTable(docsQ: DataFrame, labels: DataFrame,
+                     idCol: String, qCol: String): DataFrame =
+    docsQ.join(labels, docsQ(idCol) === labels("doc"), "left")
+      .select(coalesce(col("component"), docsQ(idCol)).as("component"),
+        docsQ(idCol).as("__id"), col(qCol).as("__q"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("__q").as("q"), (-col("__id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
+
   def canonicalAppend(keepers: DataFrame, oldLabels: DataFrame,
                       deltaDocs: DataFrame, idCol: String, qCol: String,
                       newPairs: DataFrame, aCol: String,
                       bCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
-    // full labeling of the grown pair graph; referenced twice (old-
-    // component mapping + delta mapping) and bounded by graph nodes,
-    // not the corpus — pin it once
-    val newLabels = componentsAppend(oldLabels, newPairs, aCol, bCol)
-      .localCheckpoint(true)
+    // ONLY the re-resolved part of the grown labeling: members of
+    // touched components + the delta's graph nodes — genuinely
+    // (touched + delta)-sized and broadcast-safe at any corpus size.
+    // The FULL componentsAppend labeling would work too, but it is
+    // O(pair-graph) (its anti-join pass-through carries every
+    // untouched row), and broadcasting it here would break the
+    // O(delta + touched) contract this fold exists for.
+    val (_, relabeled) = componentsAppendParts(
+      normalizedLabels(oldLabels), newPairs, aCol, bCol)
     // old component id → new component id. The old label is itself a
-    // member doc of its component, so its row in the new labeling IS
-    // the mapping; components the delta never touched (and old
-    // singletons outside the pair graph) coalesce to themselves. The
-    // labeling side is touched+graph-sized — broadcast it so the
-    // corpus-sized keeper table never shuffles for the map.
+    // member doc of its component, so its row in the re-resolved
+    // labeling IS the mapping; components the delta never touched
+    // (and old singletons outside the pair graph) are absent from
+    // `relabeled` and coalesce to themselves — the same value their
+    // pass-through row would have carried.
     val mapped = keepers.select(
         col("component").cast("long").as("oldc"),
         struct(col("keeper_q").as("q"),
           (-col("keeper")).cast("long").as("nid")).as("m"),
         col("n_members").cast("long").as("n_members"))
-      .join(bcast(newLabels.select(col("doc").as("oldc"),
+      .join(bcast(relabeled.select(col("doc").as("oldc"),
         col("component").as("newc"))), Seq("oldc"), "left")
       .select(coalesce(col("newc"), col("oldc")).as("component"),
         col("m"), col("n_members"))
@@ -861,7 +884,7 @@ object Dedup {
     // pair graph are their own singleton component
     val deltaCand = deltaDocs.select(
         col(idCol).cast("long").as("doc"), col(qCol).as("q"))
-      .join(bcast(newLabels), Seq("doc"), "left")
+      .join(bcast(relabeled), Seq("doc"), "left")
       .select(coalesce(col("component"), col("doc")).as("component"),
         struct(col("q"), (-col("doc")).as("nid")).as("m"),
         lit(1L).as("n_members"))

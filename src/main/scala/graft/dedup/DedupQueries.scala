@@ -368,22 +368,15 @@ object DedupQueries {
         "doc_a", "doc_b")
     }))
 
-  /** The canonical-selection aggregate shared by the scratch build and
-    * the incremental twin's old-slice bootstrap: label every doc
-    * (singletons are their own component via the LEFT join), then ONE
-    * max-of-struct argmax + census per component.
+  /** Scratch canonical build: score quality, then the shared
+    * [[Dedup.canonicalTable]] argmax (the single keeper tie-break
+    * definition).
     */
   private def canonicalOf(docs: DataFrame, comp: DataFrame): DataFrame =
-    docs.join(comp, docs("doc_id") === comp("doc"), "left")
-      .select(
-        coalesce(col("component"), col("doc_id")).as("component"),
-        col("doc_id"),
-        round(graft.text.Text.qualityScore(col("text")), 6).as("q"))
-      .groupBy(col("component"))
-      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
-        count(lit(1)).as("n_members"))
-      .select(col("component"), (-col("m.nid")).as("keeper"),
-        col("m.q").as("keeper_q"), col("n_members"))
+    Dedup.canonicalTable(
+      docs.select(col("doc_id"),
+        round(graft.text.Text.qualityScore(col("text")), 6).as("q")),
+      comp, "doc_id", "q")
 
   /** The exact-Jaccard pair SQL over an arbitrary source relation
     * (table name or CTE) — the curation oracle feeds it the

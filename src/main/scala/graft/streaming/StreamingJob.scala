@@ -485,12 +485,17 @@ object StreamingJob {
       }
       .trigger(Trigger.AvailableNow())
       .start())
+    var drained = false
     try q.awaitTermination()
     finally {
       mergeExec.shutdown()
-      mergeExec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      drained = mergeExec
+        .awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
     }
     if (mergeErr.get() != null) throw mergeErr.get()
+    // same loud-failure contract as the keeper drain: a fold past the
+    // cap must not yield a silently partial labels read
+    require(drained, "label fold did not complete within the drain cap")
     s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
   }
 
@@ -552,6 +557,14 @@ object StreamingJob {
         batch.select(col(id).cast("long").as("doc"),
             round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
           .write.mode("overwrite").parquet(s"$part/delta")
+        // completeness marker: a COALESCED fold lists the queue while
+        // later triggers are mid-write — without this gate it could
+        // read a half-committed batch (crash on the missing delta, or
+        // worse: fold a partial edge listing and still mark it
+        // merged). A batch is fold-eligible only once both writes
+        // landed; a crash before the marker replays the batch.
+        require(new java.io.File(s"$part/_READY").createNewFile() ||
+          new java.io.File(s"$part/_READY").exists())
         mergeExec.submit(new Runnable {
           def run(): Unit =
             try foldKeeperQueue(s, dir, nBuckets)
@@ -561,12 +574,19 @@ object StreamingJob {
       }
       .trigger(Trigger.AvailableNow())
       .start())
+    var drained = false
     try q.awaitTermination()
     finally {
       mergeExec.shutdown()
-      mergeExec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      drained = mergeExec
+        .awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
     }
     if (mergeErr.get() != null) throw mergeErr.get()
+    // fail LOUDLY on a fold overrunning the drain cap: reading the
+    // keeper table while a fold is still rewriting buckets would
+    // return a silently partial result — an oracle mismatch diagnosed
+    // far from its cause
+    require(drained, "keeper fold did not complete within the drain cap")
     // explicit schema: an all-empty stream leaves a keeper table with
     // zero part files, where "no keepers" is the answer, not an
     // inference error
@@ -587,7 +607,8 @@ object StreamingJob {
     val qd = new java.io.File(s"$dir/queue")
     if (!qd.exists()) return
     val pending = qd.listFiles().filter(_.isDirectory)
-      .filter(d => !new java.io.File(d, "_MERGED").exists())
+      .filter(d => new java.io.File(d, "_READY").exists() &&
+        !new java.io.File(d, "_MERGED").exists())
       .sortBy(_.getName)
     if (pending.isEmpty) return
     val edges = pending.map(d => s.read.parquet(s"$d/edges"))

@@ -525,16 +525,8 @@ object ScaleCheck {
     // s18-family fixed-job floor (CC rounds + three bucket-pruned
     // table writes + small collects), which amortizes at real deltas.
     val tKs = System.nanoTime()
-    val scratchK = allDocs.union(newDocs)
-      .join(scratch.withColumnRenamed("doc", "doc2"),
-        col("doc") === col("doc2"), "left")
-      .select(coalesce(col("component"), col("doc")).as("component"),
-        col("doc"), col("q"))
-      .groupBy(col("component"))
-      .agg(max(struct(col("q"), (-col("doc")).as("nid"))).as("m"),
-        count(lit(1)).as("n_members"))
-      .select(col("component"), (-col("m.nid")).as("keeper"),
-        col("m.q").as("keeper_q"), col("n_members"))
+    val scratchK = graft.dedup.Dedup.canonicalTable(
+        allDocs.union(newDocs), scratch, "doc", "q")
       .localCheckpoint(true)
     scratchK.write.mode("overwrite")
       .parquet(s"$curDir-scratch/keepers")

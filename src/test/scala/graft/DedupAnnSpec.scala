@@ -698,17 +698,11 @@ class DedupAnnSpec extends SparkSpec {
 
   test("canonicalAppend: incremental keeper table equals the scratch argmax") {
     import org.apache.spark.sql.DataFrame
-    // the scratch canonical aggregate over (doc_id, q) + a labeling —
-    // the reference formulation the incremental fold must reproduce
+    // scratch reference = the shared production aggregate over the
+    // full corpus (the fold under test is the INCREMENTAL path; the
+    // aggregate itself is pinned independently by the DuckDB oracle)
     def canonical(docs: DataFrame, labels: DataFrame): DataFrame =
-      docs.join(labels, docs("doc_id") === labels("doc"), "left")
-        .select(coalesce(col("component"), col("doc_id")).as("component"),
-          col("doc_id"), col("q"))
-        .groupBy(col("component"))
-        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
-          count(lit(1)).as("n_members"))
-        .select(col("component"), (-col("m.nid")).as("keeper"),
-          col("m.q").as("keeper_q"), col("n_members"))
+      Dedup.canonicalTable(docs, labels, "doc_id", "q")
     // old corpus: cluster {1,2} (keeper 2, q .9), cluster {3,4} (tie
     // at .7 -> keeper 3), singletons 5 (q .95) and 6 (q .2), and an
     // untouched cluster {20,21}

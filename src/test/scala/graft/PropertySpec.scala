@@ -392,15 +392,11 @@ class PropertySpec extends SparkSpec {
 
   test("canonicalAppend and curationMerge == scratch on random graph growth") {
     import org.apache.spark.sql.DataFrame
+    // scratch reference = the shared production aggregate (the folds
+    // under test are the incremental paths; the aggregate is pinned
+    // independently by the DuckDB oracle)
     def canonical(docs: DataFrame, labels: DataFrame): DataFrame =
-      docs.join(labels, docs("doc_id") === labels("doc"), "left")
-        .select(coalesce(col("component"), col("doc_id")).as("component"),
-          col("doc_id"), col("q"))
-        .groupBy(col("component"))
-        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
-          count(lit(1)).as("n_members"))
-        .select(col("component"), (-col("m.nid")).as("keeper"),
-          col("m.q").as("keeper_q"), col("n_members"))
+      graft.dedup.Dedup.canonicalTable(docs, labels, "doc_id", "q")
     for (seed <- 0 until 3) {
       // old corpus: docs 0..29; delta: docs 30..44. Random old edges
       // among old docs; random delta edges with at least one delta
