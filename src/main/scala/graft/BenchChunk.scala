@@ -25,18 +25,21 @@ object BenchChunk {
       // end-to-end scoring throughput (reference baseline ~1000 tx/s)
       // and steady-state streaming rate, both in this clean child —
       // the r03/r04 lesson (measuring them after the sweep halved the
-      // numbers) now holds by construction. Three runs, max kept: the
-      // published number is STEADY-STATE throughput, and in a pristine
-      // JVM the first run is dominated by JIT compilation of the whole
-      // scoring path (a cost a long-running deployment pays once, not
-      // per batch) — two runs still left ~20% of it in the max.
-      val tput = (1 to 3).map { _ =>
+      // numbers) now holds by construction. Estimator: run 1 is a
+      // DISCARDED warm-up (in a pristine JVM it is dominated by JIT
+      // compilation of the whole scoring path — a cost a long-running
+      // deployment pays once, not per batch); the published number is
+      // the MEDIAN of runs 2–4. Max-of-N (the r07 estimator) keeps the
+      // single most favorable run and is one-sided; the post-warmup
+      // median is a two-sided steady-state estimate.
+      val runs = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         val rows =
           try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
           catch { case _: Throwable => 0L }
         rows / ((System.nanoTime() - t0) / 1e9)
-      }.max
+      }
+      val tput = runs.drop(1).sorted.apply(1) // median of runs 2-4
       val (streamRate, streamBatches) =
         try graft.streaming.StreamingJob.sustainedScoringRate(
           spark, sfDir, "/tmp/graft_bench_stream")

@@ -851,6 +851,14 @@ object Dedup {
       .select(col("component"), (-col("m.nid")).as("keeper"),
         col("m.q").as("keeper_q"), col("n_members"))
 
+  /** EXACTLY-ONCE contract: each delta batch must be folded in at most
+    * once. The fold is over stored argmax STRUCTS (not members), so a
+    * replayed batch double-counts `n_members` and — because a delta
+    * doc re-enters the max as a fresh candidate — can flip a keeper a
+    * previous fold already retired. For at-least-once delivery use
+    * [[curationMerge]], which recomputes touched components from their
+    * member rows and is idempotent by construction.
+    */
   def canonicalAppend(keepers: DataFrame, oldLabels: DataFrame,
                       deltaDocs: DataFrame, idCol: String, qCol: String,
                       newPairs: DataFrame, aCol: String,

@@ -47,4 +47,21 @@ object Binning {
     */
   def knuthBucket(id: Column): Column =
     pmod(pmod(id, lit(100)) * lit(61), lit(100))
+
+  /** Deterministic pseudo-uniform u ∈ [0, 1) from an integer id over a
+    * prime modulus: (id·2654435761) mod 1000003, divided by 1000003 —
+    * the acceptance-test hash behind the deterministic samplers
+    * (sample_quality_weighted / sample_temperature_mix /
+    * sample_source_epochs and the s27/s32 streams). Same modular-space
+    * discipline as [[knuthBucket]]: computed as
+    * (id mod 1000003)·(2654435761 mod 1000003 = 427799) mod 1000003,
+    * identical to the direct product for every id but free of the i64
+    * overflow the direct form hits above ~3.5·10⁹ (Spark would wrap
+    * silently — biasing every large id toward +1 copy — while DuckDB
+    * raises). Oracle SQL must use the same
+    * `(id % 1000003) * 427799 % 1000003` form.
+    */
+  def unitHash(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(427799L), lit(1000003L))
+      .cast("double") / lit(1000003.0)
 }

@@ -448,23 +448,26 @@ object StreamingJob {
     //    order-independent — the union graph's components don't
     //    depend on edge arrival order — so recovery needs no
     //    coordination with live batches beyond the single-writer
-    //    serialization the executor provides);
-    //  · merges execute one at a time (single thread), so merge k
-    //    reads the labels merge k-1 wrote, and each marks its queue
-    //    partition `_MERGED` only after the labels write lands;
-    //  · the drain awaits the fold before the final read, and a merge
-    //    failure fails the query (checked each trigger + at drain).
+    //    serialization the scheduler provides). In THIS harness the
+    //    work dir starts empty, so recovery is a deployment-mode
+    //    entry point, exercised directly by the crash-injection
+    //    specs, not called here;
+    //  · folds execute one at a time, COALESCED ([[FoldScheduler]]):
+    //    each fold takes every `_SUCCESS`-committed, unmarked queue
+    //    partition at once — exact, because the final labeling is a
+    //    pure function of the union edge set — and marks them
+    //    `_MERGED` only after the labels write lands;
+    //  · the drain runs one last fold for any coalesced-away batch,
+    //    awaits it, and a fold failure fails the query.
     // At-least-once replay: a redelivered batch overwrites its own
     // queue partition and labelsMerge is a fixpoint under duplicates.
-    val mergeExec = java.util.concurrent.Executors.newSingleThreadExecutor()
-    val mergeErr =
-      new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    recoverPendingLabelMerges(s, dir, nBuckets)
+    val folder = new FoldScheduler(() => { foldLabelQueue(s, dir, nBuckets); () },
+      () => pendingLabelParts(dir).size)
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (mergeErr.get() != null) throw mergeErr.get()
+        folder.failIfBroken()
         // fused ingest+probe: one signature pass per trigger serves
         // both index writes and the probe — see
         // Dedup.bandIndexIngestProbeBatch
@@ -476,27 +479,75 @@ object StreamingJob {
             greatest(col("in_doc"), col("corpus_doc")).as("b"))
           .distinct()
           .write.mode("overwrite").parquet(part)
-        mergeExec.submit(new Runnable {
-          def run(): Unit =
-            try foldQueuePartition(s, part, s"$dir/labels", nBuckets)
-            catch { case t: Throwable => mergeErr.compareAndSet(null, t) }
-        })
+        folder.submit()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    var drained = false
     try q.awaitTermination()
-    finally {
-      mergeExec.shutdown()
-      drained = mergeExec
-        .awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-    }
-    if (mergeErr.get() != null) throw mergeErr.get()
-    // same loud-failure contract as the keeper drain: a fold past the
-    // cap must not yield a silently partial labels read
-    require(drained, "label fold did not complete within the drain cap")
+    catch { case t: Throwable => folder.abort(); throw t }
+    folder.drain()
     s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
+  }
+
+  /** Serialized background-fold scheduler shared by the maintenance
+    * loops: a fold starts only when NO fold is running (a trigger
+    * arriving mid-fold skips its submit) AND at least `minPending`
+    * committed batches await — the log-compaction trigger policy:
+    * per-fold cost is dominated by fixed jobs (CC resolution, the
+    * bucket-pruned table rewrites), so folding every singleton batch
+    * pays that fixed cost per batch where folding pairs pays it half
+    * as often for byte-identical results. Safe, because a fold lists
+    * the durable queue AT RUN TIME (so the next fold, or the drain's
+    * unconditional final fold, covers every skipped batch), and
+    * exact, because the folds coalesce (see the callers' proofs).
+    * The fold rate thereby adapts to fold cost and batch size —
+    * triggers outpacing the fold grow the per-fold batch count, not
+    * a task backlog — the backpressure a production compaction loop
+    * needs.
+    */
+  private final class FoldScheduler(fold: () => Unit,
+                                    pending: () => Int,
+                                    minPending: Int = 2) {
+    private val exec =
+      java.util.concurrent.Executors.newSingleThreadExecutor()
+    private val err =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    private val busy =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val task = new Runnable {
+      def run(): Unit = {
+        try fold()
+        catch { case t: Throwable => err.compareAndSet(null, t) }
+        finally busy.set(false)
+      }
+    }
+    def failIfBroken(): Unit = if (err.get() != null) throw err.get()
+    def submit(): Unit =
+      if (pending() >= minPending && busy.compareAndSet(false, true)) {
+        exec.submit(task); ()
+      }
+    /** Stream failed: stop folding, drop whatever is queued. */
+    def abort(): Unit = { exec.shutdownNow(); () }
+    /** One unconditional final fold (covers any batch whose submit was
+      * coalesced away near the drain), then await and fail LOUDLY on
+      * a fold error or overrun — reading the derived table while a
+      * fold is still rewriting buckets would return a silently
+      * partial result, an oracle mismatch diagnosed far from its
+      * cause.
+      */
+    def drain(): Unit = {
+      exec.submit(new Runnable {
+        def run(): Unit =
+          try fold()
+          catch { case t: Throwable => err.compareAndSet(null, t) }
+      })
+      exec.shutdown()
+      val done = exec.awaitTermination(
+        10, java.util.concurrent.TimeUnit.MINUTES)
+      failIfBroken()
+      require(done, "background fold did not complete within the drain cap")
+    }
   }
 
   /** Streaming CANONICAL-KEEPER maintenance — the layer above
@@ -522,71 +573,75 @@ object StreamingJob {
     * with every coalesced delta's q in hand — so folding batches
     * {1,2,3} together lands byte-identical state to folding them one
     * by one. Durability mirrors s18: each trigger writes its edge set
-    * and its delta's (doc, q) rows to `queue/b<id>/` BEFORE the batch
-    * commits; a fold marks its batches `_MERGED` only after the merge
-    * lands; recovery refolds unmarked batches (idempotent fixpoint).
+    * AND its delta's (doc, q) rows to `queue/b<id>` as ONE
+    * union-schema parquet commit BEFORE the batch commits — the
+    * committer's `_SUCCESS` is the completeness marker (one atomic
+    * commit replaced the r7 two-write + `_READY` protocol: a
+    * coalesced fold can never list a half-committed batch because
+    * the batch IS one commit). A fold marks its batches `_MERGED`
+    * only after the merge lands; [[recoverPendingKeeperMerges]]
+    * refolds unmarked batches (idempotent fixpoint).
     */
   def streamKeeperMaintenance(docs: DataFrame, id: String, text: String,
                               n: Int, threshold: Double, workDir: String,
                               nFiles: Int = 4,
-                              nBuckets: Int = 16): DataFrame = {
+                              nBuckets: Int = 16,
+                              filesPerTrigger: Int = 2): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     docs.repartition(nFiles).write.parquet(s"$dir/in")
+    // filesPerTrigger is Spark's own admission-size knob
+    // (maxFilesPerTrigger): per trigger this loop pays a fixed floor —
+    // signature pass, two index writes, the queue commit — so batch
+    // size trades admission latency against per-doc cost. The
+    // single-file cadence is [[streamLabelMaintenance]]'s story (s18
+    // proves per-trigger admission across 4 micro-batches); this
+    // loop's story is the coalesced background fold, so it defaults
+    // to 2 files per trigger. Drained state is identical under any
+    // chunking (spec-pinned: the oracle is the scratch recompute).
     val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
-    val mergeExec = java.util.concurrent.Executors.newSingleThreadExecutor()
-    val mergeErr =
-      new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    foldKeeperQueue(s, dir, nBuckets) // recover pre-crash unmerged work
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
+    // minPending=1: at the 2-files-per-trigger cadence there are only
+    // ~nFiles/2 batches — fold each as soon as the fold thread is
+    // idle, so the fold genuinely races the next trigger (the s18
+    // loop, at 2× the batch count, uses the pair threshold instead)
+    val folder = new FoldScheduler(() => { foldKeeperQueue(s, dir, nBuckets); () },
+      () => pendingKeeperParts(dir).size, minPending = 1)
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (mergeErr.get() != null) throw mergeErr.get()
-        // one signature pass serves index writes and edge discovery
+        folder.failIfBroken()
+        // one signature pass serves index writes and edge discovery;
+        // edges and the (doc, q) delta land as ONE union-schema
+        // parquet commit (edge rows carry null doc/q, delta rows null
+        // a/b) — one write job where r7 spent two plus a hand-rolled
+        // `_READY` marker, and the committer's atomic `_SUCCESS` now
+        // IS the fold-eligibility gate
         val part = s"$dir/queue/b$batchId"
-        graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
+        val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
-          .select(least(col("in_doc"), col("corpus_doc")).as("a"),
-            greatest(col("in_doc"), col("corpus_doc")).as("b"))
+          .select(least(col("in_doc"), col("corpus_doc"))
+              .cast("long").as("a"),
+            greatest(col("in_doc"), col("corpus_doc"))
+              .cast("long").as("b"))
           .distinct()
-          .write.mode("overwrite").parquet(s"$part/edges")
-        batch.select(col(id).cast("long").as("doc"),
-            round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
-          .write.mode("overwrite").parquet(s"$part/delta")
-        // completeness marker: a COALESCED fold lists the queue while
-        // later triggers are mid-write — without this gate it could
-        // read a half-committed batch (crash on the missing delta, or
-        // worse: fold a partial edge listing and still mark it
-        // merged). A batch is fold-eligible only once both writes
-        // landed; a crash before the marker replays the batch.
-        require(new java.io.File(s"$part/_READY").createNewFile() ||
-          new java.io.File(s"$part/_READY").exists())
-        mergeExec.submit(new Runnable {
-          def run(): Unit =
-            try foldKeeperQueue(s, dir, nBuckets)
-            catch { case t: Throwable => mergeErr.compareAndSet(null, t) }
-        })
+          .select(col("a"), col("b"), lit(null).cast("long").as("doc"),
+            lit(null).cast("double").as("q"))
+        val delta = batch.select(lit(null).cast("long").as("a"),
+          lit(null).cast("long").as("b"), col(id).cast("long").as("doc"),
+          round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
+        edges.unionByName(delta).write.mode("overwrite").parquet(part)
+        folder.submit()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    var drained = false
     try q.awaitTermination()
-    finally {
-      mergeExec.shutdown()
-      drained = mergeExec
-        .awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-    }
-    if (mergeErr.get() != null) throw mergeErr.get()
-    // fail LOUDLY on a fold overrunning the drain cap: reading the
-    // keeper table while a fold is still rewriting buckets would
-    // return a silently partial result — an oracle mismatch diagnosed
-    // far from its cause
-    require(drained, "keeper fold did not complete within the drain cap")
+    catch { case t: Throwable => folder.abort(); throw t }
+    folder.drain()
     // explicit schema: an all-empty stream leaves a keeper table with
     // zero part files, where "no keepers" is the answer, not an
     // inference error
@@ -597,71 +652,106 @@ object StreamingJob {
         col("n_members"))
   }
 
-  /** Fold EVERY unmerged keeper-queue batch in one [[Dedup
-    * .curationMerge]] (exact — see [[streamKeeperMaintenance]]), then
-    * mark them. Serialized by the caller's single-thread executor;
-    * a later task finding nothing pending is a no-op.
+  /** Fold EVERY committed-but-unmerged keeper-queue batch in one
+    * [[graft.dedup.Dedup.curationMerge]] (exact — see
+    * [[streamKeeperMaintenance]]), then mark them `_MERGED`. Eligible
+    * = the committer's `_SUCCESS` exists (a torn, never-committed
+    * batch is skipped: its trigger never committed either, so the
+    * stream redelivers over it) and `_MERGED` does not. All pending
+    * batches are read as ONE multi-path scan with an explicit schema
+    * (a union-schema parquet dir holds edge rows and delta rows —
+    * split back by null pattern). Serialized by the caller's
+    * [[FoldScheduler]]; a fold finding nothing pending is a no-op.
+    * Returns how many batches it folded.
     */
-  private def foldKeeperQueue(s: SparkSession, dir: String,
-                              nBuckets: Int): Unit = {
+  /** Committed (`_SUCCESS`), unmerged keeper-queue batch dirs. */
+  private def pendingKeeperParts(dir: String): Seq[java.io.File] = {
     val qd = new java.io.File(s"$dir/queue")
-    if (!qd.exists()) return
-    val pending = qd.listFiles().filter(_.isDirectory)
-      .filter(d => new java.io.File(d, "_READY").exists() &&
+    if (!qd.exists()) return Seq.empty
+    qd.listFiles().toSeq.filter(_.isDirectory)
+      .filter(d => new java.io.File(d, "_SUCCESS").exists() &&
         !new java.io.File(d, "_MERGED").exists())
       .sortBy(_.getName)
-    if (pending.isEmpty) return
-    val edges = pending.map(d => s.read.parquet(s"$d/edges"))
-      .reduce(_.union(_))
-    val delta = pending.map(d => s.read.parquet(s"$d/delta"))
-      .reduce(_.union(_))
+  }
+
+  private def foldKeeperQueue(s: SparkSession, dir: String,
+                              nBuckets: Int): Int = {
+    // thread-local: labels this fold's jobs in the UI / job profiles
+    s.sparkContext.setJobDescription("keeper-fold")
+    val pending = pendingKeeperParts(dir)
+    if (pending.isEmpty) return 0
+    val rows = s.read.schema("a BIGINT, b BIGINT, doc BIGINT, q DOUBLE")
+      .parquet(pending.map(_.getPath).toSeq: _*)
     // pairsPinned: the queue IS durable materialized edge state — its
     // consumers re-scan a tiny parquet leaf (cheaper than a whole
     // re-checkpoint pass per fold)
-    graft.dedup.Dedup.curationMerge(s"$dir/cur", edges, delta,
+    graft.dedup.Dedup.curationMerge(s"$dir/cur",
+      rows.filter(col("a").isNotNull).select(col("a"), col("b")),
+      rows.filter(col("doc").isNotNull).select(col("doc"), col("q")),
       "doc", "q", "a", "b", nBuckets, pairsPinned = true)
     pending.foreach(d => new java.io.File(d, "_MERGED").createNewFile())
+    pending.length
   }
 
-  /** Fold one durable edge-queue partition into the labels table and
-    * mark it done. The `_MERGED` marker lands only after the labels
-    * write — a crash mid-fold leaves the partition unmarked and
-    * [[recoverPendingLabelMerges]] re-folds it (idempotent fixpoint).
-    * Underscore-prefixed files are invisible to parquet readers.
+  /** Crash recovery for the keeper maintenance loop: fold every
+    * committed, unmarked `queue/b<id>` batch (a crash between queue
+    * commit and `_MERGED` leaves exactly these) into the curation
+    * state at `<dir>/cur`. Idempotent — [[graft.dedup.Dedup
+    * .curationMerge]] recomputes touched components from member rows,
+    * so refolding an already-half-applied batch lands the same bytes.
+    * Returns how many batches were recovered; safe on a fresh or
+    * absent queue. Crash-injection spec: StreamingSpec.
     */
-  private def foldQueuePartition(s: SparkSession, part: String,
-                                 labelsDir: String, nBuckets: Int): Unit = {
-    // pairsPinned: the queue partition IS durable materialized edge
-    // state — its three consumers re-scan a tiny parquet leaf, which
-    // is cheaper than a whole re-checkpoint pass per fold
-    graft.dedup.Dedup.labelsMerge(labelsDir, s.read.parquet(part),
-      "a", "b", nBuckets, pairsPinned = true)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(part, "_MERGED"), "")
-  }
+  def recoverPendingKeeperMerges(s: SparkSession, dir: String,
+                                 nBuckets: Int): Int =
+    foldKeeperQueue(s, dir, nBuckets)
 
-  /** Crash recovery for the async label fold: fold every edge-queue
-    * partition that has no `_MERGED` marker (batch order, though
-    * component merging is order-independent). Returns how many were
-    * recovered. Safe on a fresh or absent queue.
+  /** Fold every committed-but-unmerged label-queue partition in ONE
+    * [[graft.dedup.Dedup.labelsMerge]] over the union edge set —
+    * exact, because the merged labeling is a pure function of the
+    * union graph (edge arrival order is irrelevant to connected
+    * components) — then mark them all `_MERGED`. `_SUCCESS` gates on
+    * the WRITE having committed: a crash mid-write leaves a partial
+    * partition whose batch never committed either — the stream will
+    * redeliver and overwrite it, so folding (or failing on) the torn
+    * files here would be wrong twice over. Returns the number of
+    * partitions folded.
     */
-  def recoverPendingLabelMerges(s: SparkSession, dir: String,
-                                nBuckets: Int): Int = {
+  /** Committed (`_SUCCESS`), unmerged label-queue partition dirs. */
+  private def pendingLabelParts(dir: String): Seq[java.io.File] = {
     val queue = new java.io.File(s"$dir/labels_queue")
-    if (!queue.isDirectory) return 0
-    val pending = queue.listFiles().toSeq
+    if (!queue.isDirectory) return Seq.empty
+    queue.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      // _SUCCESS gates on the WRITE having committed: a crash mid-write
-      // leaves a partial partition whose batch never committed either —
-      // the stream will redeliver and overwrite it, so folding (or
-      // failing on) the torn files here would be wrong twice over
       .filter(f => new java.io.File(f, "_SUCCESS").exists())
       .filterNot(f => new java.io.File(f, "_MERGED").exists())
       .sortBy(_.getName.stripPrefix("batch=").toLong)
-    pending.foreach(p =>
-      foldQueuePartition(s, p.getPath, s"$dir/labels", nBuckets))
+  }
+
+  private def foldLabelQueue(s: SparkSession, dir: String,
+                             nBuckets: Int): Int = {
+    // thread-local: labels this fold's jobs in the UI / job profiles
+    s.sparkContext.setJobDescription("label-fold")
+    val pending = pendingLabelParts(dir)
+    if (pending.isEmpty) return 0
+    // pairsPinned: the queue partitions ARE durable materialized edge
+    // state — consumers re-scan a tiny parquet leaf
+    graft.dedup.Dedup.labelsMerge(s"$dir/labels",
+      s.read.schema("a BIGINT, b BIGINT")
+        .parquet(pending.map(_.getPath): _*),
+      "a", "b", nBuckets, pairsPinned = true)
+    pending.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p.getPath, "_MERGED"), ""))
     pending.size
   }
+
+  /** Crash recovery for the async label fold: fold every committed
+    * edge-queue partition that has no `_MERGED` marker. Returns how
+    * many were recovered. Safe on a fresh or absent queue.
+    */
+  def recoverPendingLabelMerges(s: SparkSession, dir: String,
+                                nBuckets: Int): Int =
+    foldLabelQueue(s, dir, nBuckets)
 
   /** Streaming ANN-join admission — the vector twin of
     * [[streamBandIndexIngest]]'s probe side, closing the same loop the
@@ -1045,8 +1135,7 @@ object StreamingJob {
     in.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(in.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
-    val u = (col(id) * lit(2654435761L) % 1000003L)
-      .cast("double") / 1000003.0
+    val u = graft.functions.Binning.unitHash(col(id))
     val out = stream.join(broadcast(eps), col(sliceCol) === col("__slice"))
       .withColumn("n_copies",
         floor(col("e")).cast("long") +

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * for hand-written quality rules when "quality" means "like this
   * reference corpus" (the reference repo has no model-based
   * selection at all — its gates are fixed thresholds,
-  * reference/processing/score_pipeline.py:24).
+  * containers/spark-etl/streaming_etl.py:115-153).
   *
   * Faithful to the paper's feature space on purpose: both models are
   * multinomials over the SAME `Buckets` hashed-bigram slots, so

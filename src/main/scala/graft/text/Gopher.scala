@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** The Gopher / MassiveText quality-rule battery (Rae et al.,
   * arXiv:2112.11446, table A1) — the de-facto standard heuristic
   * filter set for pretraining corpora, of which the reference repo's
-  * fixed thresholds (reference/processing/score_pipeline.py:24) are
+  * fixed thresholds (containers/spark-etl/streaming_etl.py:115-153) are
   * a two-rule special case. Every rule is a higher-order-function
   * fold over the tokens/lines of ONE row: the whole battery is a
   * single codegen'd Project — map-only, zero shuffles, zero UDFs —

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * the naive-Bayes upgrade of the heuristic `tx_lang_id` voter (and
   * the CLD/fastText-langid shape: per-class n-gram likelihoods,
   * argmax wins; the reference repo has no model-based classification
-  * at all, reference/processing/score_pipeline.py:24).
+  * at all, containers/spark-etl/streaming_etl.py:115-153).
   *
   * Determinism is the whole design: each model's per-bigram
   * log-probs quantize to LONG micro-nats ([[LangModel.termMicroNats]]

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * negative log-likelihood — the classic "keep what looks like the
   * reference distribution" quality gate (Wenzek et al., CCNet,
   * arXiv:1911.00359; the reference repo's quality gating is
-  * heuristic-only — reference/processing/score_pipeline.py:24 — so
+  * heuristic-only — containers/spark-etl/streaming_etl.py:115-153 — so
   * this whole family is surplus capability for the LLM-curation
   * surface, same tier as [[QualityModel]]).
   *

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * arXiv:1911.00359 §4.3 — their shipped selection step: the crawl
   * is cut into equal-size thirds by LM score and pretraining keeps
   * the head/middle). The reference repo's gating is fixed-threshold
-  * heuristics only (reference/processing/score_pipeline.py:24), so
+  * heuristics only (containers/spark-etl/streaming_etl.py:115-153), so
   * this is surplus capability on the LLM-curation surface, layered
   * on [[LangModel]]'s scores.
   *

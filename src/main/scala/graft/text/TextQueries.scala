@@ -110,8 +110,7 @@ object TextQueries {
     // changes as the corpus grows). Map-only + one small aggregate.
     "sample_quality_weighted" -> ((s, dir) => {
       val q = Text.qualityScore(col("text"))
-      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
-        .cast("double") / 1000003.0
+      val u = graft.functions.Binning.unitHash(col("doc_id"))
       Tables.documents(s, dir)
         .withColumn("keep", u < q)
         .groupBy(col("source"))
@@ -135,8 +134,7 @@ object TextQueries {
         .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
         .select(col("source").as("src"),
           sqrt(col("n_min").cast("double") / col("n_s")).as("acc"))
-      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
-        .cast("double") / 1000003.0
+      val u = graft.functions.Binning.unitHash(col("doc_id"))
       d.join(broadcast(acc), col("source") === col("src"))
         .withColumn("keep", u < col("acc"))
         .groupBy(col("source"))
@@ -168,8 +166,7 @@ object TextQueries {
         .crossJoin(broadcast(counts.agg(max(col("n_l")).as("n_max"))))
         .select(col("lang").as("lng"),
           sqrt(col("n_max").cast("double") / col("n_l")).as("e"))
-      val u = (col("doc_id") * lit(2654435761L) % 1000003L)
-        .cast("double") / 1000003.0
+      val u = graft.functions.Binning.unitHash(col("doc_id"))
       d.join(broadcast(eps), col("lang") === col("lng"))
         .withColumn("n_copies",
           floor(col("e")).cast("long") +
@@ -643,7 +640,7 @@ object TextQueries {
     "sample_quality_weighted" ->
       s"""WITH k AS (
          |  SELECT source,
-         |         (doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0
+         |         (doc_id % 1000003 * 427799 % 1000003)::DOUBLE / 1000003.0
          |           AS u,
          |         $qualitySql AS q
          |  FROM documents)
@@ -657,7 +654,7 @@ object TextQueries {
         |m AS (SELECT min(n_s) AS n_min FROM s),
         |a AS (SELECT source, sqrt(n_min::DOUBLE / n_s) AS acc FROM s, m),
         |k AS (SELECT d.source,
-        |             (d.doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0
+        |             (d.doc_id % 1000003 * 427799 % 1000003)::DOUBLE / 1000003.0
         |               AS u,
         |             a.acc
         |      FROM documents d JOIN a USING (source))
@@ -677,7 +674,7 @@ object TextQueries {
         |      FROM s, m),
         |c AS (SELECT d.doc_id, d.lang,
         |             floor(e.e)::BIGINT
-        |             + CASE WHEN (d.doc_id * 2654435761 % 1000003)::DOUBLE
+        |             + CASE WHEN (d.doc_id % 1000003 * 427799 % 1000003)::DOUBLE
         |                         / 1000003.0 < e.e - floor(e.e)
         |                    THEN 1 ELSE 0 END AS n_copies
         |      FROM documents d JOIN e ON d.lang = e.lng)

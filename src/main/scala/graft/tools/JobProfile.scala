@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev-only: run one driver-contract query and log every Spark job's
+  * wall time + call site, to see where a multi-job operator (the
+  * streaming maintenance loops especially) actually spends its time.
+  * Usage: runMain graft.tools.JobProfile <sfDir> <query>
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = args.lift(1).getOrElse("s30_stream_keeper_maintenance")
+    val spark = graft.jobs.Jobs.localBuilder("graft-profile", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries("pipeline_score")(spark, dir).count() // warm
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt > 0.02)
+            println(f"[job] ${j.jobId}%4d  $dt%6.2f s  $site")
+        }
+      }
+    })
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[total] rep $rep  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -404,6 +404,65 @@ class DedupAnnSpec extends SparkSpec {
       .recoverPendingLabelMerges(spark, dir, 4) == 0)
   }
 
+  test("keeper fold crash windows: committed-unfolded batch recovers, " +
+    "torn batch is skipped, marker loss refolds to the same bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kpq").toString
+    // queue wire format = what streamKeeperMaintenance's trigger
+    // commits: ONE union-schema parquet per batch (edge rows carry
+    // null doc/q; delta rows null a/b), _SUCCESS from the committer
+    def queueBatch(name: String, edges: Seq[(Long, Long)],
+                   delta: Seq[(Long, Double)]): Unit =
+      edges.map { case (a, b) =>
+        (Option(a), Option(b), Option.empty[Long], Option.empty[Double])
+      }.toDF("a", "b", "doc", "q").unionByName(
+        delta.map { case (d, q) =>
+          (Option.empty[Long], Option.empty[Long], Option(d), Option(q))
+        }.toDF("a", "b", "doc", "q"))
+        .write.mode("overwrite").parquet(s"$dir/queue/$name")
+    def keepers: Set[(Long, Long, Double, Long)] =
+      spark.read.parquet(s"$dir/cur/keepers")
+        .select(col("component"), col("keeper"), col("keeper_q"),
+          col("n_members"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // CRASH WINDOW 1 — between queue commit and the fold: the batch
+    // sits committed (_SUCCESS) and unmarked; recovery must fold it
+    queueBatch("b0", Seq((1L, 2L)), Seq((1L, 0.5), (2L, 0.9), (7L, 0.6)))
+    assert(graft.streaming.StreamingJob
+      .recoverPendingKeeperMerges(spark, dir, 4) == 1)
+    val afterB0 = Set((1L, 2L, 0.9, 2L), (7L, 7L, 0.6, 1L))
+    assert(keepers == afterB0, s"recovered fold: $keepers")
+    assert(new java.io.File(s"$dir/queue/b0/_MERGED").exists())
+    // marked -> recovery is a no-op
+    assert(graft.streaming.StreamingJob
+      .recoverPendingKeeperMerges(spark, dir, 4) == 0)
+    // CRASH WINDOW 2 — mid queue write: a torn batch (no _SUCCESS)
+    // never committed in the stream either; recovery must skip it,
+    // not fold junk and not throw
+    val torn = new java.io.File(s"$dir/queue/b1")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(torn.getPath, "part-torn.parquet"), "junk")
+    assert(graft.streaming.StreamingJob
+      .recoverPendingKeeperMerges(spark, dir, 4) == 0)
+    assert(keepers == afterB0, s"torn batch must not change state: $keepers")
+    // CRASH WINDOW 3 — between the merge landing and _MERGED: the
+    // batch's contents are already in the tables but the marker is
+    // gone; the refold must land byte-identical state (curationMerge
+    // recomputes touched components from member rows — the fixpoint)
+    assert(new java.io.File(s"$dir/queue/b0/_MERGED").delete())
+    assert(graft.streaming.StreamingJob
+      .recoverPendingKeeperMerges(spark, dir, 4) == 1)
+    assert(keepers == afterB0, s"refold must be a fixpoint: $keepers")
+    // and the recovered state keeps folding like live state: a second
+    // batch bridging 5-7 moves the component id down to 5
+    queueBatch("b2", Seq((5L, 7L)), Seq((5L, 0.1)))
+    assert(graft.streaming.StreamingJob
+      .recoverPendingKeeperMerges(spark, dir, 4) == 1)
+    assert(keepers == Set((1L, 2L, 0.9, 2L), (5L, 7L, 0.6, 2L)),
+      s"post-recovery fold: $keepers")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("annJoinTop1: probing all cells equals the exact nearest right neighbor") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val left = emb.filter(col("vec_id") < 40)
