@@ -43,6 +43,50 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
   }
 
+  /** Apply a whole batch of merges in ONE left-to-right scan — the
+    * rewrite step that makes large merge counts affordable: B chained
+    * [[mergePair]] folds walk every symbol array B times per pass,
+    * where this walks it once with a map lookup. EXACT relative to
+    * applying the batch sequentially in ANY order, under
+    * [[trainBatched]]'s selection invariants:
+    *
+    *  - JUNCTION-FREEDOM: no symbol is the left of one pair and the
+    *    right of another. Two fusion windows can only compete for a
+    *    symbol occurrence at a junction ("x a b" with (x,a) and
+    *    (a,b)), so junction-freedom means fusions of different pairs
+    *    never compete for, create, or destroy each other's windows.
+    *    Sharing a LEFT ((▁,t) and (▁,a)) or a RIGHT is harmless —
+    *    same-position competition would need two different symbols
+    *    at one index — and on a small alphabet that permissiveness
+    *    is the difference between ~12 and ~60 picks per pass (every
+    *    word-boundary pair shares `▁`).
+    *  - No pair's fused output collides with any pair's side, so a
+    *    fusion can never enable a cascading same-batch fusion the
+    *    sequential order would have sequenced differently.
+    *
+    * The scan itself is the native [[graft.functions.BpeMerge]]
+    * expression (O(len) per row; the `aggregate` HOF rebuilds its
+    * accumulator array per step — O(len²), measured ~80 s per train
+    * on 300-char piece streams where the native walk takes ~1 s).
+    * Callers must [[graft.functions.BpeMerge.register]] the session
+    * ([[trainBatchedFrom]] does).
+    */
+  def mergePairs(syms: Column, pairs: Seq[(String, String)]): Column = {
+    require(pairs.nonEmpty, "empty merge batch")
+    // junction-freedom: a left of one pair must not be a right of
+    // another (a self-pair's own left==right is the harmless
+    // degenerate junction — greedy left-to-right resolves it)
+    for (i <- pairs.indices; j <- pairs.indices
+         if i != j && pairs(i)._1 == pairs(j)._2)
+      throw new IllegalArgumentException(
+        s"junction-sharing pairs in batch: ${pairs(i)} / ${pairs(j)}")
+    val sides = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    require(!pairs.exists(p => sides.contains(p._1 + p._2)),
+      "a pair's fused output collides with a batch side")
+    graft.functions.BpeMerge.mergeBatch(syms,
+      array(pairs.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*))
+  }
+
   /** Initial symbol array of a word: characters + `</w>`. */
   def initialSymbols(word: Column): Column =
     concat(filter(split(word, ""), c => c =!= ""), array(lit(EndOfWord)))
@@ -103,18 +147,95 @@ object Bpe {
     * O(batch) rows per pass (4·batch+8 — each selected pair can block
     * at most the later candidates sharing its two symbols; an
     * under-filled batch is benign, the next pass re-counts).
+    *
+    * Selection enforces [[mergePairs]]' order-freedom invariants —
+    * junction-freedom (a pick's left never doubles as another pick's
+    * right; without it a batch could hold (t,h) and (h,e), whose
+    * combined effect depends on application order) and output/side
+    * separation (no (t,h) together with (th,e)) — so the whole batch
+    * applies in ONE [[mergePairs]] scan per pass, order-free: the
+    * rewrite cost per pass is one walk of the vocabulary instead of
+    * `batch` chained folds. That is what makes a 512-merge vocabulary
+    * run land in ~6 passes at batch 128.
     */
   def trainBatched(docs: DataFrame, textCol: String, merges: Int,
                    batch: Int): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "merges must be non-negative")
+    trainBatchedFrom(wordVocab(docs, textCol)
+      .withColumn("syms", initialSymbols(col("w"))), merges, batch)
+  }
+
+  /** The SentencePiece word-boundary marker (U+2581). */
+  val SpaceMark = "▁"
+
+  /** SentencePiece-style unit vocabulary: the weighted DISTINCT
+    * document texts, each a character stream with spaces rewritten to
+    * the `▁` marker — so learned merges may cross word boundaries
+    * (multi-word tokens, the modern tokenizer behavior word-level
+    * Sennrich BPE cannot express). This is the formulation that keeps
+    * a low-diversity corpus trainable past the word-internal merge
+    * ceiling: pair diversity scales with character CONTEXTS, not the
+    * word list (the driver's synthetic corpus holds ~31 distinct
+    * words — word-level BPE exhausts near 113 merges there, while the
+    * piece stream sustains thousands). Scale note: distinct-text
+    * grouping is corpus-sized where the word vocab was not;
+    * SentencePiece itself trains on a bounded sentence SAMPLE
+    * (`--input_sentence_size`) for exactly this reason, and callers
+    * at corpus scale should feed a sampled `docs` here — the learner
+    * downstream still only ever scans the unit table per pass.
+    */
+  def pieceVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(lower(col(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("syms", transform(
+        filter(split(col("w"), ""), c => c =!= ""),
+        c => when(c === " ", lit(SpaceMark)).otherwise(c)))
+
+  /** [[trainBatched]] over SentencePiece-style character-stream units
+    * ([[pieceVocab]]) instead of word units — same learner, same
+    * batched passes, merges free to cross word boundaries.
+    */
+  def trainBatchedPieces(docs: DataFrame, textCol: String, merges: Int,
+                         batch: Int): (Seq[Merge], DataFrame) =
+    trainBatchedFrom(pieceVocab(docs, textCol), merges, batch)
+
+  /** The batched learner proper, over any prepared unit vocabulary
+    * (`w`, `n`, `syms`). One candidate collect + ONE [[mergePairs]]
+    * rewrite + one lineage checkpoint per pass.
+    */
+  def trainBatchedFrom(units: DataFrame, merges: Int, batch: Int,
+                       checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+    require(merges >= 0, "merges must be non-negative")
     require(batch >= 1, "batch must be positive")
-    var vocab = wordVocab(docs, textCol)
-      .withColumn("syms", initialSymbols(col("w")))
-      .localCheckpoint()
+    val session = units.sparkSession
+    graft.functions.BpeMerge.register(session)
+    // The loop is sequential-by-nature (each pass's counts depend on
+    // the last pass's rewrite), so its wall time is pass-count ×
+    // per-pass fixed cost. AQE splits the tiny per-pass aggregate
+    // into one JOB PER QUERY STAGE — pure scheduling floor here (the
+    // candidate table is O(symbol-alphabet²), kilobytes) — so it is
+    // scoped OFF for the loop and restored after. On a small
+    // alphabet the non-overlap rule under-fills early batches
+    // (every boundary pair shares `▁`), so the pass count can exceed
+    // merges/batch — which is exactly why the per-pass floor, not
+    // the batch arithmetic, is what this loop optimizes.
+    val aqeBefore = session.conf.get("spark.sql.adaptive.enabled", "true")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    try trainLoop(session, units, merges, batch, checkpointEvery)
+    finally session.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def trainLoop(session: org.apache.spark.sql.SparkSession,
+                        units: DataFrame, merges: Int, batch: Int,
+                        checkpointEvery: Int): (Seq[Merge], DataFrame) = {
+    var vocab = units.localCheckpoint()
     val learned = Seq.newBuilder[Merge]
     var rank = 0
+    var pass = 0
     var exhausted = false
     while (rank < merges && !exhausted) {
+      pass += 1
+      session.sparkContext.setJobDescription(s"bpe-pass-$pass")
       val want = math.min(batch, merges - rank)
       val cands = vocab
         .select(col("n"), explode(arrays_zip(
@@ -126,21 +247,36 @@ object Bpe {
         .limit(4 * want + 8).collect()
       if (cands.isEmpty) exhausted = true
       else {
-        val used = scala.collection.mutable.Set.empty[String]
+        // the mergePairs invariants, enforced greedily in count order:
+        // junction-freedom (a left never doubles as another pick's
+        // right) and output/side separation. Left-left and
+        // right-right sharing stay pickable — see mergePairs.
+        val usedL = scala.collection.mutable.Set.empty[String]
+        val usedR = scala.collection.mutable.Set.empty[String]
+        val usedO = scala.collection.mutable.Set.empty[String]
         val picked = cands.iterator
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           .filter { case (a, b, _) =>
-            if (used(a) || used(b)) false
-            else { used += a; used += b; true }
+            val out = a + b
+            // (for a self-pair a==b these checks collapse to
+            // "a untouched on either side" — both junctions covered)
+            val ok = !usedR(a) && !usedO(a) && !usedL(b) && !usedO(b) &&
+              !usedL(out) && !usedR(out)
+            if (ok) { usedL += a; usedR += b; usedO += out }
+            ok
           }.take(want).toSeq
         for ((a, b, cnt) <- picked) {
           rank += 1
           learned += Merge(rank, a, b, cnt)
-          vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
         }
-        // truncate lineage once per pass: `batch` chained HOF rewrite
-        // projects is the deepest plan this loop may stack
-        vocab = vocab.localCheckpoint()
+        if (picked.nonEmpty)
+          vocab = vocab.withColumn("syms",
+            mergePairs(col("syms"), picked.map(p => (p._1, p._2))))
+        // the rewrite is one cheap codegen'd projection per pass, so
+        // lineage only needs truncating every few passes (a
+        // per-pass checkpoint was a measured job-floor cost: it
+        // re-materializes the whole unit table each round)
+        if (pass % checkpointEvery == 0) vocab = vocab.localCheckpoint()
       }
     }
     (learned.result(), vocab)

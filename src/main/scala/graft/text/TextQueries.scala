@@ -345,29 +345,36 @@ object TextQueries {
             concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
     }),
     "tx_bpe_train" -> ((s, dir) => {
-      // past-toy vocabulary growth runs the BATCHED learner: 48 merges
-      // in 6 pair-count passes (top-8 non-overlapping pairs per pass —
-      // the large-vocab optimization, see Bpe.trainBatched), instead
-      // of 48 sequential 1-row driver argmax round-trips
-      val (merges, _) = Bpe.trainBatched(Tables.documents(s, dir),
-        "text", merges = 48, batch = 8)
+      // real-vocabulary-scale run of the BATCHED learner: 512 merges
+      // in ~6 pair-count passes (up to 128 junction-free pairs per
+      // pass, each pass applying its whole batch in ONE native
+      // symbol-scan — Bpe.mergePairs), instead of 512 sequential
+      // 1-row driver argmax round-trips. Units are
+      // SentencePiece-style character streams (merges cross word
+      // boundaries): the synthetic corpus holds ~31 distinct words,
+      // so word-level BPE exhausts near 113 merges — the piece
+      // stream is what a 512-merge vocabulary actually trains on
+      val (merges, _) = Bpe.trainBatchedPieces(Tables.documents(s, dir),
+        "text", merges = 512, batch = 128)
       import s.implicits._
-      // the contract oracle pins ranks 1..48, so a corpus that
+      // the contract oracle pins ranks 1..512, so a corpus that
       // exhausts merge candidates early (tiny sf dir, degenerate
       // text) must fail with a MESSAGE here, not as a row-count/hash
       // mismatch at the gate — and an empty list would throw on .max
-      require(merges.length == 48,
+      require(merges.length == 512,
         s"tx_bpe_train: corpus exhausted BPE merge candidates after " +
-          s"${merges.length}/48 merges — the contract oracle pins ranks " +
-          "1..48; run on a larger corpus or lower the iteration count")
-      val outputs = merges.map(m => m.left + m.right)
+          s"${merges.length}/512 merges — the contract oracle pins ranks " +
+          "1..512; run on a larger corpus or lower the iteration count")
       val maxCount = merges.map(_.count).max
+      val earlier = scala.collection.mutable.Set.empty[String]
       val rows = merges.map { m =>
         def known(t: String): Boolean =
           t.codePointCount(0, t.length) == 1 || t == "</w>" ||
-            outputs.take(m.rank - 1).contains(t)
-        (m.rank, m.count >= 1, known(m.left) && known(m.right),
+            earlier.contains(t)
+        val row = (m.rank, m.count >= 1, known(m.left) && known(m.right),
           merges.head.count == maxCount)
+        earlier += (m.left + m.right)
+        row
       }
       rows.toDF("rank", "count_pos", "parts_known", "counts_ranked")
     }),
@@ -635,7 +642,7 @@ object TextQueries {
     // contract oracle (see the query's comment): fully literal — the
     // rank domain is pinned, every structural invariant must hold
     "tx_bpe_train" ->
-      """SELECT unnest(range(1, 49))::INT AS rank, TRUE AS count_pos,
+      """SELECT unnest(range(1, 513))::INT AS rank, TRUE AS count_pos,
         |       TRUE AS parts_known, TRUE AS counts_ranked""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH k AS (

@@ -84,12 +84,20 @@ class BpeSpec extends SparkSpec {
       if (counts.isEmpty) done = true
       else {
         val want = math.min(batch, merges - out.size)
-        val used = scala.collection.mutable.Set.empty[String]
+        // mirror of the engine's junction-freedom selection: a left
+        // never doubles as another pick's right, outputs and sides
+        // stay disjoint; left-left / right-right sharing is allowed
+        val usedL = scala.collection.mutable.Set.empty[String]
+        val usedR = scala.collection.mutable.Set.empty[String]
+        val usedO = scala.collection.mutable.Set.empty[String]
         val picked = counts.toSeq
           .sortBy { case ((x, y), n) => (-n, x, y) }.take(4 * want + 8)
           .iterator.filter { case ((a, b), _) =>
-            if (used(a) || used(b)) false
-            else { used += a; used += b; true }
+            val o = a + b
+            val ok = !usedR(a) && !usedO(a) && !usedL(b) && !usedO(b) &&
+              !usedL(o) && !usedR(o)
+            if (ok) { usedL += a; usedR += b; usedO += o }
+            ok
           }.take(want).toSeq
         for (((a, b), c) <- picked) {
           out += ((a, b, c))
