@@ -158,6 +158,48 @@ object MultimodalQueries {
     // first/last-frame mean luminance equal to the planted grays
     // exactly — a dropped/reordered frame or an off-by-one in the
     // length-prefix walk fails the row.
+    // ADVERSARIAL audio fixtures — the decode fallback contract: a
+    // malformed payload must degrade to decoded=false with the
+    // documented passthrough row (n_samples = byte length, channels
+    // from the claimed metadata), never throw, and must not disturb
+    // valid rows in the same partition. Kinds: valid PCM (control),
+    // zero-sample WAV (VALID — an empty recording decodes, rms 0),
+    // header truncated mid-'fmt ', IEEE-float format code (a real
+    // WAV this engine's 16-bit-PCM contract refuses), non-RIFF
+    // garbage, and 8-bit PCM (parseable container, wrong sample
+    // width). Fixture-only by design (no table input): the oracle
+    // pins the exact expected row per kind.
+    "mm_audio_malformed" -> ((s, _) => {
+      import s.implicits._
+      def patched(bytes: Array[Byte])(
+          f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+        val b = bytes.clone()
+        f(java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+        b
+      }
+      val valid = Multimodal.Codec.encodeWav(8000,
+        Array[Short](1000, -1000, 1000, -1000))
+      val twoSamp = Multimodal.Codec.encodeWav(8000,
+        Array[Short](1000, -1000))
+      val rows = Seq(
+        (1L, valid),
+        (2L, Multimodal.Codec.encodeWav(8000, Array.empty[Short])),
+        (3L, valid.take(20)),                       // torn header
+        (4L, patched(twoSamp)(_.putShort(20, 3))),  // IEEE-float fmt
+        (5L, "not a riff header at all".getBytes("US-ASCII")),
+        (6L, patched(twoSamp) { bb =>               // 8-bit PCM
+          bb.putShort(34, 8); bb.putShort(32, 1); bb.putInt(28, 8000)
+        })
+      ).map { case (id, payload) =>
+        Multimodal.MediaRow(id, "audio", payload,
+          Multimodal.MediaMeta("audio/wav", 0, 0, 7))
+      }
+      Multimodal.audioStats(s.createDataset(rows)).toDF()
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"))
+    }),
     "mm_video_real" -> ((s, dir) => {
       import s.implicits._
       val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -233,6 +275,19 @@ object MultimodalQueries {
         |       (doc_id % 50 + 10)::BIGINT AS n_samples,
         |       TRUE AS rms_ok, TRUE AS peak_ok
         |FROM documents""".stripMargin,
+    // malformed-fixture contract: the exact expected row per kind —
+    // valid and zero-sample WAVs decode, torn header / IEEE-float /
+    // garbage / 8-bit degrade to the documented passthrough
+    "mm_audio_malformed" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, TRUE,  8000::INT, 1::INT, 4::BIGINT, 1000.0::DOUBLE, 1000::INT),
+        |  (2::BIGINT, TRUE,  8000::INT, 1::INT, 0::BIGINT,    0.0::DOUBLE,    0::INT),
+        |  (3::BIGINT, FALSE,    0::INT, 7::INT, 20::BIGINT,   0.0::DOUBLE,    0::INT),
+        |  (4::BIGINT, FALSE,    0::INT, 7::INT, 48::BIGINT,   0.0::DOUBLE,    0::INT),
+        |  (5::BIGINT, FALSE,    0::INT, 7::INT, 24::BIGINT,   0.0::DOUBLE,    0::INT),
+        |  (6::BIGINT, FALSE,    0::INT, 7::INT, 48::BIGINT,   0.0::DOUBLE,    0::INT))
+        |  AS t(media_id, decoded, sample_rate, channels, n_samples,
+        |       rms, peak)""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality,
         |       octet_length(encode(text))::INT AS n_bytes,

