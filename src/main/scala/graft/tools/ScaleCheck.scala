@@ -646,6 +646,23 @@ object ScaleCheck {
     println(f"[scale] bpetr  words=$wcount%,d merges=48 secs=$bpeSecs%.2f " +
       f"rate=${wcount / bpeSecs}%,.0f words/s")
 
+    // SentencePiece-style 512-merge train (the tx_bpe_train
+    // formulation): the unit table is the DISTINCT document texts,
+    // which the factor× replicas SHARE — the replication multiplies
+    // every unit's weight uniformly (argmax order unchanged, merge
+    // table identical), so factor× corpus pays one distinct-grouping
+    // scan while the ~6 candidate passes and the native one-scan
+    // batch rewrites run over the constant-size unit table. That
+    // pass-cost-tracks-units property is the 100 TB story (real
+    // deployments feed a bounded sentence sample, SentencePiece's own
+    // --input_sentence_size posture).
+    val t34b = System.nanoTime()
+    val (pm, _) = graft.text.Bpe.trainBatchedPieces(
+      packDocs, "text", merges = 512, batch = 128)
+    val pieceSecs = (System.nanoTime() - t34b) / 1e9
+    assert(pm.length == 512, s"piece train yielded ${pm.length}/512")
+    println(f"[scale] bpepc  units-shared merges=512 secs=$pieceSecs%.2f")
+
     // boilerplate strip at factor× corpus: replicas get DISJOINT gram
     // universes (every token suffixed with its replica id), so the
     // boiler set, hits, and cover all scale exactly linearly with
