@@ -166,6 +166,43 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == Seq("x", "aa", "y"))
   }
 
+  test("mergePairs: one native scan applies a junction-free batch exactly") {
+    graft.functions.BpeMerge.register(spark)
+    // self-pair stays greedy; left-shared pairs both fire; an
+    // untouched symbol passes through
+    val batch = Seq(("a", "a"), ("c", "x"), ("c", "y"))
+    val got = Seq(
+      Seq("a", "a", "a"),
+      Seq("c", "x", "c", "y"),
+      Seq("z", "c", "z"))
+      .toDF("s").select(Bpe.mergePairs(col("s"), batch))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("aa", "a"))
+    assert(got(1) == Seq("cx", "cy"))
+    assert(got(2) == Seq("z", "c", "z"))
+    // differential: the one-scan batch equals the chained
+    // one-pair-at-a-time folds, in any application order, on arrays
+    // exercising every pair and adjacency
+    val arrays = Seq(
+      Seq("c", "x", "a", "a", "c", "y"),
+      Seq("x", "c", "y", "c", "x"),
+      Seq("a", "c", "a", "a", "x"))
+    for (perm <- batch.permutations) {
+      val chained = arrays.toDF("s").select(
+        perm.foldLeft(col("s")) { (c, p) => Bpe.mergePair(c, p._1, p._2) })
+        .as[Seq[String]].collect().toSeq
+      val once = arrays.toDF("s").select(Bpe.mergePairs(col("s"), batch))
+        .as[Seq[String]].collect().toSeq
+      assert(once == chained, s"order $perm diverged")
+    }
+    // invariant violations fail loudly at construction, not as a
+    // silent wrong rewrite: junction sharing and output/side collision
+    intercept[IllegalArgumentException](
+      Bpe.mergePairs(col("s"), Seq(("a", "b"), ("b", "c"))))
+    intercept[IllegalArgumentException](
+      Bpe.mergePairs(col("s"), Seq(("t", "h"), ("th", "e"))))
+  }
+
   test("merge table persists and loads rank-for-rank; empty/torn artifacts fail loudly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (merges, _) = Bpe.trainBatched(docs, "text", 10, batch = 4)

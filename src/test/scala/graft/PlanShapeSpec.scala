@@ -403,4 +403,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!txt.contains("Window"), txt)
     assert(txt.contains("partial_max"), txt)
   }
+
+  test("BPE batch rewrite is one codegen'd native projection") {
+    graft.functions.BpeMerge.register(spark)
+    import org.apache.spark.sql.functions.col
+    // a real scan input — a local literal constant-folds the whole
+    // projection away and there would be no plan to guard
+    val df = graft.text.Bpe
+      .pieceVocab(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+      .select(graft.text.Bpe.mergePairs(col("syms"),
+        Seq(("a", "b"))).as("out"))
+    // the rewrite must be the native expression — a regression to the
+    // interpreted HOF aggregate() fold (O(len²) per row, measured
+    // ~40× slower on piece streams) or a UDF would show as
+    // ArrayAggregate / ScalaUDF in the tree
+    val exprs = df.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+    assert(exprs.exists(_.exists(
+      _.isInstanceOf[graft.functions.BpeMergeExpr])), exprs.mkString("; "))
+    assert(!exprs.exists(_.exists(e =>
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ArrayAggregate]
+        || e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+      exprs.mkString("; "))
+    // and it participates in codegen (no CodegenFallback): the
+    // expression compiles a static call into the stage
+    val e = graft.functions.BpeMergeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    assert(!e.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+  }
 }
