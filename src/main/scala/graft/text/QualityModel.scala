@@ -134,6 +134,20 @@ object QualityModel {
   def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
             steps: Int, lr: Double): (IndexedSeq[Double], Double) = {
     require(steps >= 1, s"steps must be positive, got $steps")
+    val s = docs.sparkSession
+    // the loop is sequential-by-nature; its wall time is step count ×
+    // per-step fixed job cost, so (the Bpe.trainBatchedFrom posture)
+    // AQE's stage-per-job split is scoped off for the tiny per-step
+    // aggregate and restored after
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try trainLoop(docs, textCol, steps, lr)
+    finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def trainLoop(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String, steps: Int,
+                        lr: Double): (IndexedSeq[Double], Double) = {
     val toks = Text.tokens(lower(col(textCol)))
     val base = docs.select(toks.as("tk"),
         (Text.qualityScore(col(textCol)) >= 0.45).cast("double").as("y"))
@@ -150,13 +164,22 @@ object QualityModel {
         lit(0.0), (acc, x) => acc + x) / size(col("tk"))
       val stepped = base.select(col("tk"), size(col("tk")).as("n"),
         (round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")).as("err"))
+      // ONE action per step: the bias gradient rides the slot-keyed
+      // aggregate as sentinel slot -1 (one per-doc row, g =
+      // round(err, 6) — exactly the former separate bias aggregate).
+      // Both arms still sum exact 1e-6 multiples, so the fused
+      // groupBy stays order-free and the values are bit-identical to
+      // the two-action form the oracle replays.
       val grads = stepped
         .select(explode(col("tk")).as("t"),
           round(col("err") / col("n"), 6).as("g"))
-        .groupBy(tokenSlot(col("t")).as("slot"))
+        .select(tokenSlot(col("t")).as("slot"), col("g"))
+        .unionByName(stepped.select(lit(-1).as("slot"),
+          round(col("err"), 6).as("g")))
+        .groupBy(col("slot"))
         .agg(sum(col("g")).as("grad"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val bGrad = stepped.agg(sum(round(col("err"), 6))).head().getDouble(0)
+      val bGrad = grads.getOrElse(-1, 0.0)
       w = w.indices.map(j =>
         round6(w(j) - lr * grads.getOrElse(j, 0.0) / nDocs))
       b = round6(b - lr * bGrad / nDocs)
