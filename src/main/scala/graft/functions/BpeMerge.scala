@@ -82,6 +82,25 @@ case class BpeMergeExpr(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = BpeMerge.FuncName
 
+  // fail at ANALYSIS, not executor-side: the function is registered in
+  // the session registry, so a stray SQL call with a non-array or
+  // non-literal table must raise an AnalysisException, not a
+  // ClassCastException inside a retried task
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _))
+          if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName merge table must be a literal array")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<string> literal), " +
+          s"got ($l, $r)")
+    }
+  }
+
   @transient private lazy val table
       : java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]] = {
     require(right.foldable, s"$prettyName merge table must be a literal array")

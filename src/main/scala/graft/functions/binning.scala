@@ -58,10 +58,15 @@ object Binning {
     * identical to the direct product for every id but free of the i64
     * overflow the direct form hits above ~3.5·10⁹ (Spark would wrap
     * silently — biasing every large id toward +1 copy — while DuckDB
-    * raises). Oracle SQL must use the same
+    * raises). Deliberately the SIGN-PRESERVING `%`, not pmod: both
+    * engines' `%` keeps the dividend's sign, and congruent
+    * representatives below the modulus with matching signs are equal
+    * — so a negative id hashes identically to the pre-r8 direct
+    * product on BOTH sides, where pmod would diverge from the oracle.
+    * Oracle SQL must use the same
     * `(id % 1000003) * 427799 % 1000003` form.
     */
   def unitHash(id: Column): Column =
-    pmod(pmod(id, lit(1000003L)) * lit(427799L), lit(1000003L))
+    (id % lit(1000003L) * lit(427799L) % lit(1000003L))
       .cast("double") / lit(1000003.0)
 }

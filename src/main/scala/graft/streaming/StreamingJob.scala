@@ -581,6 +581,11 @@ object StreamingJob {
     * the batch IS one commit). A fold marks its batches `_MERGED`
     * only after the merge lands; [[recoverPendingKeeperMerges]]
     * refolds unmarked batches (idempotent fixpoint).
+    *
+    * Ids must be integral (the [[graft.dedup.Dedup
+    * .connectedComponents]] contract this composes with): the queue
+    * stores them as longs, and a non-long-castable id column would
+    * null out silently rather than fail loudly.
     */
   def streamKeeperMaintenance(docs: DataFrame, id: String, text: String,
                               n: Int, threshold: Double, workDir: String,
@@ -675,9 +680,26 @@ object StreamingJob {
   }
 
   private def foldKeeperQueue(s: SparkSession, dir: String,
-                              nBuckets: Int): Int = {
-    // thread-local: labels this fold's jobs in the UI / job profiles
-    s.sparkContext.setJobDescription("keeper-fold")
+                              nBuckets: Int): Int =
+    withJobDescription(s, "keeper-fold") {
+      foldKeeperQueueInner(s, dir, nBuckets)
+    }
+
+  /** Scope a thread-local job description: label this block's jobs in
+    * the UI / job profiles, then RESTORE — the description is caller-
+    * thread state, and the recovery entry points run on whatever
+    * thread called them (leaving it set would mislabel every later
+    * job on that thread).
+    */
+  private def withJobDescription[T](s: SparkSession, desc: String)
+                                   (body: => T): T = {
+    val before = s.sparkContext.getLocalProperty("spark.job.description")
+    s.sparkContext.setJobDescription(desc)
+    try body finally s.sparkContext.setJobDescription(before)
+  }
+
+  private def foldKeeperQueueInner(s: SparkSession, dir: String,
+                                   nBuckets: Int): Int = {
     val pending = pendingKeeperParts(dir)
     if (pending.isEmpty) return 0
     val rows = s.read.schema("a BIGINT, b BIGINT, doc BIGINT, q DOUBLE")
@@ -729,9 +751,13 @@ object StreamingJob {
   }
 
   private def foldLabelQueue(s: SparkSession, dir: String,
-                             nBuckets: Int): Int = {
-    // thread-local: labels this fold's jobs in the UI / job profiles
-    s.sparkContext.setJobDescription("label-fold")
+                             nBuckets: Int): Int =
+    withJobDescription(s, "label-fold") {
+      foldLabelQueueInner(s, dir, nBuckets)
+    }
+
+  private def foldLabelQueueInner(s: SparkSession, dir: String,
+                                  nBuckets: Int): Int = {
     val pending = pendingLabelParts(dir)
     if (pending.isEmpty) return 0
     // pairsPinned: the queue partitions ARE durable materialized edge

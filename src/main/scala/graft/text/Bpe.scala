@@ -132,15 +132,18 @@ object Bpe {
   }
 
   /** Batched merge learning — the standard large-vocabulary
-    * optimization: one pair-count pass learns up to `batch` mutually
-    * NON-OVERLAPPING merges (no symbol appears in two selected pairs),
-    * so a 32k-vocabulary run needs merges/batch driver round-trips
-    * instead of one per merge. Non-overlap is what keeps the batch
-    * honest: merging (a,b) can only create/destroy pairs that contain
-    * a or b, so every other selected pair's count is EXACTLY what the
+    * optimization: one pair-count pass learns up to `batch`
+    * JUNCTION-FREE merges (no pick's left is another pick's right,
+    * and no fused output collides with a side — left-left and
+    * right-right sharing ARE allowed; see [[mergePairs]] for why
+    * only junctions cause order dependence), so a 32k-vocabulary run
+    * needs ~merges/batch driver round-trips instead of one per
+    * merge. Junction-freedom is what keeps the batch honest: two
+    * picks' fusion windows can never compete for a symbol
+    * occurrence, so every selected pair's count is EXACTLY what the
     * pass measured — the approximation relative to classic BPE is
-    * only that pairs created mid-batch can't be chosen until the next
-    * pass. With `batch = 1` this IS [[train]], merge for merge
+    * only that pairs created mid-batch can't be chosen until the
+    * next pass. With `batch = 1` this IS [[train]], merge for merge
     * (differentially pinned in BpeSpec).
     *
     * Driver state stays bounded: one ordered candidate collect of
@@ -190,6 +193,12 @@ object Bpe {
       .withColumn("syms", transform(
         filter(split(col("w"), ""), c => c =!= ""),
         c => when(c === " ", lit(SpaceMark)).otherwise(c)))
+      // an empty document yields ZERO symbols, and the candidate
+      // query's slice(syms, 1, size - 1) throws on length -1 (the
+      // word path is immune — initialSymbols always appends </w>);
+      // a symbol-less unit carries no pairs and needs no rewrite,
+      // so it is simply not a training unit
+      .filter(size(col("syms")) > 0)
 
   /** [[trainBatched]] over SentencePiece-style character-stream units
     * ([[pieceVocab]]) instead of word units — same learner, same
@@ -228,6 +237,19 @@ object Bpe {
   private def trainLoop(session: org.apache.spark.sql.SparkSession,
                         units: DataFrame, merges: Int, batch: Int,
                         checkpointEvery: Int): (Seq[Merge], DataFrame) = {
+    // job descriptions are thread-local state on the CALLER's thread —
+    // restore on exit or every later job on this thread (the gate's
+    // oracle dumps, the next query) is mislabeled "bpe-pass-N" in the
+    // UI and in JobProfile's attribution
+    val descBefore = session.sparkContext
+      .getLocalProperty("spark.job.description")
+    try trainPasses(session, units, merges, batch, checkpointEvery)
+    finally session.sparkContext.setJobDescription(descBefore)
+  }
+
+  private def trainPasses(session: org.apache.spark.sql.SparkSession,
+                          units: DataFrame, merges: Int, batch: Int,
+                          checkpointEvery: Int): (Seq[Merge], DataFrame) = {
     var vocab = units.localCheckpoint()
     val learned = Seq.newBuilder[Merge]
     var rank = 0
