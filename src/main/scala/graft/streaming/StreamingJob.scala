@@ -506,7 +506,7 @@ object StreamingJob {
     * a task backlog — the backpressure a production compaction loop
     * needs.
     */
-  private final class FoldScheduler(fold: () => Unit,
+  private[graft] final class FoldScheduler(fold: () => Unit,
                                     pending: () => Int,
                                     minPending: Int = 2) {
     private val exec =

@@ -505,4 +505,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("click" -> ((1L, "1.10")), "view" -> ((3L, "9.90"))),
       s"merged view must equal the exact one-pass aggregate, got $got")
   }
+
+  test("FoldScheduler: min-pending gate, busy-skip, drain's final fold, loud errors") {
+    // gate: below minPending nothing runs; at minPending one fold runs
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gated = new StreamingJob.FoldScheduler(
+      () => { ran.incrementAndGet(); () }, () => pending.get(), 2)
+    pending.set(1); gated.submit()
+    pending.set(2); gated.submit()
+    gated.drain() // awaits the fold AND runs the unconditional final
+    assert(ran.get() == 2, s"one gated fold + the drain fold: $ran")
+
+    // busy-skip: submits while a fold runs are dropped, not queued —
+    // the drain's final fold is what covers them
+    val slowRan = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gateOpen = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val slow = new StreamingJob.FoldScheduler(() => {
+      slowRan.incrementAndGet()
+      started.countDown()
+      gateOpen.await()
+    }, () => 1, 1)
+    slow.submit()
+    started.await()
+    slow.submit(); slow.submit(); slow.submit() // all mid-fold: skipped
+    gateOpen.countDown()
+    slow.drain()
+    assert(slowRan.get() == 2,
+      s"the running fold + the drain fold, never a backlog: $slowRan")
+
+    // loud errors: a fold failure surfaces on the NEXT trigger check
+    // and again at drain — never a silent partial table
+    val boom = new StreamingJob.FoldScheduler(
+      () => throw new IllegalStateException("fold died"), () => 1, 1)
+    boom.submit()
+    // the failure lands asynchronously; drain must rethrow it
+    val e = intercept[IllegalStateException](boom.drain())
+    assert(e.getMessage == "fold died")
+    intercept[IllegalStateException](boom.failIfBroken())
+  }
 }
