@@ -73,6 +73,127 @@ object BpeMerge {
   }
 }
 
+/** Rank-ordered application of a WHOLE learned merge table — the
+  * encode kernel that closes the train→apply loop at vocabulary
+  * scale. [[graft.text.Bpe.encode]] replays merges as one nested
+  * Catalyst fold per merge, which caps out around ~16 merges
+  * (expression depth grows with the table); this runs the same
+  * replay — merge 1..N, each one greedy left-to-right pass — as a
+  * JVM loop over an in-place buffer, so a 512-merge (or 32k-merge)
+  * tokenizer applies corpus-wide in ONE map-only projection.
+  *
+  * Per row: a presence set over the current symbols lets passes whose
+  * left or right cannot occur be skipped in O(1) (the set only ever
+  * GROWS with fused outputs — a conservative, hence exact, skip);
+  * real tables touch a small fraction of their merges per word, so
+  * the effective cost is O(len · touched-merges), not O(len · N).
+  */
+object BpeEncode {
+
+  val FuncName = "graft_bpe_encode"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FuncName, exprs => BpeEncodeExpr(exprs(0), exprs(1)), "built-in")
+
+  /** Column API; requires [[register]]. `mergesFlat` must be a LITERAL
+    * interleaved `[l1, r1, l2, r2, …]` array in RANK order.
+    */
+  def encodeRanked(syms: Column, mergesFlat: Column): Column =
+    call_function(FuncName, syms, mergesFlat)
+
+  /** The replay kernel: for each merge in rank order, one greedy
+    * left-to-right fusing pass — exactly [[graft.text.Bpe.mergePair]]
+    * iterated, shared by interpreted eval and codegen.
+    */
+  def apply(syms: ArrayData,
+            merges: Array[Array[UTF8String]]): ArrayData = {
+    var n = syms.numElements()
+    if (n == 0)
+      return ArrayData.toArrayData(new Array[AnyRef](0))
+    val buf = new Array[UTF8String](n)
+    val present = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      buf(i) = syms.getUTF8String(i); present.add(buf(i)); i += 1
+    }
+    var m = 0
+    while (m < merges.length && n > 1) {
+      val l = merges(m)(0)
+      val r = merges(m)(1)
+      if (present.contains(l) && present.contains(r)) {
+        // one greedy pass: write-compact in place
+        var w = 0 // top of the written prefix (exclusive)
+        var j = 0
+        var fusedAny = false
+        while (j < n) {
+          if (w > 0 && buf(w - 1).equals(l) && buf(j).equals(r)) {
+            buf(w - 1) = UTF8String.concat(buf(w - 1), buf(j))
+            fusedAny = true
+          } else { buf(w) = buf(j); w += 1 }
+          j += 1
+        }
+        n = w
+        if (fusedAny) present.add(UTF8String.concat(l, r))
+      }
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(buf, 0, out, 0, n)
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Expression wrapper for [[BpeEncode]]: `right` must be a foldable
+  * rank-ordered interleaved array literal, evaluated ONCE into the
+  * merge list shared across all rows.
+  */
+case class BpeEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = BpeEncode.FuncName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _))
+          if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName merge table must be a literal array")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<string> literal), " +
+          s"got ($l, $r)")
+    }
+  }
+
+  @transient private lazy val table: Array[Array[UTF8String]] = {
+    val flat = right.eval(null).asInstanceOf[ArrayData]
+    require(flat.numElements() % 2 == 0,
+      s"$prettyName expects interleaved [left, right, …] pairs")
+    Array.tabulate(flat.numElements() / 2) { i =>
+      // copy: literal ArrayData may be unsafe-backed row memory
+      Array(flat.getUTF8String(2 * i).clone(),
+        flat.getUTF8String(2 * i + 1).clone())
+    }
+  }
+
+  override protected def nullSafeEval(syms: Any, ignored: Any): Any =
+    BpeEncode.apply(syms.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeTable", table,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    nullSafeCodeGen(ctx, ev, (syms, _) =>
+      s"${ev.value} = graft.functions.BpeEncode.apply($syms, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Expression wrapper: `right` must be a foldable interleaved
   * `[l, r, …]` array literal — it is evaluated ONCE into a hash table
   * shared across all rows.

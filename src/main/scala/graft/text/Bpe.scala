@@ -190,9 +190,7 @@ object Bpe {
   def pieceVocab(docs: DataFrame, textCol: String): DataFrame =
     docs.select(lower(col(textCol)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("syms", transform(
-        filter(split(col("w"), ""), c => c =!= ""),
-        c => when(c === " ", lit(SpaceMark)).otherwise(c)))
+      .withColumn("syms", pieceSymbols(col("w")))
       // an empty document yields ZERO symbols, and the candidate
       // query's slice(syms, 1, size - 1) throws on length -1 (the
       // word path is immune — initialSymbols always appends </w>);
@@ -332,10 +330,38 @@ object Bpe {
 
   /** Encode a word column with a learned merge table (merges applied
     * in rank order — BPE encode-by-replay; production encoders use the
-    * equivalent priority-queue form, same result).
+    * equivalent priority-queue form, same result). Expression depth
+    * grows with the table (one nested fold per merge), so this form
+    * caps out around ~16 merges — [[encodeRanked]] is the
+    * vocabulary-scale form.
     */
   def encode(word: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(initialSymbols(word)) { (c, m) =>
       mergePair(c, m.left, m.right)
     }
+
+  /** Vocabulary-scale encode: the SAME rank-ordered replay as
+    * [[encode]] (differentially pinned in BpeSpec), run by the native
+    * [[graft.functions.BpeEncode]] kernel — one map-only projection
+    * whatever the table size, where the nested-fold form's expression
+    * depth grows with the merge count. Takes the symbol column
+    * directly (callers pick [[initialSymbols]] for word units or
+    * [[pieceVocab]]'s marked character stream for piece units).
+    * Callers must [[graft.functions.BpeEncode.register]] the session.
+    */
+  def encodeRanked(syms: Column, merges: Seq[Merge]): Column = {
+    val ordered = merges.sortBy(_.rank)
+    require(ordered.map(_.rank) == (1 to ordered.length),
+      "merge table has non-contiguous ranks")
+    graft.functions.BpeEncode.encodeRanked(syms,
+      array(ordered.flatMap(m => Seq(lit(m.left), lit(m.right))): _*))
+  }
+
+  /** [[pieceVocab]]'s per-document symbol stream for ENCODING — every
+    * character with spaces marked, no unit dedup, no empty-unit drop
+    * (an empty document encodes to zero symbols).
+    */
+  def pieceSymbols(text: Column): Column =
+    transform(filter(split(lower(text), ""), c => c =!= ""),
+      c => when(c === " ", lit(SpaceMark)).otherwise(c))
 }

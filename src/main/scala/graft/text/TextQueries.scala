@@ -344,6 +344,36 @@ object TextQueries {
           min(concat_ws("", col("syms")) ===
             concat(col("w"), lit(Bpe.EndOfWord))).as("roundtrip_ok"))
     }),
+    // vocabulary-scale ENCODE — the apply half of the 512-merge
+    // train: every document's ▁-marked character stream is encoded by
+    // the native rank-replay kernel (functions/BpeEncode) in ONE
+    // map-only projection, where the nested-fold encode caps at ~16
+    // merges. Contract per doc (the a37 trick): n_chars is exactly
+    // recomputable in SQL; roundtrip_ok pins losslessness (the
+    // encoded symbols concatenate back to the exact marked stream —
+    // one dropped or doubled character anywhere fails the row);
+    // syms_bounded pins 1 ≤ n_syms ≤ n_chars (encoding never
+    // lengthens, never vanishes a non-empty doc). The exact symbol
+    // sequence stays pinned by BpeSpec's replay differential.
+    "tx_bpe_encode_full" -> ((s, dir) => {
+      val (merges, _) = Bpe.trainBatchedPieces(Tables.documents(s, dir),
+        "text", merges = 512, batch = 128)
+      require(merges.length == 512,
+        s"tx_bpe_encode_full: corpus exhausted merges at " +
+          s"${merges.length}/512 — see tx_bpe_train")
+      graft.functions.BpeEncode.register(s)
+      val marked = translate(lower(col("text")), " ", Bpe.SpaceMark)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(lower(col("text"))).cast("int").as("n_chars"),
+          Bpe.encodeRanked(Bpe.pieceSymbols(col("text")), merges)
+            .as("syms"), marked.as("marked"))
+        .select(col("doc_id"), col("n_chars"),
+          (concat_ws("", col("syms")) === col("marked"))
+            .as("roundtrip_ok"),
+          (size(col("syms")) >= least(lit(1), col("n_chars")) &&
+            size(col("syms")) <= col("n_chars")).as("syms_bounded"))
+    }),
     "tx_bpe_train" -> ((s, dir) => {
       // real-vocabulary-scale run of the BATCHED learner: 512 merges
       // in ~6 pair-count passes (up to 128 junction-free pairs per
@@ -644,6 +674,13 @@ object TextQueries {
     "tx_bpe_train" ->
       """SELECT unnest(range(1, 513))::INT AS rank, TRUE AS count_pos,
         |       TRUE AS parts_known, TRUE AS counts_ranked""".stripMargin,
+    // encode contract: char count exact in SQL, losslessness and the
+    // 1..n_chars symbol bound pinned as booleans (the sequential
+    // merge replay itself is not SQL-expressible — BpeSpec pins it)
+    "tx_bpe_encode_full" ->
+      """SELECT doc_id, length(lower(text))::INT AS n_chars,
+        |       TRUE AS roundtrip_ok, TRUE AS syms_bounded
+        |FROM documents""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH k AS (
          |  SELECT source,

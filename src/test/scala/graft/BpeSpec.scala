@@ -203,6 +203,39 @@ class BpeSpec extends SparkSpec {
       Bpe.mergePairs(col("s"), Seq(("t", "h"), ("th", "e"))))
   }
 
+  test("encodeRanked: the native rank-replay equals the nested-fold encode") {
+    graft.functions.BpeEncode.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // word units at a fold-able table size: the two encodes must agree
+    // symbol-for-symbol on every corpus word
+    val (merges, _) = Bpe.trainBatched(docs, "text", 12, batch = 4)
+    val w = docs.select(explode(Text.tokens(lower(col("text")))).as("w"))
+    val diff = w
+      .withColumn("a", Bpe.encode(col("w"), merges))
+      .withColumn("b",
+        Bpe.encodeRanked(Bpe.initialSymbols(col("w")), merges))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L, "native rank-replay must equal the fold encode")
+    // piece units at vocabulary scale: lossless round-trip + bounds
+    // on every document with a 256-merge table (beyond the fold cap)
+    val (pm, _) = Bpe.trainBatchedPieces(docs, "text", 256, batch = 64)
+    assert(pm.length == 256)
+    val marked = translate(lower(col("text")), " ", Bpe.SpaceMark)
+    val bad = docs.select(
+        Bpe.encodeRanked(Bpe.pieceSymbols(col("text")), pm).as("syms"),
+        marked.as("m"))
+      .filter(concat_ws("", col("syms")) =!= col("m") ||
+        size(col("syms")) > length(col("m")) ||
+        size(col("syms")) < lit(1))
+      .count()
+    assert(bad == 0L, "256-merge piece encode must round-trip every doc")
+    // empty input encodes to zero symbols, not an error
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("s")
+      .select(Bpe.encodeRanked(col("s"), pm)).as[Seq[String]].collect()
+    assert(empty.head == Seq.empty)
+  }
+
   test("merge table persists and loads rank-for-rank; empty/torn artifacts fail loudly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (merges, _) = Bpe.trainBatched(docs, "text", 10, batch = 4)
