@@ -414,10 +414,20 @@ object Dedup {
 
   /** Build the persisted band index at `dir` (same kernel + seed as
     * [[minhashLshPairs]], so the band collision contract carries over).
+    * A build is FROM SCRATCH: any existing index at `dir` — including
+    * streaming `ingest=<id>` partitions a previous parameterization
+    * left behind — is deleted first. Without the clear, a rebuild
+    * with different params would rewrite only `ingest=-1`, replace
+    * params.json, and leave old-hash-space partitions that every
+    * probe would silently mix in (the exact silent-wrong class
+    * checkIndexParams exists to refuse). Growing an index is
+    * [[bandIndexAppend]] / [[bandIndexIngestBatch]], which validate
+    * params instead.
     */
   def bandIndexBuild(corpus: DataFrame, id: String, text: String, n: Int,
                      dir: String, numHashes: Int = 128,
                      bands: Int = 32): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     writeIndexParams(dir, n, numHashes, bands, createOnly = false)
     writeBandKernel(corpus, id, text, n, numHashes, bands,
       s"$dir/shingles/ingest=$BatchIngestId",
@@ -970,7 +980,7 @@ object Dedup {
     writeLabelsPruned(s, dir, lab, touched, relabeled, nBuckets)
   }
 
-  private def readLabelsOrEmpty(s: SparkSession, dir: String): DataFrame =
+  private[graft] def readLabelsOrEmpty(s: SparkSession, dir: String): DataFrame =
     if (new java.io.File(dir).exists())
       normalizedLabels(s.read.parquet(dir))
     else normalizedLabels(

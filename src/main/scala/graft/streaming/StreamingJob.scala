@@ -111,12 +111,14 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
-    // a zero-row stream commits no files: mirror runToMemory's empty
-    // result instead of failing schema inference on an empty dir
-    if (new java.io.File(out).listFiles() == null)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        stream.schema)
-    else spark.read.parquet(out)
+    // a zero-row stream commits no DATA files — but never an empty
+    // DIR: FileStreamSink mkdirs `out/_spark_metadata` at query
+    // start, so a listFiles() null-check is always false and
+    // schema-less read would still die on 'unable to infer schema'.
+    // Read with the stream's own schema instead: zero committed files
+    // then correctly resolve to the empty result, mirroring
+    // runToMemory.
+    spark.read.schema(stream.schema).parquet(out)
   }
 
   /** T1/T3/T6-style console metrics stream (O6): second concurrent
@@ -209,6 +211,13 @@ object StreamingJob {
     */
   def sustainedScoringRate(spark: SparkSession, sfDir: String,
                            workDir: String, nFiles: Int = 8): (Double, Int) = {
+    // the steady-state window is read from q.recentProgress, which
+    // retains only spark.sql.streaming.numRecentProgressUpdates
+    // (default 100) entries — past that the warm-up batch this method
+    // exists to exclude would silently age out and a steady batch
+    // would be dropped in its place
+    require(nFiles <= 64,
+      s"nFiles=$nFiles exceeds the recentProgress retention window")
     import graft.etl.{ScoringPipeline, TestdataAdapter}
     val in = s"$workDir/in"
     val ckpt = s"$workDir/ckpt"
@@ -472,11 +481,17 @@ object StreamingJob {
         // both index writes and the probe — see
         // Dedup.bandIndexIngestProbeBatch
         val part = s"$dir/labels_queue/batch=$batchId"
+        // cast to long at the WRITE (the keeper twin's discipline):
+        // the fold reads the queue with a hard BIGINT schema, and an
+        // int32 id column would otherwise commit INT32 parquet the
+        // vectorized reader refuses to widen
         graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
-          .select(least(col("in_doc"), col("corpus_doc")).as("a"),
-            greatest(col("in_doc"), col("corpus_doc")).as("b"))
+          .select(least(col("in_doc"), col("corpus_doc"))
+              .cast("long").as("a"),
+            greatest(col("in_doc"), col("corpus_doc"))
+              .cast("long").as("b"))
           .distinct()
           .write.mode("overwrite").parquet(part)
         folder.submit()
@@ -487,7 +502,12 @@ object StreamingJob {
     try q.awaitTermination()
     catch { case t: Throwable => folder.abort(); throw t }
     folder.drain()
-    s.read.parquet(s"$dir/labels").select(col("doc"), col("component"))
+    // a corpus with NO near-dup pairs drains without labelsMerge ever
+    // creating the table (empty edge sets return before the write) —
+    // "no labels" is the answer there, not a missing-path error (the
+    // keeper drain's explicit-schema discipline)
+    graft.dedup.Dedup.readLabelsOrEmpty(s, s"$dir/labels")
+      .select(col("doc"), col("component"))
   }
 
   /** Serialized background-fold scheduler shared by the maintenance
@@ -1168,7 +1188,9 @@ object StreamingJob {
           when(u < col("e") - floor(col("e")), 1L).otherwise(0L))
       .select(col(id), col(sliceCol),
         explode(sequence(lit(1L), col("n_copies"))).as("epoch_idx"))
-    runToMemory(out)
+    val res = runToMemory(out)
+    eps.unpersist()
+    res
   }
 
   /** Streaming HYBRID retrieval probe — the fusion of
@@ -1231,6 +1253,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    corpusEmb.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1271,6 +1294,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    boiler.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1294,8 +1318,10 @@ object StreamingJob {
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val bigrams = graft.text.LangModel.bigramCounts(ref, text).cache()
-    val c1 = bigrams.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1")).cache()
+    // the ONE shared definition of the context totals (streamPplBuckets
+    // and the batch scorer use it too) — a hand-rolled twin here could
+    // silently diverge if the helper ever changes
+    val c1 = graft.text.LangModel.derivedContextTotals(bigrams).cache()
     c1.count()
     val v = graft.text.LangModel.vocabSize(ref, text)
     val queries = arriving
@@ -1315,6 +1341,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    bigrams.unpersist(); c1.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1361,6 +1388,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    models.foreach { m => m.bigrams.unpersist(); m.c1.unpersist(); () }
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1414,6 +1442,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    bigrams.unpersist(); c1.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1458,6 +1487,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    tc.unpersist(); sc.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
