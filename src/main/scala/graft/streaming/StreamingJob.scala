@@ -436,13 +436,21 @@ object StreamingJob {
     */
   def streamLabelMaintenance(docs: DataFrame, id: String, text: String,
                              n: Int, threshold: Double, workDir: String,
-                             nFiles: Int = 4, nBuckets: Int = 16): DataFrame = {
+                             nFiles: Int = 4, nBuckets: Int = 16,
+                             filesPerTrigger: Int = 2): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     docs.repartition(nFiles).write.parquet(s"$dir/in")
+    // the keeper twin's admission-size discipline (r9): per trigger
+    // this loop pays a fixed floor — signature pass, two index
+    // writes, the queue commit — so the 2-files-per-trigger default
+    // halves the floor count for byte-identical drained state (the
+    // labeling is a pure function of the union edge set, and the
+    // spec pins drained ≡ scratch under any chunking). Callers that
+    // want to exercise per-trigger admission cadence pass 1.
     val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     // Label merging runs as a SERIALIZED BACKGROUND fold, off the
     // trigger's critical path: ingest and edge discovery are the
     // latency-critical admission work, while the label table is an
@@ -470,8 +478,13 @@ object StreamingJob {
     //    awaits it, and a fold failure fails the query.
     // At-least-once replay: a redelivered batch overwrites its own
     // queue partition and labelsMerge is a fixpoint under duplicates.
+    // minPending=1 at the 2-files-per-trigger cadence (the s30
+    // setting): only ~nFiles/2 triggers arrive, so fold as soon as
+    // the fold thread is idle rather than waiting for a pair that
+    // may only show up at drain time
     val folder = new FoldScheduler(() => { foldLabelQueue(s, dir, nBuckets); () },
-      () => pendingLabelParts(dir).size)
+      () => pendingLabelParts(dir).size,
+      minPending = if (filesPerTrigger >= 2) 1 else 2)
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -619,11 +632,11 @@ object StreamingJob {
     // filesPerTrigger is Spark's own admission-size knob
     // (maxFilesPerTrigger): per trigger this loop pays a fixed floor —
     // signature pass, two index writes, the queue commit — so batch
-    // size trades admission latency against per-doc cost. The
-    // single-file cadence is [[streamLabelMaintenance]]'s story (s18
-    // proves per-trigger admission across 4 micro-batches); this
-    // loop's story is the coalesced background fold, so it defaults
-    // to 2 files per trigger. Drained state is identical under any
+    // size trades admission latency against per-doc cost. Both
+    // maintenance loops default to 2 files per trigger (r9: s18
+    // adopted this loop's cadence; its per-trigger admission story
+    // is spec-pinned at filesPerTrigger=1 instead of paid for in
+    // every bench sweep). Drained state is identical under any
     // chunking (spec-pinned: the oracle is the scratch recompute).
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
@@ -1091,7 +1104,8 @@ object StreamingJob {
     */
   def streamMltProbe(corpus: DataFrame, delta: DataFrame,
                      queries: DataFrame, id: String, text: String,
-                     k: Int, workDir: String, nFiles: Int = 4): DataFrame = {
+                     k: Int, workDir: String, nFiles: Int = 4,
+                     filesPerTrigger: Int = 2): DataFrame = {
     val s = corpus.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1099,22 +1113,35 @@ object StreamingJob {
     graft.text.Bm25.indexAppend(delta, id, text, s"$dir/ix")
     // the index is FROZEN for the whole probe stream (built+appended
     // above, probes only from here on), so corpus stats are two
-    // constants — read once, not once per trigger
+    // constants — read once, not once per trigger — and the postings
+    // are pinned in cache for the stream's life (the hybrid probe's
+    // static-leg discipline): each trigger's two postings consumers
+    // hit memory instead of paying two parquet scans
     val stats = graft.text.Bm25.readStats(s, s"$dir/ix")
+    val postings = s.read.parquet(s"$dir/ix/postings").cache()
+    postings.count()
     queries.repartition(nFiles).write.parquet(s"$dir/in")
+    // 2 files per trigger — the maintenance loops' r9 admission-size
+    // default: the per-trigger fixed floor halves for an identical
+    // drained union (per-query probes are independent)
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // localized probe: the micro-batch query side is broadcast by
+        // contract, so its term set / bucket list / fan-out side fold
+        // to LocalRelations — see moreLikeThisFromIndex(localizeProbe)
         graft.text.Bm25.moreLikeThisFromIndex(s, batch, id, text,
-            s"$dir/ix", k, stats = Some(stats))
+            s"$dir/ix", k, stats = Some(stats), localizeProbe = true,
+            postings = Some(postings))
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    postings.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1215,7 +1242,8 @@ object StreamingJob {
     */
   def streamHybridProbe(docs: DataFrame, emb: DataFrame, id: String,
                         text: String, vec: String, split: Int, k: Int,
-                        workDir: String, nFiles: Int = 4): DataFrame = {
+                        workDir: String, nFiles: Int = 4,
+                        filesPerTrigger: Int = 2): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1225,26 +1253,50 @@ object StreamingJob {
     // once, and the corpus-side embeddings are a static stream–static
     // join side (the batch query side is what broadcasts per trigger)
     val stats = graft.text.Bm25.readStats(s, s"$dir/ix")
-    // the vector leg's static side is pinned for the stream's life —
-    // a designed cache (same posture as the dashboard's scored
-    // table): every micro-batch re-probes it, none should re-read
-    // the corpus parquet
+    // BOTH static legs are pinned for the stream's life — a designed
+    // cache (same posture as the dashboard's scored table): every
+    // micro-batch re-probes them, none should re-read parquet. One
+    // materialization job covers each; per-trigger the lex leg's two
+    // postings consumers and the vector leg's corpus side then run
+    // from memory.
+    val postings = s.read.parquet(s"$dir/ix/postings").cache()
+    postings.count()
     val corpusEmb = emb.filter(col("vec_id") >= split).cache()
     corpusEmb.count()
     val queries = docs.filter(col(id) < split)
       .join(emb.select(col("vec_id").as(id), col(vec)), id)
     queries.repartition(nFiles).write.parquet(s"$dir/in")
+    // 2 files per trigger (the maintenance loops' r9 admission-size
+    // default): per trigger this probe pays a fixed floor — the lex
+    // leg's term collect + pruned-postings broadcast, the vector
+    // leg's query broadcast, one fused output commit — so halving
+    // the trigger count halves the floor for an identical drained
+    // union (per-query fusion is independent; spec-pinned vs the
+    // one-shot batch fusion under both cadences)
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val lex = graft.text.Bm25.moreLikeThisFromIndex(s, batch, id,
-            text, s"$dir/ix", k, stats = Some(stats))
+        // ONE micro-batch source scan per trigger: both legs BROADCAST
+        // the query batch (driver-memory-bounded by design — that is
+        // the probe contract), so collect it once and derive each leg
+        // from a LocalRelation. The lex leg then runs its localized
+        // probe (term set / bucket list / fan-out side all fold to
+        // LocalRelations — zero broadcast-build jobs) and the vector
+        // leg's broadcast(q) build stops re-scanning the source. Two
+        // driver actions per trigger (this collect + the fused
+        // commit) plus the lex leg's tokenize and pruned-df jobs —
+        // down from ~16 jobs/trigger (JobProfile r9, see SCALE.md).
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(batch.collect(): _*), batch.schema)
+        val lex = graft.text.Bm25.moreLikeThisFromIndex(s, local, id,
+            text, s"$dir/ix", k, stats = Some(stats),
+            localizeProbe = true, postings = Some(postings))
           .select(col("qid"), col("doc_id").as("doc"), col("rank"))
         val v = graft.similarity.Ann.bruteForceTopK(
-            batch.select(col(id).as("vec_id"), col(vec)), corpusEmb,
+            local.select(col(id).as("vec_id"), col(vec)), corpusEmb,
             "vec_id", vec, k)
           .select(col("qid"), col("vid").as("doc"), col("rank"))
         graft.text.Retrieval.rrfFuse(lex, v, k)
@@ -1253,6 +1305,7 @@ object StreamingJob {
       .trigger(Trigger.AvailableNow())
       .start())
     q.awaitTermination()
+    postings.unpersist()
     corpusEmb.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }

@@ -205,7 +205,9 @@ object Bm25 {
   def moreLikeThisFromIndex(s: org.apache.spark.sql.SparkSession,
                             queries: DataFrame, idCol: String,
                             textCol: String, dir: String, k: Int,
-                            stats: Option[(Double, Double)] = None)
+                            stats: Option[(Double, Double)] = None,
+                            localizeProbe: Boolean = false,
+                            postings: Option[DataFrame] = None)
   : DataFrame = {
     val (n, avgdl) = stats.getOrElse(readStats(s, dir))
     // deliberately NOT checkpointed: qTerms is a pure tokenization of
@@ -213,8 +215,37 @@ object Bm25 {
     // recomputing a cheap map-only projection beats paying a whole
     // materialization job per probe, which at streaming cadence is
     // pure fixed floor
-    val qTerms = queries.select(col(idCol).as("qid"),
+    val qTermsPlan = queries.select(col(idCol).as("qid"),
         explode(array_distinct(Text.tokens(lower(col(textCol))))).as("term"))
+    // localizeProbe (the streaming probes' job-floor cut): the probe
+    // already BROADCASTS the query side twice (term set + fan-out), so
+    // the (qid, term) pairs are driver-memory-bounded by design —
+    // collecting them ONCE replaces three per-probe driver actions
+    // (the bucket-list collect, and the two broadcast builds that
+    // each re-scan + re-tokenize the source) with one: downstream the
+    // term set, its bucket list, and the fan-out side are all
+    // LocalRelations, whose projections Catalyst folds at
+    // optimization time and whose broadcast builds submit no job.
+    // Tokenization still runs through the SAME Spark expressions
+    // (one map-only job), so scores cannot diverge from the default
+    // path — spec-pinned equal. Batch callers with query sets big
+    // enough that a broadcast build materially beats a collect keep
+    // the default.
+    val (qTerms, termSet) =
+      if (!localizeProbe)
+        (qTermsPlan, qTermsPlan.select("term").distinct())
+      else {
+        import scala.jdk.CollectionConverters._
+        val rows = qTermsPlan.collect()
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), qTermsPlan.schema)
+        val terms = rows.map(_.getString(1)).distinct.toSeq
+        (local, s.createDataFrame(
+          terms.map(org.apache.spark.sql.Row(_)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType, nullable = false)))))
+      }
     // order of operations is the probe's scale story: (1) prune the
     // postings scan to the query batch's term set — bucket partition
     // pruning first, then a broadcast semi-join on the (small,
@@ -223,11 +254,25 @@ object Bm25 {
     // final fan-out join multiplies by querying doc. Computing df over
     // the full postings or fanning out before scoring re-reads /
     // re-scores work per query doc — measured 5× slower.
-    val termSet = qTerms.select("term").distinct()
+    // The bucket projection over a LocalRelation folds at optimization
+    // time (ConvertToLocalRelation), so the localized path's bucket
+    // list costs zero jobs; the default path pays its one collect.
+    // De-dup driver-side rather than with a DataFrame distinct(): the
+    // input is already one row per distinct term (≈ what the probe
+    // broadcasts anyway), and a plan-side distinct is a whole extra
+    // exchange per probe — on the localized path it would be the one
+    // job the LocalRelation fold just removed.
     val buckets = termSet
       .select(pmod(hash(col("term")), lit(IndexBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val matched = s.read.parquet(s"$dir/postings")
+      .collect().map(_.getInt(0)).distinct.toSeq
+    // `postings` lets streaming callers probing a FROZEN index pin the
+    // postings in cache for the stream's life (the corpus-embedding
+    // discipline of the hybrid probe's vector leg): the two consumers
+    // below (df + contrib) then hit memory instead of paying two
+    // parquet scans per trigger. The bucket filter still prunes —
+    // partition pruning on the file scan, batch-stat pruning on the
+    // in-memory relation.
+    val matched = postings.getOrElse(s.read.parquet(s"$dir/postings"))
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(termSet), "term")
     val df = matched.groupBy("term").agg(count(lit(1)).as("qdf"))

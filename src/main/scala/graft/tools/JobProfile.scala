@@ -14,8 +14,15 @@ object JobProfile {
     val spark = graft.jobs.Jobs.localBuilder("graft-profile", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev-only A/B lever: GRAFT_NOAQE=1 runs the profiled query with
+    // AQE off, to separate the job-count floor AQE's per-stage jobs
+    // impose on micro-loop queries from the query's own actions
+    if (sys.env.get("GRAFT_NOAQE").contains("1"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     graft.SparkEntry.queries("pipeline_score")(spark, dir).count() // warm
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobSec = new java.util.concurrent.atomic.DoubleAdder()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = Option(j.properties)
@@ -26,15 +33,18 @@ object JobProfile {
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
           val dt = (System.nanoTime() - t0) / 1e9
+          nJobs.incrementAndGet(); jobSec.add(dt)
           if (dt > 0.02)
             println(f"[job] ${j.jobId}%4d  $dt%6.2f s  $site")
         }
       }
     })
     for (rep <- 1 to 2) {
+      nJobs.set(0); jobSec.reset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[total] rep $rep  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[total] rep $rep  ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        f"  jobs=${nJobs.get()}%d  jobSec=${jobSec.sum()}%.2f")
     }
     spark.stop()
   }

@@ -793,6 +793,63 @@ class DedupAnnSpec extends SparkSpec {
       s"singletons: $got")
   }
 
+  test("canonicalAppend misuse: refolding a delta diverges (the EXACTLY-ONCE " +
+    "contract is load-bearing; curationMerge is the at-least-once door)") {
+    import org.apache.spark.sql.DataFrame
+    // Pin the documented failure mode rather than leave it prose-only:
+    // the fold is over stored argmax STRUCTS, so a replayed batch
+    // double-counts n_members — the exact divergence the scaladoc
+    // contract warns about, and the reason at-least-once callers must
+    // use curationMerge (whose fixpoint is spec-pinned elsewhere).
+    def canonical(docs: DataFrame, labels: DataFrame): DataFrame =
+      Dedup.canonicalTable(docs, labels, "doc_id", "q")
+    val oldDocs = Seq((1L, 0.5), (2L, 0.9)).toDF("doc_id", "q")
+    val oldEdges = Seq((1L, 2L)).toDF("a", "b")
+    val oldLabels = Dedup.connectedComponents(oldEdges, "a", "b")
+    val deltaDocs = Seq((3L, 0.8)).toDF("doc_id", "q")
+    val newEdges = Seq((3L, 1L)).toDF("a", "b")
+    val once = Dedup.canonicalAppend(canonical(oldDocs, oldLabels),
+      oldLabels, deltaDocs, "doc_id", "q", newEdges, "a", "b")
+    val scratch = canonical(oldDocs.union(deltaDocs),
+        Dedup.connectedComponents(oldEdges.union(newEdges), "a", "b"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(once.as[(Long, Long, Double, Long)].collect().toSet == scratch)
+    // the misuse: fold the SAME delta into the already-folded keepers.
+    // The grown labeling absorbs the duplicate edges (components are a
+    // fixpoint), but the keeper census is not: {1,2,3} reports 4
+    // members after the double fold — silently wrong, never failing.
+    val twice = Dedup.canonicalAppend(once,
+        Dedup.connectedComponents(oldEdges.union(newEdges), "a", "b"),
+        deltaDocs, "doc_id", "q", newEdges, "a", "b")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(twice != scratch, "double fold must diverge — if this ever " +
+      "becomes a fixpoint, retire canonicalAppend's EXACTLY-ONCE caveat")
+    assert(twice.exists { case (_, _, _, n) => n == 4L },
+      s"expected the replayed delta to double-count members: $twice")
+  }
+
+  test("label maintenance drained labeling is invariant to trigger chunking") {
+    // the r9 filesPerTrigger=2 default rests on this: the labeling is
+    // a pure function of the union edge set, so 1-file and 2-file
+    // cadences (4 vs 2 micro-batches) must drain byte-identical, and
+    // both must equal the scratch connected-components recompute
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val two = graft.streaming.StreamingJob.streamLabelMaintenance(
+      docs, "doc_id", "text", n = 3, threshold = 0.8,
+      "/tmp/graft_s18_c2")
+    val one = graft.streaming.StreamingJob.streamLabelMaintenance(
+      docs, "doc_id", "text", n = 3, threshold = 0.8,
+      "/tmp/graft_s18_c1", filesPerTrigger = 1)
+    val scratch = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8), "doc_a", "doc_b")
+      .select(col("doc"), col("component"))
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "drained labeling must not depend on micro-batch chunking")
+    assert(two.exceptAll(scratch).isEmpty && scratch.exceptAll(two).isEmpty,
+      "drained labeling must equal the scratch recompute")
+  }
+
   test("labelsMerge: only affected buckets rewritten; redelivery is a fixpoint") {
     val dir = s"/tmp/graft_labels_spec-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -84,6 +84,46 @@ class HybridSpec extends SparkSpec {
       "micro-batched two-leg fusion must union to the batch result")
   }
 
+  test("localized BM25 probe ≡ default probe (same index, same scores)") {
+    // the r9 job-floor cut: localizeProbe collects the (qid, term)
+    // pairs once and turns the term set / bucket list / fan-out side
+    // into LocalRelations — same Spark tokenization expressions, so
+    // every score must be bit-identical to the default broadcast path
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val split = graft.text.HybridQueries.Split
+    val ix = "/tmp/graft_mlt_localize_spec/ix"
+    graft.text.Bm25.indexBuild(docs.filter(col("doc_id") >= split),
+      "doc_id", "text", ix)
+    val q = docs.filter(col("doc_id") < split)
+    val dflt = graft.text.Bm25.moreLikeThisFromIndex(spark, q,
+      "doc_id", "text", ix, k = 5)
+    val loc = graft.text.Bm25.moreLikeThisFromIndex(spark, q,
+      "doc_id", "text", ix, k = 5, localizeProbe = true)
+    assert(dflt.exceptAll(loc).isEmpty && loc.exceptAll(dflt).isEmpty,
+      "localized probe must score identically to the default path")
+  }
+
+  test("hybrid probe drained union is invariant to trigger chunking") {
+    // per-query fusion is independent, so 1 file/trigger (4 batches)
+    // and the 2-file default (2 batches) must drain to the same rows —
+    // the claim the r9 filesPerTrigger default rests on
+    val dir = "/root/testdata/sf0.001"
+    val one = graft.streaming.StreamingJob.streamHybridProbe(
+        Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        "doc_id", "text", "embedding", graft.text.HybridQueries.Split,
+        graft.text.HybridQueries.HK, "/tmp/graft_hybrid_c1",
+        filesPerTrigger = 1)
+      .select("qid", "doc", "rrf", "rank")
+    val two = graft.streaming.StreamingJob.streamHybridProbe(
+        Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        "doc_id", "text", "embedding", graft.text.HybridQueries.Split,
+        graft.text.HybridQueries.HK, "/tmp/graft_hybrid_c2")
+      .select("qid", "doc", "rrf", "rank")
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "drained fusion must not depend on micro-batch chunking")
+  }
+
   test("streamed boiler strip drains to the one-shot cross-split strip") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = graft.text.HybridQueries.Split
