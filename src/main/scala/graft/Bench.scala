@@ -64,8 +64,18 @@ object Bench {
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = sys.props("java.class.path")
 
+    // per-child host telemetry (r9): `#`-keys from each chunk's tsv —
+    // load1 before/after, chunk wall vs process-CPU seconds, and the
+    // a15 contention canary — land per-tag in bench_detail.json and as
+    // a compact min/med/max summary on the stdout line, so an inflated
+    // sweep is adjudicable from the artifact alone (the r8 337 s vs
+    // 249-260 s discrepancy needed a manual retime session)
+    val telemetry =
+      scala.collection.mutable.Map.empty[String, Map[String, Double]]
+
     /** Fork one [[BenchChunk]]; returns its name→seconds map (empty on
-      * child death — caller decides the fallback).
+      * child death — caller decides the fallback). Telemetry keys are
+      * split off into [[telemetry]] under the child's tag.
       */
     def runChild(spec: String, tag: String): Map[String, Double] = {
       val outFile = logsDir.resolve(s"$tag.tsv")
@@ -79,10 +89,14 @@ object Bench {
       val p = pb.start()
       if (!p.waitFor(ChildTimeoutMin, java.util.concurrent.TimeUnit.MINUTES))
         p.destroyForcibly().waitFor()
-      if (!java.nio.file.Files.exists(outFile)) Map.empty
-      else java.nio.file.Files.readAllLines(outFile).asScala
+      if (!java.nio.file.Files.exists(outFile)) return Map.empty
+      val all = java.nio.file.Files.readAllLines(outFile).asScala
         .filter(_.contains('\t'))
         .map { l => val a = l.split('\t'); a(0) -> a(1).toDouble }.toMap
+      val tele = all.collect { case (k, v) if k.startsWith("#") =>
+        k.stripPrefix("#") -> v }
+      if (tele.nonEmpty) telemetry(tag) = tele
+      all.filterNot(_._1.startsWith("#"))
     }
 
     // one retry: these two rates are the round's headline comparison
@@ -122,14 +136,42 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    // compact telemetry summary for the (bounded) stdout line: the
+    // canary and load spread across chunks, plus the achieved
+    // parallelism (CPU/wall). Read: canary_max >> canary_min or
+    // load1_max >> load1_min ⇒ some chunks ran on a contended host —
+    // find WHICH in bench_detail.json's per-tag telemetry and distrust
+    // those chunks' times, not the code.
+    def spread(k: String): Seq[Double] =
+      telemetry.values.flatMap(_.get(k)).filterNot(_.isNaN).toSeq.sorted
+    def mmm(name: String, raw: Seq[Double]): Option[String] = {
+      val vs = raw.sorted
+      if (vs.isEmpty) None
+      else Some(s""""${name}_min":${r3(vs.head)},"${name}_med":${r3(
+        vs(vs.size / 2))},"${name}_max":${r3(vs.last)}""")
+    }
+    val cpuWall = telemetry.values.toSeq.flatMap { t =>
+      for (c <- t.get("chunk_cpu"); w <- t.get("chunk_wall") if w > 0)
+        yield c / w
+    }.sorted
+    val teleSummary = (mmm("canary", spread("canary_a15")) ++
+      mmm("load1", spread("load_before") ++ spread("load_after")) ++
+      mmm("cpu_over_wall", cpuWall)).mkString("{", ",", "}")
+    def jtele(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k":${if (v.isNaN) "null" else r3(v)}""" }
+        .mkString("{", ",", "}")
+    val detailTele = telemetry.toSeq.sortBy(_._1)
+      .map { case (tag, t) => s""""$tag":${jtele(t)}""" }
+      .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.writeString(detailPath,
-      s"""{"total":${r3(total)},"queries":${jmap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+      s"""{"total":${r3(total)},"queries":${jmap(results.toSeq.sortBy(_._1))},"telemetry":$detailTele,"sf":"$sfDir"}""")
     val worst = results.toSeq.sortBy(-_._2).take(HeadlineN)
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => s""""$n"""").mkString(""","failed":[""", ",", "]")
     def scalar(k: String): Long = tput.getOrElse(k, 0.0).round
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(worst)},"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${scalar("pipeline_rows_per_sec")},"stream_rows_per_sec":${scalar("stream_rows_per_sec")},"stream_steady_batches":${scalar("stream_steady_batches")}$failedJson,"detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(worst)},"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${scalar("pipeline_rows_per_sec")},"stream_rows_per_sec":${scalar("stream_rows_per_sec")},"stream_steady_batches":${scalar("stream_steady_batches")},"telemetry":$teleSummary$failedJson,"detail":"target/bench_detail.json"}""")
   }
 }

@@ -15,12 +15,41 @@ package graft
   * Usage: BenchChunk <sfDir> <cpus> <outFile> (<q1,q2,...> | --tput)
   */
 object BenchChunk {
+
+  /** 1-minute load average, or NaN where /proc is unavailable. */
+  private def load1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ').head.toDouble
+    catch { case _: Throwable => Double.NaN }
+
+  /** Cumulative CPU seconds consumed by THIS process (all threads). */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => Double.NaN
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, cpus, outFile, spec) = (args(0), args(1), args(2), args(3))
     val spark = graft.jobs.Jobs.localBuilder("graft-bench-chunk", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = new StringBuilder
+    // Host telemetry (r9): every child self-reports the evidence needed
+    // to adjudicate an environmentally inflated sweep FROM THE ARTIFACT
+    // — the r8 driver sweep published 337 s against 249-260 s builder
+    // sweeps and took a manual retime session to attribute to host
+    // contention. `#`-prefixed keys are telemetry, not query times
+    // (Bench splits on the prefix): load average around the chunk,
+    // chunk wall vs process-CPU seconds, and a fixed ~0.2 s calibration
+    // query timed under the same min-of-2 estimator as the sweep — a
+    // contention canary whose spread across chunks separates "the code
+    // got slower" from "the host was busy".
+    out ++= f"#load_before\t${load1()}%.2f\n"
+    val chunkT0 = System.nanoTime()
+    val chunkCpu0 = processCpuSec()
     if (spec == "--tput") {
       // end-to-end scoring throughput (reference baseline ~1000 tx/s)
       // and steady-state streaming rate, both in this clean child —
@@ -52,6 +81,16 @@ object BenchChunk {
       // chunk's first query doesn't absorb one-time costs
       try SparkEntry.queries("pipeline_score")(spark, sfDir).count()
       catch { case _: Throwable => () }
+      // contention canary: a15 is a small fixed-cost aggregate (~0.2 s
+      // clean); min-of-2, the sweep's own estimator, so its number is
+      // comparable across chunks and rounds
+      val canary = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("a15_region_rate_bounds")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      out ++= f"#canary_a15\t$canary%.4f\n"
       for (name <- spec.split(',')) {
         val fn = SparkEntry.queries(name)
         // min of two back-to-back runs — the same definition as the
@@ -82,6 +121,9 @@ object BenchChunk {
         out ++= f"$name\t$t%.4f\n"
       }
     }
+    out ++= f"#chunk_wall\t${(System.nanoTime() - chunkT0) / 1e9}%.2f\n"
+    out ++= f"#chunk_cpu\t${processCpuSec() - chunkCpu0}%.2f\n"
+    out ++= f"#load_after\t${load1()}%.2f\n"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), out.toString)
     spark.stop()

@@ -57,7 +57,8 @@ object BpeMerge {
     var top = -1
     var i = 0
     while (i < n) {
-      val s = syms.getUTF8String(i)
+      val s = BpeMergeExpr.nullFreeSymbol(syms.getUTF8String(i),
+        "symbol array", i)
       var fused = false
       if (top >= 0) {
         val rights = table.get(out(top).asInstanceOf[UTF8String])
@@ -115,7 +116,9 @@ object BpeEncode {
     val present = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
     while (i < n) {
-      buf(i) = syms.getUTF8String(i); present.add(buf(i)); i += 1
+      buf(i) = BpeMergeExpr.nullFreeSymbol(syms.getUTF8String(i),
+        "symbol array", i)
+      present.add(buf(i)); i += 1
     }
     var m = 0
     while (m < merges.length && n > 1) {
@@ -154,19 +157,8 @@ case class BpeEncodeExpr(left: Expression, right: Expression)
   override def prettyName: String = BpeEncode.FuncName
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _))
-          if right.foldable => TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName merge table must be a literal array")
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<string>, array<string> literal), " +
-          s"got ($l, $r)")
-    }
-  }
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    BpeMergeExpr.checkSymsAndTable(prettyName, left, right)
 
   @transient private lazy val table: Array[Array[UTF8String]] = {
     val flat = right.eval(null).asInstanceOf[ArrayData]
@@ -174,8 +166,10 @@ case class BpeEncodeExpr(left: Expression, right: Expression)
       s"$prettyName expects interleaved [left, right, …] pairs")
     Array.tabulate(flat.numElements() / 2) { i =>
       // copy: literal ArrayData may be unsafe-backed row memory
-      Array(flat.getUTF8String(2 * i).clone(),
-        flat.getUTF8String(2 * i + 1).clone())
+      Array(BpeMergeExpr.nullFreeSymbol(flat.getUTF8String(2 * i),
+          "merge table", 2 * i).clone(),
+        BpeMergeExpr.nullFreeSymbol(flat.getUTF8String(2 * i + 1),
+          "merge table", 2 * i + 1).clone())
     }
   }
 
@@ -208,19 +202,8 @@ case class BpeMergeExpr(left: Expression, right: Expression)
   // non-literal table must raise an AnalysisException, not a
   // ClassCastException inside a retried task
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _))
-          if right.foldable => TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName merge table must be a literal array")
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<string>, array<string> literal), " +
-          s"got ($l, $r)")
-    }
-  }
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    BpeMergeExpr.checkSymsAndTable(prettyName, left, right)
 
   @transient private lazy val table
       : java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]] = {
@@ -232,8 +215,10 @@ case class BpeMergeExpr(left: Expression, right: Expression)
     var i = 0
     while (i < flat.numElements()) {
       // copy: literal ArrayData may be unsafe-backed row memory
-      val l = flat.getUTF8String(i).clone()
-      val r = flat.getUTF8String(i + 1).clone()
+      val l = BpeMergeExpr.nullFreeSymbol(flat.getUTF8String(i),
+        "merge table", i).clone()
+      val r = BpeMergeExpr.nullFreeSymbol(flat.getUTF8String(i + 1),
+        "merge table", i + 1).clone()
       val set = m.get(l)
       if (set == null) {
         val s = new java.util.HashSet[UTF8String]()
@@ -257,4 +242,44 @@ case class BpeMergeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared analysis-time input contract of the two BPE kernels. A
+  * containsNull=true INPUT is accepted — Scala/encoder-built arrays
+  * carry conservative element nullability even when null-free, and
+  * rejecting them would break legitimate callers — but both kernels
+  * declare null-free OUTPUT, which stays honest because a null element
+  * actually reaching a kernel fails THAT ROW loudly
+  * ([[BpeMergeExpr.nullFreeSymbol]]) instead of flowing a null through
+  * `UTF8String.concat` into an array declared containsNull=false
+  * (silent corruption, or an NPE deep inside a retried task).
+  */
+object BpeMergeExpr {
+  private[functions] def checkSymsAndTable(prettyName: String,
+      left: Expression, right: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _))
+          if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName merge table must be a literal array")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<string> literal), " +
+          s"got ($l, $r)")
+    }
+  }
+
+  /** Kernel-side guard shared by both kernels' symbol reads and the
+    * merge-table builds: fail with a typed, positioned error rather
+    * than corrupt the declared-null-free output.
+    */
+  def nullFreeSymbol(s: UTF8String, what: String, i: Int): UTF8String = {
+    if (s == null)
+      throw new IllegalArgumentException(
+        s"$what contains a NULL element at position $i — BPE kernels " +
+          "declare null-free output and cannot fuse null symbols")
+    s
+  }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -497,14 +497,16 @@ object StreamingJob {
         // cast to long at the WRITE (the keeper twin's discipline):
         // the fold reads the queue with a hard BIGINT schema, and an
         // int32 id column would otherwise commit INT32 parquet the
-        // vectorized reader refuses to widen
+        // vectorized reader refuses to widen; a value that does NOT
+        // cast fails the trigger loudly (longIdOrFail) instead of
+        // nulling into a row the fold would silently drop
         graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
-          .select(least(col("in_doc"), col("corpus_doc"))
-              .cast("long").as("a"),
-            greatest(col("in_doc"), col("corpus_doc"))
-              .cast("long").as("b"))
+          .select(longIdOrFail(least(col("in_doc"), col("corpus_doc")),
+              "label-maintenance edge").as("a"),
+            longIdOrFail(greatest(col("in_doc"), col("corpus_doc")),
+              "label-maintenance edge").as("b"))
           .distinct()
           .write.mode("overwrite").parquet(part)
         folder.submit()
@@ -522,6 +524,18 @@ object StreamingJob {
     graft.dedup.Dedup.readLabelsOrEmpty(s, s"$dir/labels")
       .select(col("doc"), col("component"))
   }
+
+  /** Cast an id to BIGINT for a maintenance-queue write, failing the
+    * trigger LOUDLY when the value does not cast (including null
+    * input — the loops' contract is integral ids): a silently nulled
+    * id becomes a row the fold's isNotNull filters drop, i.e. a LOST
+    * document diagnosed far from its cause. The raise_error branch
+    * only evaluates on the failure path (coalesce short-circuits).
+    */
+  private def longIdOrFail(c: Column, ctx: String): Column =
+    coalesce(c.cast("long"),
+      raise_error(concat(lit(s"$ctx: id does not cast to BIGINT: "),
+        coalesce(c.cast("string"), lit("NULL")))).cast("long"))
 
   /** Serialized background-fold scheduler shared by the maintenance
     * loops: a fold starts only when NO fold is running (a trigger
@@ -555,7 +569,18 @@ object StreamingJob {
         finally busy.set(false)
       }
     }
-    def failIfBroken(): Unit = if (err.get() != null) throw err.get()
+    /** Rethrow a stored fold failure as a FRESH wrapper per call site:
+      * the cached Throwable's stack points at the background fold
+      * thread, and the same instance can surface from several callers
+      * (trigger, drain) — wrapping preserves both the fold stack (as
+      * the cause) and where the failure was observed.
+      */
+    def failIfBroken(): Unit = {
+      val t = err.get()
+      if (t != null)
+        throw new IllegalStateException(
+          s"background fold failed: ${t.getMessage}", t)
+    }
     def submit(): Unit =
       if (pending() >= minPending && busy.compareAndSet(false, true)) {
         exec.submit(task); ()
@@ -617,8 +642,9 @@ object StreamingJob {
     *
     * Ids must be integral (the [[graft.dedup.Dedup
     * .connectedComponents]] contract this composes with): the queue
-    * stores them as longs, and a non-long-castable id column would
-    * null out silently rather than fail loudly.
+    * stores them as longs, and a non-long-castable id value fails its
+    * trigger at ingest ([[longIdOrFail]]) — never a silently nulled
+    * row the fold would drop.
     */
   def streamKeeperMaintenance(docs: DataFrame, id: String, text: String,
                               n: Int, threshold: Double, workDir: String,
@@ -661,15 +687,19 @@ object StreamingJob {
         val edges = graft.dedup.Dedup.bandIndexIngestProbeBatch(batch,
             id, text, n, s"$dir/ix", batchId, threshold)
           .filter(col("in_doc") =!= col("corpus_doc"))
-          .select(least(col("in_doc"), col("corpus_doc"))
-              .cast("long").as("a"),
-            greatest(col("in_doc"), col("corpus_doc"))
-              .cast("long").as("b"))
+          .select(longIdOrFail(least(col("in_doc"), col("corpus_doc")),
+              "keeper-maintenance edge").as("a"),
+            longIdOrFail(greatest(col("in_doc"), col("corpus_doc")),
+              "keeper-maintenance edge").as("b"))
           .distinct()
           .select(col("a"), col("b"), lit(null).cast("long").as("doc"),
             lit(null).cast("double").as("q"))
+        // longIdOrFail: a doc id that does not cast would otherwise
+        // null out and be dropped by the fold's doc.isNotNull filter —
+        // a document silently missing from keeper state
         val delta = batch.select(lit(null).cast("long").as("a"),
-          lit(null).cast("long").as("b"), col(id).cast("long").as("doc"),
+          lit(null).cast("long").as("b"),
+          longIdOrFail(col(id), "keeper-maintenance delta").as("doc"),
           round(graft.text.Text.qualityScore(col(text)), 6).as("q"))
         edges.unionByName(delta).write.mode("overwrite").parquet(part)
         folder.submit()

@@ -214,22 +214,28 @@ object Bpe {
                        checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "merges must be non-negative")
     require(batch >= 1, "batch must be positive")
-    val session = units.sparkSession
-    graft.functions.BpeMerge.register(session)
+    graft.functions.BpeMerge.register(units.sparkSession)
     // The loop is sequential-by-nature (each pass's counts depend on
     // the last pass's rewrite), so its wall time is pass-count ×
     // per-pass fixed cost. AQE splits the tiny per-pass aggregate
     // into one JOB PER QUERY STAGE — pure scheduling floor here (the
-    // candidate table is O(symbol-alphabet²), kilobytes) — so it is
-    // scoped OFF for the loop and restored after. On a small
-    // alphabet the non-overlap rule under-fills early batches
-    // (every boundary pair shares `▁`), so the pass count can exceed
-    // merges/batch — which is exactly why the per-pass floor, not
-    // the batch arithmetic, is what this loop optimizes.
-    val aqeBefore = session.conf.get("spark.sql.adaptive.enabled", "true")
+    // candidate table is O(symbol-alphabet²), kilobytes) — so the
+    // whole loop runs on a CLONED session with AQE off: the clone's
+    // SQLConf is isolated (r9 — the previous mutate-and-restore on
+    // the shared session raced queries on other threads and
+    // interleaved scopes could restore the wrong value), while the
+    // SparkContext, cache and the cloned function registry are
+    // shared, so nothing else about execution changes.
+    // (the returned vocab frame stays bound to the clone — benign:
+    // it is a localCheckpoint handle on the shared context, and every
+    // production caller discards it; a caller that wants AQE back on
+    // it can reRoot into its own session)
+    val session = org.apache.spark.sql.GraftSqlBridge
+      .cloneSession(units.sparkSession)
     session.conf.set("spark.sql.adaptive.enabled", "false")
-    try trainLoop(session, units, merges, batch, checkpointEvery)
-    finally session.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    trainLoop(session,
+      org.apache.spark.sql.GraftSqlBridge.reRoot(session, units),
+      merges, batch, checkpointEvery)
   }
 
   private def trainLoop(session: org.apache.spark.sql.SparkSession,

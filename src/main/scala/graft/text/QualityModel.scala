@@ -134,15 +134,17 @@ object QualityModel {
   def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
             steps: Int, lr: Double): (IndexedSeq[Double], Double) = {
     require(steps >= 1, s"steps must be positive, got $steps")
-    val s = docs.sparkSession
     // the loop is sequential-by-nature; its wall time is step count ×
     // per-step fixed job cost, so (the Bpe.trainBatchedFrom posture)
-    // AQE's stage-per-job split is scoped off for the tiny per-step
-    // aggregate and restored after
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try trainLoop(docs, textCol, steps, lr)
-    finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // AQE's stage-per-job split is off for the tiny per-step
+    // aggregate — on a CLONED session with an isolated SQLConf (r9:
+    // mutate-and-restore on the shared conf raced queries on other
+    // threads), the docs plan re-rooted into the clone
+    val clone = org.apache.spark.sql.GraftSqlBridge
+      .cloneSession(docs.sparkSession)
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    trainLoop(org.apache.spark.sql.GraftSqlBridge.reRoot(clone, docs),
+      textCol, steps, lr)
   }
 
   private def trainLoop(docs: org.apache.spark.sql.DataFrame,

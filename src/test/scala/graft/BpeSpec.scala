@@ -166,6 +166,35 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == Seq("x", "aa", "y"))
   }
 
+  test("BPE kernels fail loudly on a NULL symbol, never emit one") {
+    // both kernels declare containsNull=false output; a null element
+    // flowing through UTF8String.concat would corrupt that silently —
+    // the guard turns it into a typed, positioned error at the row
+    graft.functions.BpeMerge.register(spark)
+    graft.functions.BpeEncode.register(spark)
+    val nullSyms = Seq(Seq("a", null, "a")).toDF("s")
+    val e1 = intercept[Exception] {
+      nullSyms.select(Bpe.mergePairs(col("s"), Seq(("a", "a")))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e1).exists(_.contains("NULL element at position 1")),
+      s"merge kernel must fail on the null symbol: ${chain(e1)}")
+    val e2 = intercept[Exception] {
+      nullSyms.select(graft.functions.BpeEncode.encodeRanked(col("s"),
+        array(lit("a"), lit("a")))).collect()
+    }
+    assert(chain(e2).exists(_.contains("NULL element at position 1")),
+      s"encode kernel must fail on the null symbol: ${chain(e2)}")
+    // null-free containsNull=true inputs (every encoder-built array)
+    // still work — only an ACTUAL null fails
+    val ok = Seq(Seq("a", "a", "b")).toDF("s")
+      .select(Bpe.mergePairs(col("s"), Seq(("a", "a"))))
+      .as[Seq[String]].collect()
+    assert(ok.head == Seq("aa", "b"))
+  }
+
   test("mergePairs: one native scan applies a junction-free batch exactly") {
     graft.functions.BpeMerge.register(spark)
     // self-pair stays greedy; left-shared pairs both fire; an

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged histogram must give the one-pass psi")
   }
 
+  test("keeper maintenance fails loudly on a non-integral id, never drops it") {
+    // the silent failure mode this guards: a doc id that does not cast
+    // to BIGINT would null out in the queue write and be dropped by
+    // the fold's isNotNull filter — a document missing from keeper
+    // state with no error anywhere. longIdOrFail turns that into a
+    // trigger failure at ingest.
+    import spark.implicits._
+    val bad = Seq(("x17", "some document text here"),
+      ("18", "another document text")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.streaming.StreamingJob.streamKeeperMaintenance(
+        bad, "doc_id", "text", n = 3, threshold = 0.8,
+        "/tmp/graft_badid_spec")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    // under ANSI (the Spark 4 default) the cast itself throws
+    // CAST_INVALID_INPUT — equally loud; the longIdOrFail raise_error
+    // branch is what fires when a deployment runs with ANSI off and
+    // the cast would otherwise null silently
+    assert(chain(e).exists(m => m.contains("does not cast to BIGINT") ||
+        m.contains("cannot be cast to")),
+      s"expected the ingest to fail loudly, got: ${chain(e)}")
+  }
+
   test("streamed band-index ingest == one-shot build; redelivery replaces, not duplicates") {
     import graft.dedup.Dedup
     val sf = "/root/testdata/sf0.001"
@@ -540,9 +566,14 @@ class StreamingSpec extends SparkSpec {
     val boom = new StreamingJob.FoldScheduler(
       () => throw new IllegalStateException("fold died"), () => 1, 1)
     boom.submit()
-    // the failure lands asynchronously; drain must rethrow it
+    // the failure lands asynchronously; drain must rethrow it — as a
+    // FRESH wrapper per observation site (each carries its own caller
+    // stack) with the fold's own exception preserved as the cause
     val e = intercept[IllegalStateException](boom.drain())
-    assert(e.getMessage == "fold died")
-    intercept[IllegalStateException](boom.failIfBroken())
+    assert(e.getMessage.contains("fold died"))
+    assert(e.getCause != null && e.getCause.getMessage == "fold died")
+    val e2 = intercept[IllegalStateException](boom.failIfBroken())
+    assert(!(e2 eq e) && (e2.getCause eq e.getCause),
+      "each rethrow site must wrap the one stored cause freshly")
   }
 }
