@@ -224,6 +224,9 @@ object StreamingJob {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
     val ev = graft.Tables.events(spark, sfDir).repartition(nFiles)
     ev.write.mode("overwrite").parquet(in)
+    // deliberately 1 file per trigger: this method MEASURES the
+    // steady-state per-batch rate over many batches — batch size is
+    // the experiment's controlled variable, not a floor to optimize
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val scored = ScoringPipeline.score(
@@ -303,7 +306,8 @@ object StreamingJob {
     * N-merge result against the one-pass batch oracle.
     */
   def incrementalMv(spark: SparkSession, sfDir: String,
-                    workDir: String, nFiles: Int = 6): DataFrame = {
+                    workDir: String, nFiles: Int = 6,
+                    filesPerTrigger: Int = 2): DataFrame = {
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     val in = s"$dir/in"
     val mv = s"$dir/mv"
@@ -314,8 +318,11 @@ object StreamingJob {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_type"), col("value")).repartition(nFiles)
     ev.write.mode("overwrite").parquet(in)
+    // 2 files per trigger (r9): still a multi-merge exercise (3
+    // merges over 6 files) at half the per-trigger floor; the merged
+    // MV is a sum, invariant to chunking, oracle-pinned
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -347,6 +354,11 @@ object StreamingJob {
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     corpus.repartition(nFiles).write.parquet(s"$dir/in")
+    // deliberately NOT on the r9 2-files-per-trigger default: this
+    // loop's output is (in_doc, corpus_doc) probe hits, whose
+    // ORIENTATION depends on batch composition (a same-batch pair
+    // emits both directions, a cross-batch pair only later→earlier) —
+    // re-chunking would change the drained rows the oracle pins
     val stream = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
@@ -375,7 +387,8 @@ object StreamingJob {
     * Per-trigger cost: O(batch) + a groups-sized merge.
     */
   def streamDriftMonitor(spark: SparkSession, sfDir: String,
-                         workDir: String, nFiles: Int = 4): DataFrame = {
+                         workDir: String, nFiles: Int = 4,
+                         filesPerTrigger: Int = 2): DataFrame = {
     import graft.functions.Drift
     val (lo, hi, nBins) = (0.0, 500.0, 10)
     val ev = graft.Tables.events(spark, sfDir)
@@ -385,8 +398,12 @@ object StreamingJob {
     val mv = s"$dir/counts"
     ev.filter(col("event_id") % 2 === 1)
       .repartition(nFiles).write.parquet(s"$dir/in")
+    // 2 files per trigger — the r9 admission-size default for
+    // chunking-invariant loops (per-doc/per-merge work against frozen
+    // or summed state): half the per-trigger fixed floor, identical
+    // drained result, oracle-pinned
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -861,7 +878,8 @@ object StreamingJob {
   def streamAnnIndexProbe(corpus: DataFrame, delta: DataFrame,
                           queries: DataFrame, id: String, vec: String,
                           k: Int, nProbe: Int, nCells: Int,
-                          workDir: String, nFiles: Int = 4): DataFrame = {
+                          workDir: String, nFiles: Int = 4,
+                          filesPerTrigger: Int = 2): DataFrame = {
     val s = corpus.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -872,7 +890,7 @@ object StreamingJob {
     val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1187,14 +1205,15 @@ object StreamingJob {
     */
   def streamNoveltyProbe(corpus: DataFrame, queries: DataFrame,
                          id: String, text: String, n: Int,
-                         workDir: String, nFiles: Int = 4): DataFrame = {
+                         workDir: String, nFiles: Int = 4,
+                         filesPerTrigger: Int = 2): DataFrame = {
     val s = corpus.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     graft.dedup.Boilerplate.gramIndexBuild(corpus, id, text, n, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1223,7 +1242,8 @@ object StreamingJob {
     */
   def streamEpochMaterialize(docs: DataFrame, id: String,
                              sliceCol: String, workDir: String,
-                             nFiles: Int = 4): DataFrame = {
+                             nFiles: Int = 4,
+                             filesPerTrigger: Int = 2): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1237,7 +1257,7 @@ object StreamingJob {
     val in = docs.select(col(id), col(sliceCol))
     in.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(in.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val u = graft.functions.Binning.unitHash(col(id))
     val out = stream.join(broadcast(eps), col(sliceCol) === col("__slice"))
       .withColumn("n_copies",
@@ -1354,7 +1374,8 @@ object StreamingJob {
     */
   def streamBoilerStrip(docs: DataFrame, id: String, text: String,
                         n: Int, minDf: Int, split: Int, workDir: String,
-                        nFiles: Int = 4): DataFrame = {
+                        nFiles: Int = 4,
+                        filesPerTrigger: Int = 2): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1365,7 +1386,7 @@ object StreamingJob {
     val queries = docs.filter(col(id) < split)
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1396,7 +1417,8 @@ object StreamingJob {
     */
   def streamPerplexityGate(ref: DataFrame, arriving: DataFrame,
                            id: String, text: String, threshold: Double,
-                           workDir: String, nFiles: Int = 4): DataFrame = {
+                           workDir: String, nFiles: Int = 4,
+                           filesPerTrigger: Int = 2): DataFrame = {
     val s = ref.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1410,7 +1432,7 @@ object StreamingJob {
     val queries = arriving
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1441,7 +1463,8 @@ object StreamingJob {
   def streamLangidClassify(staticDocs: DataFrame, arriving: DataFrame,
                            id: String, text: String, langCol: String,
                            langs: Seq[String], workDir: String,
-                           nFiles: Int = 4): DataFrame = {
+                           nFiles: Int = 4,
+                           filesPerTrigger: Int = 2): DataFrame = {
     val s = staticDocs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1454,7 +1477,7 @@ object StreamingJob {
       }
     arriving.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(arriving.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1492,7 +1515,8 @@ object StreamingJob {
   def streamPplBuckets(ref: DataFrame, calibration: DataFrame,
                        arriving: DataFrame, id: String, text: String,
                        threshold: Double, workDir: String,
-                       nFiles: Int = 4): DataFrame = {
+                       nFiles: Int = 4,
+                       filesPerTrigger: Int = 2): DataFrame = {
     val s = ref.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1510,7 +1534,7 @@ object StreamingJob {
       graft.text.PplBuckets.binned(scoredWithChars(calibration)), "chars")
     arriving.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(arriving.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
@@ -1547,7 +1571,8 @@ object StreamingJob {
   def streamDsirAdmission(staticDocs: DataFrame, arriving: DataFrame,
                           id: String, text: String, targetLang: String,
                           threshold: Double, workDir: String,
-                          nFiles: Int = 4): DataFrame = {
+                          nFiles: Int = 4,
+                          filesPerTrigger: Int = 2): DataFrame = {
     val s = staticDocs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1558,7 +1583,7 @@ object StreamingJob {
     val sTot = graft.text.Dsir.featureTotal(sc)
     arriving.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(arriving.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     val q = startLocked(stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")

@@ -60,8 +60,12 @@ object HybridQueries {
       val ix = s"/tmp/graft_hybrid_index-${ProcessHandle.current().pid()}"
       Bm25.indexBuild(docs.filter(col("doc_id") >= Split),
         "doc_id", "text", ix)
+      // localized probe (r9): the query side is micro-batch-sized and
+      // broadcast by the probe anyway — one driver collect replaces
+      // the bucket-list job and two broadcast-build jobs
       val lex = Bm25.moreLikeThisFromIndex(s,
-          docs.filter(col("doc_id") < Split), "doc_id", "text", ix, HK)
+          docs.filter(col("doc_id") < Split), "doc_id", "text", ix, HK,
+          localizeProbe = true)
         .select(col("qid"), col("doc_id").as("doc"), col("rank"))
       val vec = graft.similarity.Ann.bruteForceTopK(
           emb.filter(col("vec_id") < Split),

@@ -118,7 +118,8 @@ object PackingQueries {
       Bm25.indexBuild(docs.filter(col("doc_id") >= MltSplit),
         "doc_id", "text", ix)
       Bm25.moreLikeThisFromIndex(s,
-        docs.filter(col("doc_id") < MltSplit), "doc_id", "text", ix, MltK)
+        docs.filter(col("doc_id") < MltSplit), "doc_id", "text", ix, MltK,
+        localizeProbe = true)
         .select(col("qid"), col("doc_id").as("cdoc"), col("score"),
           col("n_shared"), col("rank"))
     }),
