@@ -104,6 +104,39 @@ class HybridSpec extends SparkSpec {
       "localized probe must score identically to the default path")
   }
 
+  test("localized probe plan: query side is LocalRelations, scans only postings") {
+    // the job-floor claim in plan form: with localizeProbe the ONLY
+    // file source left in the plan is the postings index — the query
+    // side (term set + fan-out pairs) is LocalRelations, whose
+    // broadcast builds submit no Spark jobs — so per-probe driver
+    // actions can't silently regrow
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val split = graft.text.HybridQueries.Split
+    val ix = "/tmp/graft_mlt_localize_plan/ix"
+    graft.text.Bm25.indexBuild(docs.filter(col("doc_id") >= split),
+      "doc_id", "text", ix)
+    val loc = graft.text.Bm25.moreLikeThisFromIndex(spark,
+      docs.filter(col("doc_id") < split), "doc_id", "text", ix, k = 5,
+      localizeProbe = true)
+    val plan = loc.queryExecution.optimizedPlan
+    val locals = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.size >= 2,
+      s"expected the term set and the fan-out side as LocalRelations:\n$plan")
+    val files = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq("non-file")
+        }
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("/ix/postings")),
+      s"only the postings index may be scanned, got $files")
+  }
+
   test("hybrid probe drained union is invariant to trigger chunking") {
     // per-query fusion is independent, so 1 file/trigger (4 batches)
     // and the 2-file default (2 batches) must drain to the same rows —
