@@ -937,6 +937,42 @@ object StreamingJob {
         })
   }
 
+  /** Offline STATE INSPECTION through Spark's built-in state-store
+    * reader (`spark.read.format("statestore")`): run the
+    * [[runningUserTotals]] stateful stream with a DURABLE checkpoint,
+    * then — with the query stopped — read the final keyed state
+    * straight out of the checkpoint, no stream replay. This is the
+    * ops surface a stateful deployment needs (audit what a checkpoint
+    * actually holds, debug a poisoned key, size state before a
+    * migration), and it is the strongest evidence the STATE itself is
+    * right: the oracle compares the store's contents — not the query
+    * OUTPUT — against the batch GROUP BY over the same input. The
+    * noop sink keeps the run output-free (state is the product here);
+    * one row per user comes back as (key struct, value struct) and is
+    * re-projected to the [[UserRunning]] shape.
+    */
+  def streamStateInspection(keyed: Dataset[TxKeyed],
+                            workDir: String): DataFrame = {
+    val s = keyed.sparkSession
+    val dir = s"$workDir-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val q = startLocked(runningUserTotals(keyed).toDF().writeStream
+      .format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    // (map|flatMap)GroupsWithState state layout: key = struct(value:
+    // the group key), value = struct(groupState: the user state
+    // struct, timeoutTimestamp) — the user's (n, total) tuple sits
+    // under groupState
+    s.read.format("statestore").load(s"$dir/ckpt")
+      .select(col("key.value").as("id_usuario"),
+        col("value.groupState._1").as("n_aprovadas"),
+        round(col("value.groupState._2"), 2).as("total_aprovado"))
+  }
+
   /** [[runningUserTotals]] re-expressed on the Spark 4 arbitrary-state
     * API (`transformWithState`): typed state variables with optional
     * TTL, timers, and RocksDB-backed stores — the successor to

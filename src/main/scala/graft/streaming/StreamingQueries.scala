@@ -326,18 +326,25 @@ object StreamingQueries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
+  /** The scored, approved-flag-filtered keyed transaction stream the
+    * stateful running-totals queries share (s7, s33).
+    */
+  private def keyedTxStream(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[StreamingJob.TxKeyed] = {
     import s.implicits._
     val tx = TestdataAdapter.transactionsStream(s, dir)
-    val scored = ScoringPipeline.score(
-      ScoringPipeline.enrich(tx,
-        TestdataAdapter.users(s, dir), TestdataAdapter.regions(s, dir)),
-      TestdataAdapter.eventLimitArms)
-    val keyed = scored
+    ScoringPipeline.score(
+        ScoringPipeline.enrich(tx,
+          TestdataAdapter.users(s, dir), TestdataAdapter.regions(s, dir)),
+        TestdataAdapter.eventLimitArms)
       .filter(col("transacao_aprovada").isNotNull)
       .select(col("id_transacao"), col("id_usuario_pagador"),
         col("data_horario"), col("valor_transacao"), col("transacao_aprovada"))
       .as[StreamingJob.TxKeyed]
+  }
+
+  private def streamTwsTotals(s: SparkSession, dir: String): DataFrame = {
+    val keyed = keyedTxStream(s, dir)
     val totals = StreamingJob.runningUserTotalsTws(keyed)
     StreamingJob.runToMemory(totals.toDF(), mode = "update",
       extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
@@ -556,6 +563,13 @@ object StreamingQueries {
     }),
     "s6_stream_session_window" -> ((s, dir) => streamSession(s, dir)),
     "s7_tws_running_totals" -> ((s, dir) => streamTwsTotals(s, dir)),
+    // Offline state inspection: the stateful running-totals stream
+    // drains into a durable checkpoint, then the KEYED STATE ITSELF is
+    // read back via Spark's built-in state-store reader — the oracle
+    // checks the checkpoint's contents, not the query output
+    "s33_state_inspection" -> ((s, dir) =>
+      StreamingJob.streamStateInspection(keyedTxStream(s, dir),
+        "/tmp/graft_s33")),
     "w3_stream_hourly_rollup" -> ((s, dir) => streamRollup(s, dir)),
     "w7_hopping_rollup" -> ((s, dir) => streamHopping(s, dir)),
     "s5_stream_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
@@ -735,6 +749,18 @@ object StreamingQueries {
     "s6_stream_session_window" ->
       graft.analytics.ExtendedQueries.oracleSql("w5_session_window"),
     "s7_tws_running_totals" ->
+      s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
+         |SELECT id_usuario_pagador AS id_usuario,
+         |       count(CASE WHEN transacao_aprovada THEN 1 END) AS n_aprovadas,
+         |       round(coalesce(sum(CASE WHEN transacao_aprovada
+         |                               THEN valor_transacao END), 0), 2)
+         |         AS total_aprovado
+         |FROM base
+         |WHERE transacao_aprovada IS NOT NULL
+         |GROUP BY 1""".stripMargin,
+    // identical aggregate — s33 reads the CHECKPOINTED STATE rather
+    // than the query output, and both must equal the batch GROUP BY
+    "s33_state_inspection" ->
       s"""WITH base AS (${TestdataAdapter.scoredBaseSql})
          |SELECT id_usuario_pagador AS id_usuario,
          |       count(CASE WHEN transacao_aprovada THEN 1 END) AS n_aprovadas,
