@@ -150,8 +150,14 @@ object Bench {
       else Some(s""""${name}_min":${r3(vs.head)},"${name}_med":${r3(
         vs(vs.size / 2))},"${name}_max":${r3(vs.last)}""")
     }
+    // NaN-filter BOTH operands (spread() already does): a JVM whose
+    // OS bean is not com.sun.management reports chunk_cpu as NaN, and
+    // a bare NaN token would make the single machine-parsed stdout
+    // line unparseable JSON — the r06 failure mode this line must
+    // never reproduce
     val cpuWall = telemetry.values.toSeq.flatMap { t =>
-      for (c <- t.get("chunk_cpu"); w <- t.get("chunk_wall") if w > 0)
+      for (c <- t.get("chunk_cpu"); w <- t.get("chunk_wall")
+           if w > 0 && !c.isNaN && !w.isNaN)
         yield c / w
     }.sorted
     val teleSummary = (mmm("canary", spread("canary_a15")) ++

@@ -596,7 +596,7 @@ object StreamingJob {
       val t = err.get()
       if (t != null)
         throw new IllegalStateException(
-          s"background fold failed: ${t.getMessage}", t)
+          s"background fold failed: $t", t)
     }
     def submit(): Unit =
       if (pending() >= minPending && busy.compareAndSet(false, true)) {
@@ -685,8 +685,9 @@ object StreamingJob {
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
     // minPending=1: at the 2-files-per-trigger cadence there are only
     // ~nFiles/2 batches — fold each as soon as the fold thread is
-    // idle, so the fold genuinely races the next trigger (the s18
-    // loop, at 2× the batch count, uses the pair threshold instead)
+    // idle, so the fold genuinely races the next trigger (since r9
+    // the label loop runs the identical cadence and threshold; at a
+    // 1-file cadence both fall back to the pair threshold)
     val folder = new FoldScheduler(() => { foldKeeperQueue(s, dir, nBuckets); () },
       () => pendingKeeperParts(dir).size, minPending = 1)
     val q = startLocked(stream.writeStream
@@ -1224,8 +1225,9 @@ object StreamingJob {
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    q.awaitTermination()
-    postings.unpersist()
+    // finally: a failed trigger must not leak the pinned postings
+    // into a long-lived shared session's cache
+    try q.awaitTermination() finally postings.unpersist()
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 
@@ -1390,9 +1392,10 @@ object StreamingJob {
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    q.awaitTermination()
-    postings.unpersist()
-    corpusEmb.unpersist()
+    // finally: a failed trigger must not leak the two pinned static
+    // legs into a long-lived shared session's cache
+    try q.awaitTermination()
+    finally { postings.unpersist(); corpusEmb.unpersist() }
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 

@@ -39,11 +39,26 @@ object JobProfile {
         }
       }
     })
+    // the listener bus is async: drain before reading/resetting the
+    // per-rep counters, or late job-end events undercount this rep
+    // and bleed into the next (quiesce = no in-flight jobs AND the
+    // counter stable across a settle window)
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline &&
+        (!starts.isEmpty || nJobs.get() != last)) {
+        last = nJobs.get()
+        Thread.sleep(100)
+      }
+    }
     for (rep <- 1 to 2) {
       nJobs.set(0); jobSec.reset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[total] rep $rep  ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+      val wall = (System.nanoTime() - t0) / 1e9
+      quiesce()
+      println(f"[total] rep $rep  $wall%.2f s" +
         f"  jobs=${nJobs.get()}%d  jobSec=${jobSec.sum()}%.2f")
     }
     spark.stop()
