@@ -451,6 +451,65 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged histogram must give the one-pass psi")
   }
 
+  test("state time-travel: statestore reader at batchId 0 is a monotone prefix of final state") {
+    // the other half of the s33 ops surface: the reader takes a
+    // batchId, so an operator can diff a checkpoint's state ACROSS
+    // batches (when did this key's total jump?). Two single-file
+    // micro-batches of running totals; state after batch 0 must be a
+    // subset of final state with component-wise ≤ totals.
+    import spark.implicits._
+    import graft.streaming.StreamingJob.TxKeyed
+    val dir = s"/tmp/graft_state_tt-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def tx(id: String, user: String, v: Double, ok: Boolean) =
+      TxKeyed(id, user, t0, v, ok)
+    // one file per write (no empty part files), so the stream sees
+    // exactly two micro-batches; their ORDER is still the file
+    // source's listing order — every assertion below holds under
+    // either order
+    Seq(tx("a", "u1", 10.0, true), tx("b", "u2", 5.0, true))
+      .toDS().repartition(1).write.parquet(s"$dir/in")
+    Seq(tx("c", "u1", 2.5, true), tx("d", "u3", 1.0, false))
+      .toDS().repartition(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TxKeyed]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[TxKeyed]
+    val q = graft.streaming.StreamingJob.runningUserTotals(stream)
+      .toDF().writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def stateAt(opts: Map[String, String]): Map[String, (Long, Double)] = {
+      var r = spark.read.format("statestore")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(s"$dir/ckpt")
+        .select(col("key.value"), col("value.groupState._1"),
+          col("value.groupState._2"))
+        .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2)))
+        .toMap
+    }
+    val first = stateAt(Map("batchId" -> "0"))
+    val last = stateAt(Map.empty)
+    assert(first.size == 2 && last.size == 3,
+      s"unexpected state contents: first=$first last=$last")
+    assert(first.keySet.subsetOf(last.keySet),
+      s"keys can only be added: $first vs $last")
+    first.foreach { case (u, (n0, v0)) =>
+      val (n1, v1) = last(u)
+      assert(n0 <= n1 && v0 <= v1, s"state must grow monotonically: " +
+        s"$u $n0/$v0 -> $n1/$v1")
+    }
+    // final totals are order-independent: u1 accrues across both
+    // batches; the disapproved u3 row still creates (zeroed) state
+    assert(last("u1") == ((2L, 12.5)) && last("u2") == ((1L, 5.0)) &&
+      last("u3") == ((0L, 0.0)), s"final state wrong: $last")
+    // batch-0 is whichever file listed first — under either order u1
+    // is present with a strictly smaller total than its final state
+    assert(first.contains("u1") && first("u1")._2 < 12.5,
+      s"batch-0 state wrong: $first")
+  }
+
   test("keeper maintenance fails loudly on a non-integral id, never drops it") {
     // the silent failure mode this guards: a doc id that does not cast
     // to BIGINT would null out in the queue write and be dropped by
