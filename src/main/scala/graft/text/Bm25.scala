@@ -202,12 +202,22 @@ object Bm25 {
       stats.getLong(1).toDouble / stats.getLong(0))
   }
 
+  /** Hard cap on the (qid, term) rows the localized probe will keep
+    * driver-side: a query side past this is no longer "micro-batch
+    * sized" and the collect's floor win no longer pays for its driver
+    * footprint — the probe falls back to the distributed path (which
+    * is spec-pinned score-equal), instead of marching toward a driver
+    * OOM. ~100k rows of (long, short string) is single-digit MB.
+    */
+  val MaxLocalizedProbeRows = 100000
+
   def moreLikeThisFromIndex(s: org.apache.spark.sql.SparkSession,
                             queries: DataFrame, idCol: String,
                             textCol: String, dir: String, k: Int,
                             stats: Option[(Double, Double)] = None,
                             localizeProbe: Boolean = false,
-                            postings: Option[DataFrame] = None)
+                            postings: Option[DataFrame] = None,
+                            maxLocalizedRows: Int = MaxLocalizedProbeRows)
   : DataFrame = {
     val (n, avgdl) = stats.getOrElse(readStats(s, dir))
     // deliberately NOT checkpointed: qTerms is a pure tokenization of
@@ -237,14 +247,28 @@ object Bm25 {
       else {
         import scala.jdk.CollectionConverters._
         val rows = qTermsPlan.collect()
-        val local = s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), qTermsPlan.schema)
-        val terms = rows.map(_.getString(1)).distinct.toSeq
-        (local, s.createDataFrame(
-          terms.map(org.apache.spark.sql.Row(_)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("term",
-              org.apache.spark.sql.types.StringType, nullable = false)))))
+        // the bound is ENFORCED, not a caller contract (r10): a batch
+        // caller flipping the flag on a corpus-sized query set gets
+        // the distributed plan back — same scores (spec-pinned), one
+        // collect's worth of wasted work, no unbounded driver state
+        // kept past this frame. A pre-collect count would cost the
+        // extra per-trigger job the localization exists to remove.
+        if (rows.length > maxLocalizedRows)
+          (qTermsPlan, qTermsPlan.select("term").distinct())
+        else {
+          val local = s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), qTermsPlan.schema)
+          val terms = rows.map(_.getString(1)).distinct.toSeq
+          // nullable=true, matching the default path's schema: today's
+          // tokenizer cannot emit null terms, but a tokenizer change
+          // must not put nulls into a relation DECLARED non-nullable
+          // (undefined join/pruning behavior instead of a loud miss)
+          (local, s.createDataFrame(
+            terms.map(org.apache.spark.sql.Row(_)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType, nullable = true)))))
+        }
       }
     // order of operations is the probe's scale story: (1) prune the
     // postings scan to the query batch's term set — bucket partition

@@ -226,16 +226,18 @@ object Bpe {
     // interleaved scopes could restore the wrong value), while the
     // SparkContext, cache and the cloned function registry are
     // shared, so nothing else about execution changes.
-    // (the returned vocab frame stays bound to the clone — benign:
-    // it is a localCheckpoint handle on the shared context, and every
-    // production caller discards it; a caller that wants AQE back on
-    // it can reRoot into its own session)
-    val session = org.apache.spark.sql.GraftSqlBridge
-      .cloneSession(units.sparkSession)
+    val caller = units.sparkSession
+    val session = org.apache.spark.sql.GraftSqlBridge.cloneSession(caller)
     session.conf.set("spark.sql.adaptive.enabled", "false")
-    trainLoop(session,
+    val (ms, vocab) = trainLoop(session,
       org.apache.spark.sql.GraftSqlBridge.reRoot(session, units),
       merges, batch, checkpointEvery)
+    // the AQE-off clone stays purely internal to the loop: the vocab
+    // frame is a localCheckpoint handle on the SHARED context, so
+    // re-rooting it back into the caller's session is free — without
+    // it, any query a caller composes from the returned frame would
+    // silently run under the clone's AQE-off conf
+    (ms, org.apache.spark.sql.GraftSqlBridge.reRoot(caller, vocab))
   }
 
   private def trainLoop(session: org.apache.spark.sql.SparkSession,

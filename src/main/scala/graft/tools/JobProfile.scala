@@ -43,7 +43,11 @@ object JobProfile {
     // per-rep counters, or late job-end events undercount this rep
     // and bleed into the next (quiesce = no in-flight jobs AND the
     // counter stable across a settle window)
-    def quiesce(): Unit = {
+    // returns false when the deadline expired with events still in
+    // flight — the rep's counts are then a LOWER BOUND, and the rep
+    // line must say so (a silently truncated count is exactly the
+    // undercount this drain exists to prevent)
+    def quiesce(): Boolean = {
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       var last = -1
       while (System.nanoTime() < deadline &&
@@ -51,15 +55,17 @@ object JobProfile {
         last = nJobs.get()
         Thread.sleep(100)
       }
+      starts.isEmpty && nJobs.get() == last
     }
     for (rep <- 1 to 2) {
       nJobs.set(0); jobSec.reset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      quiesce()
+      val drained = quiesce()
+      val ge = if (drained) "" else ">="
       println(f"[total] rep $rep  $wall%.2f s" +
-        f"  jobs=${nJobs.get()}%d  jobSec=${jobSec.sum()}%.2f")
+        f"  jobs=$ge${nJobs.get()}%d  jobSec=$ge${jobSec.sum()}%.2f")
     }
     spark.stop()
   }

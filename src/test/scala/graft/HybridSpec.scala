@@ -104,6 +104,34 @@ class HybridSpec extends SparkSpec {
       "localized probe must score identically to the default path")
   }
 
+  test("localized probe over the row cap falls back to the distributed plan") {
+    // the r10 guard: the micro-batch-size bound is ENFORCED, not a
+    // caller contract — a query side past maxLocalizedRows (qid, term)
+    // rows gets the distributed plan back (same scores, no driver
+    // state kept), instead of marching toward a driver OOM
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val split = graft.text.HybridQueries.Split
+    val ix = "/tmp/graft_mlt_cap_spec/ix"
+    graft.text.Bm25.indexBuild(docs.filter(col("doc_id") >= split),
+      "doc_id", "text", ix)
+    val q = docs.filter(col("doc_id") < split)
+    val capped = graft.text.Bm25.moreLikeThisFromIndex(spark, q,
+      "doc_id", "text", ix, k = 5, localizeProbe = true,
+      maxLocalizedRows = 1)
+    // fallback is the distributed plan: no LocalRelation query side
+    val locals = capped.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.isEmpty,
+      s"over-cap probe must not keep collected rows in the plan")
+    // and still score-identical to the default path
+    val dflt = graft.text.Bm25.moreLikeThisFromIndex(spark, q,
+      "doc_id", "text", ix, k = 5)
+    assert(dflt.exceptAll(capped).isEmpty && capped.exceptAll(dflt).isEmpty,
+      "capped fallback must score identically to the default path")
+  }
+
   test("localized probe plan: query side is LocalRelations, scans only postings") {
     // the job-floor claim in plan form: with localizeProbe the ONLY
     // file source left in the plan is the postings index — the query

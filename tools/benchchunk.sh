@@ -4,7 +4,16 @@
 # loop. Usage: tools/benchchunk.sh <outFile> <q1,q2,...|--tput> [sfDir]
 set -euo pipefail
 OUT=$1; SPEC=$2; SF=${3:-/root/testdata/sf0.1}
-CP=$(cat /tmp/graft_cp.txt)
+# classpath comes from a repo-local file (NOT world-writable /tmp): a
+# stale or tampered /tmp file could silently run the wrong build
+DIR=$(cd "$(dirname "$0")/.." && pwd)
+CPFILE="$DIR/target/graft_cp.txt"
+if [ ! -f "$CPFILE" ]; then
+  # `sbt export` prints the classpath as one colon-joined line
+  (cd "$DIR" && sbt -batch -error 'export Runtime/fullClasspath' \
+    </dev/null | tail -n 1 > "$CPFILE")
+fi
+CP=$(cat "$CPFILE")
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
