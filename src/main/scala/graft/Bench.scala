@@ -6,7 +6,9 @@ import scala.jdk.CollectionConverters._
   * driver captures only a bounded tail of stdout): total seconds
   * across ALL registered queries + the DYNAMIC worst-[[HeadlineN]]
   * per-query times. The full per-query map goes to
-  * target/bench_detail.json.
+  * target/bench_detail.json AND to an append-only per-sweep archive
+  * under bench_history/ (r10 — the target/ copy is destroyed by the
+  * next sweep, so cross-round full-map diffs read the archive).
   *
   * Timing method (r07): this JVM runs NO Spark at all — it forks
   * child JVMs ([[BenchChunk]]) and aggregates their output files.
@@ -160,24 +162,56 @@ object Bench {
            if w > 0 && !c.isNaN && !w.isNaN)
         yield c / w
     }.sorted
+    // per-chunk contention ADJUDICATION (r10), not just raw telemetry:
+    // a chunk whose canary ran > 2× the sweep's fastest canary was
+    // timed on a contended host — distrust that chunk's numbers, not
+    // the code. The flag is per-tag in bench_detail; the stdout line
+    // carries the count.
+    val canaryMin = {
+      val cs = spread("canary_a15")
+      if (cs.nonEmpty) cs.head else Double.NaN
+    }
+    def isContended(t: Map[String, Double]): Boolean =
+      t.get("canary_a15").exists(c =>
+        !c.isNaN && !canaryMin.isNaN && c > 2.0 * canaryMin)
+    val nContended = telemetry.values.count(isContended)
     val teleSummary = (mmm("canary", spread("canary_a15")) ++
       mmm("load1", spread("load_before") ++ spread("load_after")) ++
-      mmm("cpu_over_wall", cpuWall)).mkString("{", ",", "}")
-    def jtele(m: Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) =>
+      mmm("cpu_over_wall", cpuWall) ++
+      Seq(s""""contended_chunks":$nContended""")).mkString("{", ",", "}")
+    def jtele(m: Map[String, Double]): String = {
+      val nums = m.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""$k":${if (v.isNaN) "null" else r3(v)}""" }
-        .mkString("{", ",", "}")
+      val flag =
+        if (m.contains("canary_a15")) Seq(s""""contended":${isContended(m)}""")
+        else Seq.empty
+      (nums ++ flag).mkString("{", ",", "}")
+    }
     val detailTele = telemetry.toSeq.sortBy(_._1)
       .map { case (tag, t) => s""""$tag":${jtele(t)}""" }
       .mkString("{", ",", "}")
+    val detail =
+      s"""{"total":${r3(total)},"queries":${jmap(results.toSeq.sortBy(_._1))},"telemetry":$detailTele,"contended_chunks":$nContended,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
-    java.nio.file.Files.writeString(detailPath,
-      s"""{"total":${r3(total)},"queries":${jmap(results.toSeq.sortBy(_._1))},"telemetry":$detailTele,"sf":"$sfDir"}""")
+    java.nio.file.Files.writeString(detailPath, detail)
+    // archive the FULL per-query map + telemetry per sweep (r10):
+    // target/bench_detail.json is overwritten by every run, so
+    // cross-round regression diffs outside the worst-20 overlap used
+    // to depend on a file the next sweep destroys. bench_history/ is
+    // repo-tracked and append-only; the stdout line names this sweep's
+    // file.
+    val histDir = java.nio.file.Paths.get("bench_history")
+    java.nio.file.Files.createDirectories(histDir)
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val archPath = histDir.resolve(s"bench_detail_$stamp.json")
+    java.nio.file.Files.writeString(archPath, detail)
     val worst = results.toSeq.sortBy(-_._2).take(HeadlineN)
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => s""""$n"""").mkString(""","failed":[""", ",", "]")
     def scalar(k: String): Long = tput.getOrElse(k, 0.0).round
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(worst)},"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${scalar("pipeline_rows_per_sec")},"stream_rows_per_sec":${scalar("stream_rows_per_sec")},"stream_steady_batches":${scalar("stream_steady_batches")},"telemetry":$teleSummary$failedJson,"detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(worst)},"sf":"$sfDir","n_queries":${results.size},"pipeline_rows_per_sec":${scalar("pipeline_rows_per_sec")},"stream_rows_per_sec":${scalar("stream_rows_per_sec")},"stream_steady_batches":${scalar("stream_steady_batches")},"telemetry":$teleSummary$failedJson,"detail":"target/bench_detail.json","detail_archive":"$archPath"}""")
   }
 }

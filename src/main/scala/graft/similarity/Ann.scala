@@ -254,19 +254,42 @@ object Ann {
   /** The probe side of IVF search, against an already cell-assigned
     * corpus — shared by the recompute path and the persisted-index
     * path.
+    *
+    * `pruneCells` (r10): the assigned side is joined on the PARTITION
+    * column, but Spark's dynamic partition pruning does not fire for
+    * this shape (measured: `PartitionFilters: [isnotnull(cell)]` — the
+    * scan reads every cell and the join discards them after I/O, which
+    * silently makes the probe corpus-proportional again). When set,
+    * the probed cell set is collected first — one micro-job over the
+    * micro-batch-sized query side, using the IDENTICAL probe
+    * expressions so the set is exact by construction — and the scan
+    * gets a literal `cell IN (...)` filter the file index prunes
+    * statically. One small driver action buys an O(corpus/nCells ×
+    * nProbe) read; at toy scale the extra job is the larger cost, so
+    * it is opt-in for the persisted-index/streaming probes (whose
+    * contract already bounds the query side) and off for the
+    * one-shot recompute path.
     */
   private def probeAssigned(queries: DataFrame, id: String, vec: String,
                             assigned: DataFrame, cents: Seq[Seq[Double]],
-                            k: Int, nProbe: Int): DataFrame = {
+                            k: Int, nProbe: Int,
+                            pruneCells: Boolean = false): DataFrame = {
     val q = prepared(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
           .as("probes"))
       .select(col("qid"), col("qv"), col("qn"),
         explode(col("probes").getField("idx")).as("cell"))
+    val corpusSide =
+      if (!pruneCells) assigned
+      else {
+        val cells = q.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        assigned.filter(col("cell").isin(cells: _*))
+      }
     // no distinct: each corpus vector lives in exactly one cell and a
     // query probes nProbe distinct cells, so (qid, vid) is unique
-    val cand = assigned.join(broadcast(q),
+    val cand = corpusSide.join(broadcast(q),
         Seq("cell")).filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
@@ -335,8 +358,16 @@ object Ann {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     writeCentroids(s, cents, s"$dir/centroids")
     // partitioned BY cell: a cell probe is a partition-pruned read —
-    // `cell=K/` directories, the layout dividend on the index table
+    // `cell=K/` directories, the layout dividend on the index table.
+    // repartition ON the partition column first (r10): without it
+    // every write task fans out into every cell — nCells × tasks
+    // small files, and at 10× corpus with 10× cells the PROBE wall
+    // grew 2.3× from file listing alone (measured; the probed data
+    // volume was constant). One corpus-sized shuffle at build time
+    // buys one file per cell — the standard partitioned-write
+    // discipline, and the build is the amortized one-time cost here.
     c.withColumn("cell", cellOf(cents, col("v")))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
@@ -391,7 +422,11 @@ object Ann {
     val stagedRoot = s"$dir/epoch_$nextEpoch"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagedRoot))
     writeCentroids(s, cents, s"$stagedRoot/centroids")
+    // same repartition-on-cell discipline as the build: the refresh is
+    // ALSO the layout-recovery op that folds an append history's
+    // accumulated small files back to one file per cell
     live.withColumn("cell", cellOf(cents, col("v")))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$stagedRoot/assigned")
     val tmp = java.nio.file.Paths.get(dir, "CURRENT_staged")
@@ -438,14 +473,35 @@ object Ann {
   def indexCentroids(s: org.apache.spark.sql.SparkSession,
                      dir: String): Seq[Seq[Double]] = readCentroids(s, dir)
 
-  /** Top-k from the stored index — no assignment pass at query time. */
+  /** Open a stored index's assigned table once — for callers probing a
+    * FROZEN index repeatedly. The DataFrame carries the resolved file
+    * index, so re-probing it never re-lists the cell directories: at
+    * real cell counts (nCells grows with the corpus) partition
+    * discovery exceeds Spark's parallel-listing threshold and costs a
+    * whole driver job PER `spark.read` — measured +0.8 s/trigger at
+    * 160 cells. Cell-partition PRUNING still happens per probe at
+    * planning time against the cached listing. Same caveat as
+    * [[indexCentroids]]: append or refresh between probes ⇒ re-open.
+    */
+  def indexAssigned(s: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    s.read.parquet(s"${ivfRoot(dir)}/assigned")
+
+  /** Top-k from the stored index — no assignment pass at query time.
+    * `pruneCells = true` statically prunes the assigned scan to the
+    * query batch's probed cells (see [[probeAssigned]]): the scan
+    * stops being corpus-proportional, for one extra micro-job over the
+    * (contract-bounded) query side.
+    */
   def ivfTopKFromIndex(queries: DataFrame, id: String, vec: String,
                        dir: String, k: Int, nProbe: Int,
-                       cents: Option[Seq[Seq[Double]]] = None): DataFrame = {
+                       cents: Option[Seq[Seq[Double]]] = None,
+                       assigned: Option[DataFrame] = None,
+                       pruneCells: Boolean = false): DataFrame = {
     val s = queries.sparkSession
     probeAssigned(queries, id, vec,
-      s.read.parquet(s"${ivfRoot(dir)}/assigned"),
-      cents.getOrElse(readCentroids(s, dir)), k, nProbe)
+      assigned.getOrElse(indexAssigned(s, dir)),
+      cents.getOrElse(readCentroids(s, dir)), k, nProbe, pruneCells)
   }
 
   /** ANN similarity JOIN: every LEFT vector matched to its single

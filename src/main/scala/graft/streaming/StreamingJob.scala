@@ -887,8 +887,11 @@ object StreamingJob {
     graft.similarity.Ann.ivfIndexBuild(corpus, id, vec, nCells, s"$dir/ix")
     graft.similarity.Ann.ivfIndexAppend(delta, id, vec, s"$dir/ix")
     // the index is FROZEN for the whole probe stream — centroids are
-    // a constant, collected once, not once per trigger
+    // a constant collected once, and the cell listing is resolved once
+    // (partition discovery is a driver job at real cell counts), not
+    // once per trigger
     val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ix")
+    val assigned = graft.similarity.Ann.indexAssigned(s, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$dir/in")
@@ -897,7 +900,8 @@ object StreamingJob {
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.similarity.Ann.ivfTopKFromIndex(batch, id, vec,
-            s"$dir/ix", k, nProbe, cents = Some(cents))
+            s"$dir/ix", k, nProbe, cents = Some(cents),
+            assigned = Some(assigned), pruneCells = true)
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())
@@ -1327,11 +1331,25 @@ object StreamingJob {
     * work is O(batch × pruned-postings + batch × corpus) compute with
     * zero streaming state, so the floor amortizes at real batch
     * sizes exactly as the single-leg probes do.
+    *
+    * `ivfLeg = Some((nCells, nProbe))` (r10) swaps the vector leg's
+    * brute-force broadcast cosine — the one per-trigger cost above
+    * that stays CORPUS-proportional — for a probe of a persisted IVF
+    * index ([[graft.similarity.Ann.ivfIndexBuild]] once at stream
+    * start, [[graft.similarity.Ann.ivfTopKFromIndex]] per batch):
+    * each trigger then pays a map-only query-side cell assignment
+    * plus a cell-partition-PRUNED read of its nProbe probed cells —
+    * O(batch × nProbe × corpus/nCells), which stays constant as the
+    * corpus grows when nCells grows with it (the standard IVF scale
+    * contract; see the s24b ScaleCheck row). Brute force remains the
+    * default: it is the exact baseline the recall of any ANN leg is
+    * judged against.
     */
   def streamHybridProbe(docs: DataFrame, emb: DataFrame, id: String,
                         text: String, vec: String, split: Int, k: Int,
                         workDir: String, nFiles: Int = 4,
-                        filesPerTrigger: Int = 2): DataFrame = {
+                        filesPerTrigger: Int = 2,
+                        ivfLeg: Option[(Int, Int)] = None): DataFrame = {
     val s = docs.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1349,8 +1367,32 @@ object StreamingJob {
     // from memory.
     val postings = s.read.parquet(s"$dir/ix/postings").cache()
     postings.count()
-    val corpusEmb = emb.filter(col("vec_id") >= split).cache()
-    corpusEmb.count()
+    // vector leg: brute force pins the corpus embeddings in cache and
+    // scans them per trigger; the IVF leg builds the persisted index
+    // once (centroids a collected constant) and per trigger reads ONLY
+    // the probed cell partitions — nothing corpus-sized is pinned or
+    // scanned per batch
+    val (vecTopK, pinnedCorpus) = ivfLeg match {
+      case None =>
+        val corpusEmb = emb.filter(col("vec_id") >= split).cache()
+        corpusEmb.count()
+        ((q: DataFrame) => graft.similarity.Ann
+          .bruteForceTopK(q, corpusEmb, "vec_id", vec, k),
+          Some(corpusEmb))
+      case Some((nCells, nProbe)) =>
+        graft.similarity.Ann.ivfIndexBuild(
+          emb.filter(col("vec_id") >= split), "vec_id", vec, nCells,
+          s"$dir/ivf")
+        // centroids collected once, cell listing resolved once: the
+        // index is frozen for the stream's life, so no trigger pays
+        // partition discovery (a driver job at real cell counts)
+        val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ivf")
+        val assigned = graft.similarity.Ann.indexAssigned(s, s"$dir/ivf")
+        ((q: DataFrame) => graft.similarity.Ann.ivfTopKFromIndex(
+          q, "vec_id", vec, s"$dir/ivf", k, nProbe, cents = Some(cents),
+          assigned = Some(assigned), pruneCells = true),
+          None)
+    }
     val queries = docs.filter(col(id) < split)
       .join(emb.select(col("vec_id").as(id), col(vec)), id)
     queries.repartition(nFiles).write.parquet(s"$dir/in")
@@ -1383,19 +1425,17 @@ object StreamingJob {
             text, s"$dir/ix", k, stats = Some(stats),
             localizeProbe = true, postings = Some(postings))
           .select(col("qid"), col("doc_id").as("doc"), col("rank"))
-        val v = graft.similarity.Ann.bruteForceTopK(
-            local.select(col(id).as("vec_id"), col(vec)), corpusEmb,
-            "vec_id", vec, k)
+        val v = vecTopK(local.select(col(id).as("vec_id"), col(vec)))
           .select(col("qid"), col("vid").as("doc"), col("rank"))
         graft.text.Retrieval.rrfFuse(lex, v, k)
           .write.mode("overwrite").parquet(s"$dir/out/ingest=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start())
-    // finally: a failed trigger must not leak the two pinned static
-    // legs into a long-lived shared session's cache
+    // finally: a failed trigger must not leak the pinned static legs
+    // into a long-lived shared session's cache
     try q.awaitTermination()
-    finally { postings.unpersist(); corpusEmb.unpersist() }
+    finally { postings.unpersist(); pinnedCorpus.foreach(_.unpersist()) }
     s.read.parquet(s"$dir/out").drop("ingest")
   }
 

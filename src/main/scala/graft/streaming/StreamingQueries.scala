@@ -527,6 +527,23 @@ object StreamingQueries {
         "/tmp/graft_s24")
         .select(col("qid"), col("doc"), col("lex_rank"),
           col("vec_rank"), col("rrf"), col("rank"))),
+    // The hybrid admission stream with the SCALE-SAFE vector leg
+    // (r10): same lexical probe + fusion, but the vector candidates
+    // come from a persisted IVF index probed per micro-batch
+    // (cell-partition-pruned reads) instead of a per-trigger
+    // brute-force scan of the pinned corpus embeddings — the one
+    // remaining corpus-proportional per-trigger cost in the streaming
+    // surface, removed. Deterministic seeding makes the whole cascade
+    // oracle-replayable (shared with the batch tx_hybrid_rrf_ivf).
+    "s24b_stream_hybrid_ivf" -> ((s, dir) =>
+      StreamingJob.streamHybridProbe(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text", "embedding",
+        graft.text.HybridQueries.Split, graft.text.HybridQueries.HK,
+        "/tmp/graft_s24b",
+        ivfLeg = Some((graft.text.HybridQueries.IvfCells,
+          graft.text.HybridQueries.IvfProbe)))
+        .select(col("qid"), col("doc"), col("lex_rank"),
+          col("vec_rank"), col("rrf"), col("rank"))),
     // Streaming packing maintenance: per-shard running token offset
     // (one long of state) extends the batch packing incrementally —
     // the drained placements equal the batch window-cumsum query
@@ -637,6 +654,11 @@ object StreamingQueries {
     // streamed per-batch fusion unions to the one-shot hybrid probe
     "s24_stream_hybrid_probe" ->
       graft.text.HybridQueries.oracleSql("tx_hybrid_rrf"),
+    // the IVF-leg variant drains to its one-shot batch twin — the
+    // whole approximate cascade is deterministic, so the oracle is
+    // shared verbatim
+    "s24b_stream_hybrid_ivf" ->
+      graft.text.HybridQueries.oracleSql("tx_hybrid_rrf_ivf"),
     // frozen reference LM, per-doc independence: admitted set == the
     // batch perplexity scoring + the gate filter
     "s26_stream_perplexity_gate" ->

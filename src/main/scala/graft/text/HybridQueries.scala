@@ -43,6 +43,14 @@ object HybridQueries {
     */
   private[graft] val Split = 100
   private[graft] val HK = 5
+  /** IVF geometry for the `_ivf` hybrid variant: 16 first-N-seeded
+    * cells over the corpus embeddings, 4 probed per query — the same
+    * geometry `ann_ivf_persisted` pins, so cell assignment replays in
+    * the oracle. At real scale nCells grows with the corpus to hold
+    * per-cell occupancy (and so per-probe work) constant.
+    */
+  private[graft] val IvfCells = 16
+  private[graft] val IvfProbe = 4
   private val NGram = 5
   private val MinDf = 2
   private[graft] val TrainSteps = 3
@@ -70,6 +78,35 @@ object HybridQueries {
       val vec = graft.similarity.Ann.bruteForceTopK(
           emb.filter(col("vec_id") < Split),
           emb.filter(col("vec_id") >= Split), "vec_id", "embedding", HK)
+        .select(col("qid"), col("vid").as("doc"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, HK)
+    }),
+
+    // The hybrid fusion with the SCALE-SAFE vector leg (r10): the
+    // brute-force broadcast cosine above is the exact baseline, but
+    // its per-query cost is corpus-proportional; this variant probes
+    // a persisted IVF index instead — cell-partition-pruned reads,
+    // O(queries × nProbe × corpus/nCells) — which is the leg a 100 TB
+    // deployment runs. Deterministic first-N seeding + round-6 sims
+    // make the approximate leg itself bit-replayable, so the oracle
+    // replays the full cascade (assignment → probe → fusion), not a
+    // recall bound.
+    "tx_hybrid_rrf_ivf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_hybrid_ivf-${ProcessHandle.current().pid()}"
+      Bm25.indexBuild(docs.filter(col("doc_id") >= Split),
+        "doc_id", "text", s"$base/bm")
+      graft.similarity.Ann.ivfIndexBuild(
+        emb.filter(col("vec_id") >= Split), "vec_id", "embedding",
+        IvfCells, s"$base/ivf")
+      val lex = Bm25.moreLikeThisFromIndex(s,
+          docs.filter(col("doc_id") < Split), "doc_id", "text",
+          s"$base/bm", HK, localizeProbe = true)
+        .select(col("qid"), col("doc_id").as("doc"), col("rank"))
+      val vec = graft.similarity.Ann.ivfTopKFromIndex(
+          emb.filter(col("vec_id") < Split), "vec_id", "embedding",
+          s"$base/ivf", HK, IvfProbe, pruneCells = true)
         .select(col("qid"), col("vid").as("doc"), col("rank"))
       Retrieval.rrfFuse(lex, vec, HK)
     }),
@@ -159,39 +196,8 @@ object HybridQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    "tx_hybrid_rrf" ->
-      s"""WITH c AS (SELECT doc_id, text FROM documents
-         |           WHERE doc_id >= $Split),
-         |p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,
-         |         unnest($toksLower) AS term FROM c),
-         |p AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
-         |      FROM p0 GROUP BY 1, 2, 3),
-         |stats AS (SELECT count(*)::DOUBLE AS n,
-         |                 avg(len($toksLower))::DOUBLE AS avgdl
-         |          FROM c),
-         |df AS (SELECT term, count(*)::DOUBLE AS qdf FROM p GROUP BY 1),
-         |qt AS (SELECT doc_id AS qid,
-         |         unnest(list_distinct($toksLower)) AS term
-         |       FROM documents WHERE doc_id < $Split),
-         |contrib AS (
-         |  SELECT qt.qid, p.doc_id AS doc,
-         |         round(ln(1.0 + (n - qdf + 0.5) / (qdf + 0.5)) * tf
-         |           * (${Bm25.K1} + 1.0)
-         |           / (tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
-         |              + ${Bm25.B} * dl / avgdl)), 6) AS cr
-         |  FROM qt JOIN p USING (term) JOIN df USING (term)
-         |  CROSS JOIN stats),
-         |sc AS (SELECT qid, doc, round(sum(cr), 6) AS score
-         |       FROM contrib GROUP BY 1, 2),
-         |lex AS (SELECT qid, doc, rank FROM (
-         |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, doc) AS INT) AS rank FROM sc)
-         |  WHERE rank <= $HK),
-         |nv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_dot_product(embedding::DOUBLE[],
-         |                               embedding::DOUBLE[])) AS nrm
-         |       FROM embeddings),
-         |sims AS (SELECT q.vec_id AS qid, c2.vec_id AS doc,
+    "tx_hybrid_rrf" -> hybridRrfOracle(
+      s"""sims AS (SELECT q.vec_id AS qid, c2.vec_id AS doc,
          |           round(list_dot_product(q.v, c2.v)
          |             / (q.nrm * c2.nrm), 6) AS sim
          |         FROM nv q JOIN nv c2
@@ -199,22 +205,44 @@ object HybridQueries {
          |vec AS (SELECT qid, doc, rank FROM (
          |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |      ORDER BY sim DESC, doc) AS INT) AS rank FROM sims)
-         |  WHERE rank <= $HK),
-         |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
-         |        coalesce(l.doc, v.doc) AS doc,
-         |        coalesce(l.rank, 0) AS lex_rank,
-         |        coalesce(v.rank, 0) AS vec_rank,
-         |        coalesce((1.0::DOUBLE) / (l.rank + ${Retrieval.RrfC}),
-         |                 0.0::DOUBLE)
-         |        + coalesce((1.0::DOUBLE) / (v.rank + ${Retrieval.RrfC}),
-         |                   0.0::DOUBLE) AS rrf_raw
-         |      FROM lex l FULL JOIN vec v
-         |        ON l.qid = v.qid AND l.doc = v.doc)
-         |SELECT qid, doc, lex_rank, vec_rank,
-         |       round(rrf_raw, 6) AS rrf, rank FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY rrf_raw DESC, doc) AS INT) AS rank FROM f)
-         |WHERE rank <= $HK""".stripMargin,
+         |  WHERE rank <= $HK)""".stripMargin),
+
+    // same lexical leg + fusion; the vector leg replays the IVF
+    // cascade (first-N seeding, idx-DESC tie on assignment, nProbe
+    // probed cells, round-6 candidate sims) — the ann_ivf_persisted
+    // derivation restricted to the hybrid corpus split
+    "tx_hybrid_rrf_ivf" -> hybridRrfOracle(
+      s"""cents AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS idx,
+         |         v AS cv, nrm AS cn
+         |  FROM nv WHERE vec_id >= $Split ORDER BY vec_id LIMIT $IvfCells),
+         |csims AS (
+         |  SELECT nv.vec_id, cents.idx,
+         |         list_dot_product(nv.v, cents.cv) / (nv.nrm * cents.cn)
+         |           AS sim
+         |  FROM nv, cents),
+         |assigned AS (
+         |  SELECT vec_id, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims WHERE vec_id >= $Split) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, idx AS cell FROM (
+         |    SELECT vec_id, idx, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, idx DESC) AS rn
+         |    FROM csims WHERE vec_id < $Split) WHERE rn <= $IvfProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS doc,
+         |         round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 6)
+         |           AS sim
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+         |  JOIN nv q ON q.vec_id = p.qid
+         |  JOIN nv c2 ON c2.vec_id = a.vec_id),
+         |vec AS (SELECT qid, doc, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, doc) AS INT) AS rank FROM cand)
+         |  WHERE rank <= $HK)""".stripMargin),
 
     "dedup_strip_boilerplate" -> stripOracle,
 
@@ -285,6 +313,62 @@ object HybridQueries {
          |           ELSE 0 END)::BIGINT AS bpe_tokens
          |FROM f GROUP BY 1""".stripMargin
     })
+
+  /** The hybrid-RRF replay, parameterized on the VECTOR leg: `vecCtes`
+    * must be a CTE chain ending in `vec(qid, doc, rank ≤ HK)` and may
+    * reference the normalized-embedding CTE `nv`. The lexical BM25
+    * leg and the integer-rank RRF fusion are shared verbatim between
+    * the brute-force and IVF variants — only the candidate generation
+    * differs, which is exactly the engine-side contract too.
+    */
+  private def hybridRrfOracle(vecCtes: String): String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id >= $Split),
+       |p0 AS (SELECT doc_id, len($toksLower)::BIGINT AS dl,
+       |         unnest($toksLower) AS term FROM c),
+       |p AS (SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+       |      FROM p0 GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |                 avg(len($toksLower))::DOUBLE AS avgdl
+       |          FROM c),
+       |df AS (SELECT term, count(*)::DOUBLE AS qdf FROM p GROUP BY 1),
+       |qt AS (SELECT doc_id AS qid,
+       |         unnest(list_distinct($toksLower)) AS term
+       |       FROM documents WHERE doc_id < $Split),
+       |contrib AS (
+       |  SELECT qt.qid, p.doc_id AS doc,
+       |         round(ln(1.0 + (n - qdf + 0.5) / (qdf + 0.5)) * tf
+       |           * (${Bm25.K1} + 1.0)
+       |           / (tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
+       |              + ${Bm25.B} * dl / avgdl)), 6) AS cr
+       |  FROM qt JOIN p USING (term) JOIN df USING (term)
+       |  CROSS JOIN stats),
+       |sc AS (SELECT qid, doc, round(sum(cr), 6) AS score
+       |       FROM contrib GROUP BY 1, 2),
+       |lex AS (SELECT qid, doc, rank FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc) AS INT) AS rank FROM sc)
+       |  WHERE rank <= $HK),
+       |nv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |       FROM embeddings),
+       |$vecCtes,
+       |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+       |        coalesce(l.doc, v.doc) AS doc,
+       |        coalesce(l.rank, 0) AS lex_rank,
+       |        coalesce(v.rank, 0) AS vec_rank,
+       |        coalesce((1.0::DOUBLE) / (l.rank + ${Retrieval.RrfC}),
+       |                 0.0::DOUBLE)
+       |        + coalesce((1.0::DOUBLE) / (v.rank + ${Retrieval.RrfC}),
+       |                   0.0::DOUBLE) AS rrf_raw
+       |      FROM lex l FULL JOIN vec v
+       |        ON l.qid = v.qid AND l.doc = v.doc)
+       |SELECT qid, doc, lex_rank, vec_rank,
+       |       round(rrf_raw, 6) AS rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_raw DESC, doc) AS INT) AS rank FROM f)
+       |WHERE rank <= $HK""".stripMargin
 
   /** The 3-step quantized-GD replay as a reusable CTE chain (through
     * `w3`/`b3v`): shared by the weight-table oracle and the

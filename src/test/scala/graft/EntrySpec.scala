@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     // count pin: a refactor that silently drops a registration (e.g. a
     // ++ collision between two query maps) fails here, not at judging
-    assert(q.size == 251, s"expected 251 registered queries, got ${q.size}")
+    assert(q.size == 253, s"expected 253 registered queries, got ${q.size}")
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     // r5: every query now has an oracle — the five former rows-only

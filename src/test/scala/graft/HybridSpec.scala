@@ -84,6 +84,24 @@ class HybridSpec extends SparkSpec {
       "micro-batched two-leg fusion must union to the batch result")
   }
 
+  test("streamed IVF-leg hybrid probe drains to its one-shot batch twin") {
+    // the r10 scale-safe vector leg: per-trigger the vector candidates
+    // come from a persisted IVF index (cell-pruned reads), not a
+    // corpus scan — the drained union must still equal the one-shot
+    // batch fusion, because the whole cascade is deterministic
+    val dir = "/root/testdata/sf0.001"
+    val cols = Seq("qid", "doc", "lex_rank", "vec_rank", "rrf", "rank")
+    val streamed = graft.streaming.StreamingQueries
+      .queries("s24b_stream_hybrid_ivf")(spark, dir)
+      .select(cols.map(col): _*)
+    val batch = graft.text.HybridQueries
+      .queries("tx_hybrid_rrf_ivf")(spark, dir)
+      .select(cols.map(col): _*)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "micro-batched IVF-leg fusion must union to the batch result")
+  }
+
   test("localized BM25 probe ≡ default probe (same index, same scores)") {
     // the r9 job-floor cut: localizeProbe collects the (qid, term)
     // pairs once and turns the term set / bucket list / fan-out side

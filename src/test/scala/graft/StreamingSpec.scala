@@ -510,6 +510,53 @@ class StreamingSpec extends SparkSpec {
       s"batch-0 state wrong: $first")
   }
 
+  test("statestore reader inspects a RocksDB-provider checkpoint (s33 on the recommended provider)") {
+    // s33's offline state inspection, exercised against the provider
+    // SCALE.md actually recommends for large state: the running-totals
+    // stream commits its keyed state through RocksDBStateStoreProvider,
+    // and the built-in statestore reader must surface the identical
+    // final state it surfaces from the default HDFS-backed provider.
+    import spark.implicits._
+    import graft.streaming.StreamingJob.TxKeyed
+    val dir = s"/tmp/graft_state_rocks-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def tx(id: String, user: String, v: Double, ok: Boolean) =
+      TxKeyed(id, user, t0, v, ok)
+    Seq(tx("a", "u1", 10.0, true), tx("b", "u2", 5.0, true))
+      .toDS().repartition(1).write.parquet(s"$dir/in")
+    Seq(tx("c", "u1", 2.5, true), tx("d", "u3", 1.0, false))
+      .toDS().repartition(1).write.mode("append").parquet(s"$dir/in")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, rocks)
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TxKeyed]].schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[TxKeyed]
+      val q = graft.streaming.StreamingJob.runningUserTotals(stream)
+        .toDF().writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // collect INSIDE the conf scope: the reader resolves the store
+      // provider at execution, and it must open RocksDB files here
+      val state = spark.read.format("statestore").load(s"$dir/ckpt")
+        .select(col("key.value"), col("value.groupState._1"),
+          col("value.groupState._2"))
+        .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2)))
+        .toMap
+      assert(state == Map("u1" -> ((2L, 12.5)), "u2" -> ((1L, 5.0)),
+        "u3" -> ((0L, 0.0))), s"RocksDB checkpoint state wrong: $state")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("keeper maintenance fails loudly on a non-integral id, never drops it") {
     // the silent failure mode this guards: a doc id that does not cast
     // to BIGINT would null out in the queue write and be dropped by
