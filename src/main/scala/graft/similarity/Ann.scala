@@ -177,6 +177,65 @@ object Ann {
       struct((dot(v, c) / (norm(v) * norm(c))).as("sim"),
         i.as("idx")))
 
+  /** Above this many centroids the PROBE's cell ranking moves from a
+    * plan literal to a broadcast join against a centroid table:
+    * embedding centroids as one nested-array literal wins at O(10²)
+    * cells (r4: 4× over scalar trees — no analysis/codegen per
+    * element), but the analyzed plan then grows with nCells, and a
+    * probe repeated every trigger re-pays that planning cost. As data,
+    * centroids are a few MB at O(10⁵) cells — broadcast territory.
+    * (The one-time BUILD keeps the literal JIT-loop assignment at any
+    * size measured here; past ~10⁴ cells real systems move assignment
+    * to multi-level/IMI schemes, out of scope.)
+    */
+  private val CentroidLiteralMax = 256
+
+  private def centroidFrame(s: org.apache.spark.sql.SparkSession,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v)
+    }.asJava
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** Query-side probe-cell ranking, shared by both strategies and
+    * spec-pinned identical: per query row, the nProbe max-cosine cells
+    * with ties to the LARGER cell index (`sort_array` desc on
+    * struct(sim, idx) ≡ row_number over (sim DESC, cidx DESC) — the
+    * same order the oracle replays). The literal strategy folds the
+    * centroids into the plan (fastest at small nCells); the join
+    * strategy broadcasts them as a table (plan size independent of
+    * nCells). Both compute the IDENTICAL sim expression
+    * dot/(norm·norm), so the ranked sets are bit-equal.
+    */
+  private[graft] def queryProbes(qPrep: DataFrame,
+                                 cents: Seq[Seq[Double]], nProbe: Int,
+                                 viaJoin: Boolean): DataFrame =
+    if (!viaJoin)
+      qPrep.select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(sort_array(centSims(cents, col("v")), asc = false),
+          1, nProbe).getField("idx")).as("cell"))
+    else {
+      val cdf = centroidFrame(qPrep.sparkSession, cents)
+      val sims = qPrep.crossJoin(broadcast(cdf))
+        .select(col("vid"), col("v"), col("nrm"), col("cidx"),
+          (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+            .as("sim"))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("sim").desc, col("cidx").desc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col("vid").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cidx").as("cell"))
+    }
+
   /** Max-cosine cell id — the native JIT-loop twin of
     * `array_max(centSims(...)).getField("idx")` (bit-identical
     * including tie/NaN order; differential-spec-pinned). Used on the
@@ -274,12 +333,8 @@ object Ann {
                             assigned: DataFrame, cents: Seq[Seq[Double]],
                             k: Int, nProbe: Int,
                             pruneCells: Boolean = false): DataFrame = {
-    val q = prepared(queries, id, vec)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        slice(sort_array(centSims(cents, col("v")), asc = false), 1, nProbe)
-          .as("probes"))
-      .select(col("qid"), col("qv"), col("qn"),
-        explode(col("probes").getField("idx")).as("cell"))
+    val q = queryProbes(prepared(queries, id, vec), cents, nProbe,
+      viaJoin = cents.length > CentroidLiteralMax)
     val corpusSide =
       if (!pruneCells) assigned
       else {

@@ -940,6 +940,54 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.9, 2L)), s"after empty-first merges: $got")
   }
 
+  test("IVF probe cell ranking: centroid-table join ≡ plan literal past the literal bound") {
+    // r10: above CentroidLiteralMax the probe's cell ranking moves
+    // from a plan literal (analyzed plan grows with nCells, re-paid
+    // every trigger) to a broadcast join against the centroid table.
+    // Both strategies compute the identical sim expression and the
+    // identical (sim DESC, idx DESC) tie-break, so the ranked probe
+    // sets must be equal — including on exact ties (duplicate
+    // centroids below) and at a 300-cell count that actually takes
+    // the join path in production
+    val dim = 6
+    def v(seed: Int): Seq[Double] =
+      (0 until dim).map(d => ((seed * 31 + d * 17) % 97 + 1) / 97.0)
+    val cents: Seq[Seq[Double]] =
+      (0 until 300).map(i => if (i == 250) v(7) else v(i)) // 250 dups 7
+    val qPrep = (0 until 40)
+      .map { i =>
+        val q = v(i * 3 + 1)
+        (i.toLong, q, math.sqrt(q.map(x => x * x).sum))
+      }
+      .toDF("vid", "v", "nrm")
+    def cellsOf(viaJoin: Boolean): Map[Long, Seq[Int]] =
+      Ann.queryProbes(qPrep, cents, nProbe = 4, viaJoin = viaJoin)
+        .select(col("qid"), col("cell"))
+        .as[(Long, Int)].collect().groupBy(_._1)
+        .map { case (q, cs) => q -> cs.map(_._2).toSeq.sorted }
+    val lit = cellsOf(viaJoin = false)
+    val jn = cellsOf(viaJoin = true)
+    assert(lit.values.forall(_.size == 4), s"literal ranking degenerate")
+    assert(lit == jn,
+      s"strategies diverge: ${lit.toSeq.diff(jn.toSeq).take(3)}")
+    // and end-to-end through the stored index: a 300-cell build takes
+    // the join path inside ivfTopKFromIndex; ranks stay well-formed
+    // and the pruned probe returns the identical rows
+    val emb = (0 until 640)
+      .map(i => (i.toLong, v(i * 5 + 3).toArray)).toDF("vec_id", "embedding")
+    val ix = "/tmp/graft_spec_bigcells_ix"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
+    Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", nCells = 300, ix)
+    val q40 = emb.filter(col("vec_id") < 40)
+    val plain = Ann.ivfTopKFromIndex(q40, "vec_id", "embedding", ix,
+      k = 3, nProbe = 4)
+    val pruned = Ann.ivfTopKFromIndex(q40, "vec_id", "embedding", ix,
+      k = 3, nProbe = 4, pruneCells = true)
+    assert(plain.exceptAll(pruned).isEmpty && pruned.exceptAll(plain).isEmpty,
+      "static cell pruning must not change probe results")
+  }
+
   test("knnGraphClusters: a one-directional edge never links (mutuality)") {
     // k=1: p1<->p2 are mutual nearest; q's nearest is p2 (cos≈0.954,
     // over threshold) but p2's single slot holds p1 — the asymmetric
