@@ -64,6 +64,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.count() == want)
   }
 
+  test("pruned IVF probe scan carries a literal cell INSET partition filter") {
+    // the r10 scale guard: Spark's dynamic partition pruning does NOT
+    // fire for the probe's join-on-partition-column shape, so without
+    // the static filter the probe silently reads EVERY cell (the plan
+    // shows only isnotnull(cell)) and becomes corpus-proportional
+    // again. pruneCells collects the probed cells and the scan must
+    // show them as a literal partition INSET.
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ix = s"/tmp/graft_planspec_ivf_${System.nanoTime()}"
+    Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 8), "vec_id",
+      "embedding", nCells = 8, ix)
+    val probe = Ann.ivfTopKFromIndex(emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", ix, k = 3, nProbe = 2, pruneCells = true)
+    val txt = probe.queryExecution.executedPlan.toString
+    // the literal filter renders `cell#N IN (..)` at few values and
+    // `cell#N INSET ..` at many; `IN dynamicpruning#N` (DPP, which
+    // does fire once the static filter exists) matches neither — the
+    // assert must hold on the STATIC literal, the thing that prunes
+    // even when DPP declines
+    assert(txt.contains("PartitionFilters") &&
+      txt.matches("(?s).*PartitionFilters: \\[[^\\]]*cell#\\d+ IN(SET | \\().*"),
+      s"probe scan must carry a literal cell IN/INSET partition filter:\n$txt")
+  }
+
   test("dashboard aggregation plans have exactly one shuffle") {
     withPlainPlans {
       val dir = "/root/testdata/sf0.001"
