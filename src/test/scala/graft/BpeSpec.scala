@@ -265,6 +265,23 @@ class BpeSpec extends SparkSpec {
     assert(empty.head == Seq.empty)
   }
 
+  test("trainBatchedPieces returns a frame re-rooted in the caller session (AQE intact)") {
+    // r10 advisor fix: the train loop runs on an AQE-off session
+    // clone, but the returned vocab frame must NOT stay bound to it —
+    // a caller composing further queries from it would silently run
+    // with AQE disabled. The frame is a localCheckpoint handle on the
+    // shared context, so the re-root is free.
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab ba ba")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.trainBatchedPieces(docs, "text", 2, batch = 1)
+    assert(vocab.sparkSession eq spark,
+      "vocab frame must be rooted in the caller's session, not the clone")
+    assert(vocab.sparkSession.conf
+      .get("spark.sql.adaptive.enabled") == "true",
+      "composing from the returned frame must see the caller's AQE conf")
+    assert(vocab.count() > 0)
+  }
+
   test("merge table persists and loads rank-for-rank; empty/torn artifacts fail loudly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (merges, _) = Bpe.trainBatched(docs, "text", 10, batch = 4)
