@@ -1006,6 +1006,30 @@ object ScaleCheck {
         "doc_id", "text", 3, "/tmp/graft_scale_s22_fx").count())
     println(f"[scale] s22-fx corpus x$factor hits=$s22n1%,d->$s22nF%,d " +
       f"wall=$s22w1%.2f->$s22wF%.2f s wallx=${s22wF / s22w1}%.2f")
+    // s17 (pure ANN admission — the IVF machinery without the hybrid
+    // loop around it): stored-index build+append, fixed 8-query probe
+    // batches, nCells ∝ corpus. With the r10 probe treatment
+    // (one-file-per-cell layout, listing reuse, static cell pruning)
+    // the whole loop should move far less than ×factor.
+    val s17q = embBase.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val s17d = embBase.filter(col("vec_id") >= 8 && col("vec_id") < split)
+      .select(col("vec_id"), col("embedding"))
+    val (s17w1, s17n1) = wall(graft.streaming.StreamingJob
+      .streamAnnIndexProbe(
+        embBase.filter(col("vec_id") >= split)
+          .select(col("vec_id"), col("embedding")),
+        s17d, s17q, "vec_id", "embedding", 5, 4, 16,
+        "/tmp/graft_scale_s17_1x").count())
+    val (s17wF, s17nF) = wall(graft.streaming.StreamingJob
+      .streamAnnIndexProbe(
+        embF.filter(col("vec_id") >= split)
+          .select(col("vec_id"), col("embedding")),
+        s17d, s17q, "vec_id", "embedding", 5, 4, 16 * factor,
+        "/tmp/graft_scale_s17_fx").count())
+    println(f"[scale] s17-fx corpus x$factor (cells 16->${16 * factor}) " +
+      f"topk=$s17n1%,d->$s17nF%,d " +
+      f"wall=$s17w1%.2f->$s17wF%.2f s wallx=${s17wF / s17w1}%.2f")
     // s16 (band-index ingest): the streamed-in corpus ×factor with
     // per-replica token suffixes (disjoint gram universes — the s18
     // treatment: near-dup structure never goes quadratic in
