@@ -202,10 +202,47 @@ object TextHashing {
     UTF8String.fromString(sb.toString.toLowerCase)
   }
 
+  /** Per-document term frequencies in one JVM pass: (term, tf) structs,
+    * one per DISTINCT token, counted in first-occurrence order. The
+    * composable formulation — explode every token and GROUP BY
+    * (term, doc) — is semantically identical but pays a full exchange
+    * of the exploded token stream for an aggregation whose groups never
+    * cross documents; counting inside the row keeps the whole postings
+    * build map-only (r10, guide §2.4: remove shuffles outright — the
+    * group key contains the row's own id, so the shuffle proved
+    * nothing). Token strings pass through untouched (the tokenizer
+    * stays the canonical Catalyst expression chain), so the emitted
+    * terms are byte-identical to the exploded form's.
+    */
+  def termCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      // clone: vectorized readers hand out UTF8Strings backed by a
+      // shared buffer; map keys must own their bytes
+      val t = toks.getUTF8String(i)
+      val key = if (t == null) null else t.clone()
+      val slot = m.get(key)
+      if (slot == null) m.put(key, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   val FuncName = "graft_ngram_hashes"
   val SimhashName = "graft_simhash64"
   val MinhashBandsName = "graft_minhash_bands"
   val NormalizeName = "graft_normalize_ws"
+  val TermCountsName = "graft_term_counts"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -224,6 +261,8 @@ object TextHashing {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NormalizeName, exprs => NormalizeWsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TermCountsName, exprs => TermCountsExpr(exprs(0)), "built-in")
   }
 
   /** Column API; requires [[register]] on the session. */
@@ -237,6 +276,30 @@ object TextHashing {
     call_function(MinhashBandsName, hashes, lit(numHashes), lit(bands), lit(seed))
 
   def normalizeWs(text: Column): Column = call_function(NormalizeName, text)
+
+  def termCounts(toks: Column): Column = call_function(TermCountsName, toks)
+}
+
+/** Expression wrapper for [[TextHashing.termCounts]]. */
+case class TermCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = TextHashing.TermCountsName
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextHashing.termCounts(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.termCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Expression wrapper for [[TextHashing.normalizeWs]]. */

@@ -26,14 +26,27 @@ object Bm25 {
 
   /** (term, doc_id, tf, dl): one row per distinct term per doc, over
     * lowercased whitespace tokens.
+    *
+    * Map-only (r10): tf is counted INSIDE each document row by the
+    * native [[graft.functions.TextHashing.termCounts]] kernel, then the
+    * (term, tf) pairs explode — the previous explode-then-GROUP BY
+    * formulation shuffled the whole exploded token stream for an
+    * aggregation whose group key contained the row's own doc_id, i.e.
+    * groups could never cross input rows and the exchange proved
+    * nothing (guide §2.4). Same rows, same types; the tokenizer stays
+    * the canonical Catalyst chain so terms are byte-identical.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHashing.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
         Text.tokens(lower(col(textCol))).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"),
+        explode(graft.functions.TextHashing.termCounts(col("__toks")))
+          .as("tc"))
+      .select(col("tc.term").as("term"), col("doc_id"), col("dl"),
+        col("tc.tf").as("tf"))
+  }
 
   /** Top `nTerms` non-stopword terms by document frequency (df desc,
     * term asc) — the deterministic auto-generated "query workload".

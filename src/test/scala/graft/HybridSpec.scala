@@ -35,6 +35,30 @@ class HybridSpec extends SparkSpec {
     assert(out.toSet == Set((40L, 1), (50L, 2))) // same rrf, 40 < 50
   }
 
+  test("map-only postings ≡ explode+groupBy postings, zero exchanges") {
+    // repeated tokens (tf > 1), case folding, runs of whitespace, an
+    // empty doc (zero postings but dl = 0 rows don't appear), and a
+    // token appearing in several docs
+    val docs = Seq(
+      (1L, "the cat  the CAT sat"),
+      (2L, "dog\tdog dog"),
+      (3L, ""),
+      (4L, "cat")
+    ).toDF("doc_id", "text")
+    val fast = graft.text.Bm25.postings(docs, "doc_id", "text")
+    val ref = docs.select(col("doc_id"),
+        graft.text.Text.tokens(lower(col("text"))).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    assert(fast.columns.toSeq == ref.columns.toSeq)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    // the point of the rewrite: the per-doc count needs no shuffle
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
+      "postings must stay map-only")
+  }
+
   test("stripSpans removes every occurrence, not just the first") {
     val docs = Seq(
       (1L, "the same header here body one the same header here"),
