@@ -151,7 +151,16 @@ object QualityModel {
                         textCol: String, steps: Int,
                         lr: Double): (IndexedSeq[Double], Double) = {
     val toks = Text.tokens(lower(col(textCol)))
-    val base = docs.select(toks.as("tk"),
+    // hash-to-slot ONCE (r10): the slot of a token is step-invariant,
+    // but the loop used to re-run the md5-based tokenSlot over the
+    // whole token stream TWICE per step (the z fold and the gradient
+    // explode) — 2·steps full hashing passes of pure repeated work at
+    // any corpus size. The checkpointed base now carries the slot
+    // array; per-step arithmetic (array order, rounding, group sums)
+    // is unchanged expression-for-expression, so the learned weights
+    // stay bit-identical to the oracle's CTE replay.
+    val base = docs.select(
+        transform(toks, t => tokenSlot(t)).as("tk"),
         (Text.qualityScore(col(textCol)) >= 0.45).cast("double").as("y"))
       .filter(size(col("tk")) > 0)
       .localCheckpoint()
@@ -162,7 +171,7 @@ object QualityModel {
     for (_ <- 1 to steps) {
       val wLit = typedLit(w)
       val z = lit(b) + aggregate(
-        transform(col("tk"), t => element_at(wLit, tokenSlot(t) + 1)),
+        transform(col("tk"), s => element_at(wLit, s + 1)),
         lit(0.0), (acc, x) => acc + x) / size(col("tk"))
       val stepped = base.select(col("tk"), size(col("tk")).as("n"),
         (round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")).as("err"))
@@ -173,9 +182,8 @@ object QualityModel {
       // groupBy stays order-free and the values are bit-identical to
       // the two-action form the oracle replays.
       val grads = stepped
-        .select(explode(col("tk")).as("t"),
+        .select(explode(col("tk")).as("slot"),
           round(col("err") / col("n"), 6).as("g"))
-        .select(tokenSlot(col("t")).as("slot"), col("g"))
         .unionByName(stepped.select(lit(-1).as("slot"),
           round(col("err"), 6).as("g")))
         .groupBy(col("slot"))
