@@ -31,10 +31,59 @@ import org.apache.spark.unsafe.types.UTF8String
 object BpeMerge {
 
   val FuncName = "graft_bpe_merge"
+  val PairCountsName = "graft_bpe_pair_counts"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FuncName, exprs => BpeMergeExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PairCountsName, exprs => BpePairCountsExpr(exprs(0)), "built-in")
+  }
+
+  /** Column API: adjacent-pair occurrence counts of a symbol array —
+    * (a, b, cnt) structs, one per DISTINCT adjacent pair, counted in
+    * one JVM pass. The composable form — `arrays_zip` of two `slice`
+    * copies, exploded, then GROUP BY — materializes two array copies
+    * plus a struct array per row and ships one row per OCCURRENCE into
+    * the aggregate; this emits pre-counted pairs straight from the row
+    * (r10: the train loop's per-pass candidate scan is the hot path,
+    * and on ~300-symbol piece streams occurrences outnumber distinct
+    * pairs severalfold). Requires [[register]].
+    */
+  def pairCounts(syms: Column): Column =
+    call_function(PairCountsName, syms)
+
+  /** The counting kernel behind [[pairCounts]]. */
+  def countPairs(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    val m = new java.util.LinkedHashMap[(UTF8String, UTF8String), Array[Long]]()
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val s = BpeMergeExpr.nullFreeSymbol(syms.getUTF8String(i),
+        "symbol array", i)
+      // clone: vectorized readers hand out buffer-backed UTF8Strings;
+      // map keys must own their bytes
+      val cur = s.clone()
+      if (prev != null) {
+        val key = (prev, cur)
+        val slot = m.get(key)
+        if (slot == null) m.put(key, Array(1L)) else slot(0) += 1L
+      }
+      prev = cur
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey._1, e.getKey._2, e.getValue()(0))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Column API; requires [[register]] on the session. `pairsFlat`
     * must be a LITERAL array column of interleaved
@@ -192,6 +241,31 @@ case class BpeEncodeExpr(left: Expression, right: Expression)
   * `[l, r, …]` array literal — it is evaluated ONCE into a hash table
   * shared across all rows.
   */
+/** Expression wrapper for [[BpeMerge.countPairs]]. */
+case class BpePairCountsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("b", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = BpeMerge.PairCountsName
+
+  override protected def nullSafeEval(syms: Any): Any =
+    BpeMerge.countPairs(syms.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeMerge.countPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class BpeMergeExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

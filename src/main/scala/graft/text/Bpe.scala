@@ -103,6 +103,7 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, merges: Int,
             checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "merges must be non-negative")
+    graft.functions.BpeMerge.register(docs.sparkSession)
     var vocab = wordVocab(docs, textCol)
       .withColumn("syms", initialSymbols(col("w")))
       .localCheckpoint()
@@ -110,12 +111,15 @@ object Bpe {
     var rank = 0
     var exhausted = false
     while (rank < merges && !exhausted) {
+      // same native pre-counted pair scan as the batched learner
+      // (r10); sum(n·cnt) ≡ the occurrence-row sum(n)
       val top = vocab
-        .select(col("n"), explode(arrays_zip(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
-        .select(col("p.0").as("a"), col("p.1").as("b"), col("n"))
-        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .select(col("n"),
+          explode(graft.functions.BpeMerge.pairCounts(col("syms")))
+            .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"),
+          (col("n") * col("p.cnt")).as("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -229,8 +233,23 @@ object Bpe {
     val caller = units.sparkSession
     val session = org.apache.spark.sql.GraftSqlBridge.cloneSession(caller)
     session.conf.set("spark.sql.adaptive.enabled", "false")
+    // the loop's only exchanges carry pair-count partials whose FINAL
+    // cardinality is alphabet²-bounded (kilobytes) at ANY corpus size —
+    // the corpus-proportional work all happens map-side before the
+    // partial aggregate. With AQE off (above), the clone would
+    // otherwise inherit the session's scan-parallelism-sized reducer
+    // count and pay `passes × partitions` empty-task floor for a
+    // kilobyte aggregate; a small constant is the right reducer count
+    // for this loop at every scale, not a local[32] tuning (r10).
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    // the unit-vocabulary BUILD is corpus-proportional (distinct-text
+    // grouping for piece units) — materialize it in the CALLER
+    // session, under its AQE + scale-sized shuffles, BEFORE entering
+    // the clone: only the per-pass candidate aggregate belongs under
+    // the tiny reducer count. The checkpoint handle re-roots for free.
+    val prepared = units.localCheckpoint()
     val (ms, vocab) = trainLoop(session,
-      org.apache.spark.sql.GraftSqlBridge.reRoot(session, units),
+      org.apache.spark.sql.GraftSqlBridge.reRoot(session, prepared),
       merges, batch, checkpointEvery)
     // the AQE-off clone stays purely internal to the loop: the vocab
     // frame is a localCheckpoint handle on the SHARED context, so
@@ -256,7 +275,9 @@ object Bpe {
   private def trainPasses(session: org.apache.spark.sql.SparkSession,
                           units: DataFrame, merges: Int, batch: Int,
                           checkpointEvery: Int): (Seq[Merge], DataFrame) = {
-    var vocab = units.localCheckpoint()
+    // already materialized by trainBatchedFrom (caller session); the
+    // handle arrives checkpointed, so no re-materialization here
+    var vocab = units
     val learned = Seq.newBuilder[Merge]
     var rank = 0
     var pass = 0
@@ -265,12 +286,18 @@ object Bpe {
       pass += 1
       session.sparkContext.setJobDescription(s"bpe-pass-$pass")
       val want = math.min(batch, merges - rank)
+      // per-row pre-counted pairs (r10): the native kernel emits one
+      // (a, b, cnt) struct per DISTINCT adjacent pair of the row in
+      // one pass — the arrays_zip-of-slices explode shipped one row
+      // per OCCURRENCE plus two array copies per unit into the
+      // aggregate. sum(n·cnt) ≡ the occurrence-row sum(n), exactly.
       val cands = vocab
-        .select(col("n"), explode(arrays_zip(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
-        .select(col("p.0").as("a"), col("p.1").as("b"), col("n"))
-        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .select(col("n"),
+          explode(graft.functions.BpeMerge.pairCounts(col("syms")))
+            .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"),
+          (col("n") * col("p.cnt")).as("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(4 * want + 8).collect()
       if (cands.isEmpty) exhausted = true

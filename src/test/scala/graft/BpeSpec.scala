@@ -158,6 +158,33 @@ class BpeSpec extends SparkSpec {
     assert(got.map(m => (m.left, m.right, m.count)) == ref)
   }
 
+  test("native pairCounts ≡ arrays_zip-of-slices explode, weighted") {
+    graft.functions.BpeMerge.register(spark)
+    // repeated pairs within a row ("aaa": (a,a)×2), single-symbol and
+    // empty arrays (zero pairs), and unit weights n > 1
+    val vocab = Seq(
+      (Seq("a", "a", "a", "b"), 3L),
+      (Seq("x"), 5L),
+      (Seq.empty[String], 7L),
+      (Seq("a", "b", "a", "b"), 2L)
+    ).toDF("syms", "n")
+    val fast = vocab.select(col("n"),
+        explode(graft.functions.BpeMerge.pairCounts(col("syms"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        (col("n") * col("p.cnt")).as("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("cnt"))
+    // the zip-of-slices form throws on a zero-length array (slice
+    // length -1) — the trainer never feeds it one (pieceVocab filters
+    // symbol-less units); the kernel simply emits no pairs there
+    val ref = vocab.filter(size(col("syms")) > 0)
+      .select(col("n"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+      .select(col("p.0").as("a"), col("p.1").as("b"), col("n"))
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
   test("mergePair is greedy left-to-right: a consumed symbol can't restart") {
     val got = Seq(Seq("a", "a", "a"), Seq("x", "a", "a", "y"))
       .toDF("s").select(Bpe.mergePair(col("s"), "a", "a"))
