@@ -143,6 +143,15 @@ object QualityModel {
     val clone = org.apache.spark.sql.GraftSqlBridge
       .cloneSession(docs.sparkSession)
     clone.conf.set("spark.sql.adaptive.enabled", "false")
+    // the loop's only exchange is the slot-keyed gradient aggregate,
+    // whose final cardinality is ≤ Buckets+1 rows at ANY corpus size
+    // (map-side partials bound per-partition output the same way) —
+    // with AQE off, the inherited scan-sized reducer count is pure
+    // empty-task floor per step; a small constant is right at every
+    // scale (the Bpe.trainBatchedFrom posture, r10). The base build
+    // it checkpoints is map-only, so no corpus-sized shuffle ever
+    // runs under this setting.
+    clone.conf.set("spark.sql.shuffle.partitions", "4")
     trainLoop(org.apache.spark.sql.GraftSqlBridge.reRoot(clone, docs),
       textCol, steps, lr)
   }
