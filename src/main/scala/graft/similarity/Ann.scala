@@ -403,8 +403,15 @@ object Ann {
     else dir
   }
 
+  /** Returns the seeded centroid set it stored (r10): a caller that
+    * builds and then probes in the same process can pass them straight
+    * to [[ivfTopKFromIndex]] and skip the per-probe centroid-table
+    * read+collect — the stored table remains the source of truth for
+    * every other process, and appends never change centroids (only
+    * [[ivfIndexRefresh]] does, after which a re-read is mandatory).
+    */
   def ivfIndexBuild(corpus: DataFrame, id: String, vec: String,
-                    nCells: Int, dir: String): Unit = {
+                    nCells: Int, dir: String): Seq[Seq[Double]] = {
     val s = corpus.sparkSession
     val c = prepared(corpus, id, vec)
     val cents = firstNCentroids(c, nCells)
@@ -424,6 +431,7 @@ object Ann {
     c.withColumn("cell", cellOf(cents, col("v")))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    cents
   }
 
   /** One-row audit of a stored index: row count plus how many rows sit

@@ -186,13 +186,15 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       val ix = s"/tmp/graft_ivf_index-${ProcessHandle.current().pid()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix))
-      Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
+      // append assigns against the same frozen centroids the build
+      // returned, so the probe can reuse them without a re-read
+      val cents = Ann.ivfIndexBuild(emb.filter(col("vec_id") >= 100),
         "vec_id", "embedding", nCells = 16, ix)
       Ann.ivfIndexAppend(
         emb.filter(col("vec_id") >= NQueries && col("vec_id") < 100),
         "vec_id", "embedding", ix)
       Ann.ivfTopKFromIndex(emb.filter(col("vec_id") < NQueries),
-        "vec_id", "embedding", ix, K, nProbe = 4)
+        "vec_id", "embedding", ix, K, nProbe = 4, cents = Some(cents))
     }),
     "emb_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -884,13 +884,13 @@ object StreamingJob {
     val s = corpus.sparkSession
     val dir = s"$workDir-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    graft.similarity.Ann.ivfIndexBuild(corpus, id, vec, nCells, s"$dir/ix")
+    // the index is FROZEN for the whole probe stream — centroids come
+    // straight from the build (appends never change them), and the
+    // cell listing is resolved once (partition discovery is a driver
+    // job at real cell counts), not once per trigger
+    val cents = graft.similarity.Ann
+      .ivfIndexBuild(corpus, id, vec, nCells, s"$dir/ix")
     graft.similarity.Ann.ivfIndexAppend(delta, id, vec, s"$dir/ix")
-    // the index is FROZEN for the whole probe stream — centroids are
-    // a constant collected once, and the cell listing is resolved once
-    // (partition discovery is a driver job at real cell counts), not
-    // once per trigger
-    val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ix")
     val assigned = graft.similarity.Ann.indexAssigned(s, s"$dir/ix")
     queries.repartition(nFiles).write.parquet(s"$dir/in")
     val stream = s.readStream.schema(queries.schema)
@@ -1380,13 +1380,13 @@ object StreamingJob {
           .bruteForceTopK(q, corpusEmb, "vec_id", vec, k),
           Some(corpusEmb))
       case Some((nCells, nProbe)) =>
-        graft.similarity.Ann.ivfIndexBuild(
+        // centroids come straight from the build (frozen for the
+        // stream's life), cell listing resolved once: no trigger pays
+        // centroid re-collection or partition discovery (driver jobs
+        // at real cell counts)
+        val cents = graft.similarity.Ann.ivfIndexBuild(
           emb.filter(col("vec_id") >= split), "vec_id", vec, nCells,
           s"$dir/ivf")
-        // centroids collected once, cell listing resolved once: the
-        // index is frozen for the stream's life, so no trigger pays
-        // partition discovery (a driver job at real cell counts)
-        val cents = graft.similarity.Ann.indexCentroids(s, s"$dir/ivf")
         val assigned = graft.similarity.Ann.indexAssigned(s, s"$dir/ivf")
         ((q: DataFrame) => graft.similarity.Ann.ivfTopKFromIndex(
           q, "vec_id", vec, s"$dir/ivf", k, nProbe, cents = Some(cents),

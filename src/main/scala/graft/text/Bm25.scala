@@ -114,13 +114,26 @@ object Bm25 {
     org.apache.commons.io.FileUtils.deleteQuietly(aside)
   }
 
+  /** Write postings one-file-per-bucket: with the map-only postings
+    * (r10) there is no exchange left before the partitioned write, so
+    * every scan task would otherwise fan out into every bucket —
+    * tasks × buckets small files (the ivfIndexBuild lesson). One
+    * narrow shuffle of the already-counted (term, doc) rows restores
+    * the layout discipline; it carries fewer, pre-aggregated rows
+    * than the explode-then-GROUP BY exchange it replaced.
+    */
+  private def writePostings(post: DataFrame, dir: String,
+                            mode: String): Unit =
+    post.repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket")
+      .parquet(s"$dir/postings")
+
   def indexBuild(docs: DataFrame, idCol: String, textCol: String,
                  dir: String): Unit = {
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
-    bucketed(postings(docs, idCol, textCol))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
+    writePostings(bucketed(postings(docs, idCol, textCol)), dir,
+      "overwrite")
     writeStats(docs, textCol, dir, "overwrite")
   }
 
@@ -131,9 +144,8 @@ object Bm25 {
     */
   def indexAppend(delta: DataFrame, idCol: String, textCol: String,
                   dir: String): Unit = {
-    bucketed(postings(delta, idCol, textCol))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/postings")
+    writePostings(bucketed(postings(delta, idCol, textCol)), dir,
+      "append")
     writeStats(delta, textCol, dir, "append")
   }
 

@@ -97,7 +97,10 @@ object HybridQueries {
       val base = s"/tmp/graft_hybrid_ivf-${ProcessHandle.current().pid()}"
       Bm25.indexBuild(docs.filter(col("doc_id") >= Split),
         "doc_id", "text", s"$base/bm")
-      graft.similarity.Ann.ivfIndexBuild(
+      // build returns the centroid set it stored (frozen until a
+      // refresh): probing with it skips the centroid-table
+      // read+collect this same process would otherwise re-pay
+      val cents = graft.similarity.Ann.ivfIndexBuild(
         emb.filter(col("vec_id") >= Split), "vec_id", "embedding",
         IvfCells, s"$base/ivf")
       val lex = Bm25.moreLikeThisFromIndex(s,
@@ -106,7 +109,8 @@ object HybridQueries {
         .select(col("qid"), col("doc_id").as("doc"), col("rank"))
       val vec = graft.similarity.Ann.ivfTopKFromIndex(
           emb.filter(col("vec_id") < Split), "vec_id", "embedding",
-          s"$base/ivf", HK, IvfProbe, pruneCells = true)
+          s"$base/ivf", HK, IvfProbe, cents = Some(cents),
+          pruneCells = true)
         .select(col("qid"), col("vid").as("doc"), col("rank"))
       Retrieval.rrfFuse(lex, vec, HK)
     }),
